@@ -1,0 +1,236 @@
+"""TripleStore — the statement relation as a DataFrame.
+
+Reference: statements live in ``SPORelation`` as B+Tree tuples stored in
+3 (triples) / 6 (quads) sorted index permutations so that any bound
+prefix is a range scan (``SPOKeyOrder.java:90-128``); terms live in the
+``LexiconRelation`` dictionary.
+
+Spark-native design (NOT a port):
+
+* ONE ``triples`` DataFrame/parquet table.  The permutations existed
+  only to serve prefix scans — Catalyst replaces them with predicate
+  pushdown + column pruning + (optionally) partition layout.  A store
+  saved with ``partition_by_predicate=True`` hash-buckets by ``p`` so
+  per-predicate patterns prune files (the S2RDF "vertical partitioning"
+  idea expressed as a layout, not as N tables).
+* Terms are carried inline as structs (see :mod:`database_spark.terms`)
+  plus a 64-bit id per position used as the join key.  There is no
+  dictionary to join at query time; an optional ``terms()`` view derives
+  the distinct dictionary on demand (analog of TERM2ID/ID2TERM).
+* ``inferred`` byte = StatementEnum {0 explicit, 1 inferred, 2 axiom}
+  (``StatementEnum.java``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import terms as T
+
+POSITIONS = ("s", "p", "o", "g")
+
+EXPLICIT = 0
+INFERRED = 1
+AXIOM = 2
+
+
+def _with_ids(df: DataFrame) -> DataFrame:
+    """Add/refresh the id column for every term-struct position present."""
+    for pos in POSITIONS:
+        tcol = f"{pos}t"
+        if tcol in df.columns:
+            df = df.withColumn(
+                pos,
+                F.when(F.col(tcol).isNotNull(), T.term_id(F.col(tcol))),
+            )
+        elif pos == "g" and "g" not in df.columns:
+            df = df.withColumn("gt", F.lit(None).cast(T.TERM_TYPE)).withColumn(
+                "g", F.lit(None).cast("long")
+            )
+    if "inferred" not in df.columns:
+        df = df.withColumn("inferred", F.lit(EXPLICIT).cast("tinyint"))
+    return df.select("s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred")
+
+
+@dataclass
+class TripleStore:
+    spark: SparkSession
+    df: DataFrame  # columns: s p o g (long), st pt ot gt (TERM), inferred
+
+    # ---------------------------------------------------------------- build
+    @staticmethod
+    def from_term_structs(spark: SparkSession, df: DataFrame) -> "TripleStore":
+        """df must carry st/pt/ot (and optionally gt) TERM struct columns."""
+        return TripleStore(spark, _with_ids(df))
+
+    @staticmethod
+    def from_python_triples(spark: SparkSession, triples: list) -> "TripleStore":
+        """triples: list of (Term, Term, Term) or (Term, Term, Term, Term)."""
+        rows = []
+        for t in triples:
+            s, p, o = t[0], t[1], t[2]
+            g = t[3] if len(t) > 3 else None
+            rows.append(
+                (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
+            )
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("st", T.TERM_TYPE, False),
+                StructField("pt", T.TERM_TYPE, False),
+                StructField("ot", T.TERM_TYPE, False),
+                StructField("gt", T.TERM_TYPE, True),
+            ]
+        )
+        return TripleStore(spark, _with_ids(spark.createDataFrame(rows, schema)))
+
+    # ------------------------------------------------------------ persist
+    def save(self, path: str, partition_by_predicate: bool = False, buckets: int = 64) -> None:
+        """Write as parquet.
+
+        ``partition_by_predicate`` adds a ``p_bucket`` dir column =
+        pmod(p, buckets): a pattern with bound predicate prunes to one
+        bucket (the scan-side analog of choosing the POS index).  At
+        100 TB, also sort within partitions by (p, s, o) so row-group
+        min/max stats prune subject-bound scans.
+        """
+        df = self.df
+        if partition_by_predicate:
+            df = df.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(buckets)))
+            (
+                df.repartition("p_bucket")
+                .sortWithinPartitions("p", "s", "o")
+                .write.mode("overwrite")
+                .partitionBy("p_bucket")
+                .parquet(path)
+            )
+        else:
+            df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "TripleStore":
+        df = spark.read.parquet(path)
+        return TripleStore(spark, df.select("s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred"))
+
+    # ------------------------------------------------------------- views
+    def terms(self) -> DataFrame:
+        """Derived dictionary view (TERM2ID analog): distinct terms + ids."""
+        parts = [
+            self.df.select(F.col(f"{pos}t").alias("term"))
+            for pos in POSITIONS
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionAll(p)
+        u = u.where(F.col("term").isNotNull()).dropDuplicates(["term"])
+        return u.select(T.term_id(F.col("term")).alias("id"), "term")
+
+    def count_pattern(self, s=None, p=None, o=None, g=None) -> int:
+        """Cardinality of a triple pattern (FastRangeCountOp analog —
+        parquet row-group stats + pushdown make this a metadata-mostly
+        count; no full scan of non-matching row groups)."""
+        df = self.df
+        for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
+            if val is not None:
+                df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
+        return df.count()
+
+    def explicit(self) -> DataFrame:
+        return self.df.where(F.col("inferred") == EXPLICIT)
+
+    # --------------------------------------------------------- mutation
+    def add(self, other: DataFrame) -> "TripleStore":
+        """Union in new statements (InsertStatementsOp analog)."""
+        return TripleStore(
+            self.spark,
+            self.df.unionByName(_with_ids(other)).dropDuplicates(["s", "p", "o", "g"]),
+        )
+
+    def remove(self, other: DataFrame) -> "TripleStore":
+        """Remove statements by (s,p,o,g) identity (RemoveStatementsOp)."""
+        keys = _with_ids(other).select("s", "p", "o", "g")
+        kept = self.df.join(keys, ["s", "p", "o", "g"], "left_anti")
+        return TripleStore(self.spark, kept)
+
+
+# -------------------------------------------------------------- rdfize
+@dataclass
+class RdfMapping:
+    """Direct-mapping spec for one relational table → triples.
+
+    ``subject_template``: python format string over row columns, e.g.
+    ``"urn:customer:{c_custkey}"``; ``predicates``: column → predicate
+    IRI; typed literals are derived from the Spark column type.
+    """
+
+    subject_key: str
+    subject_prefix: str
+    predicates: dict  # column name -> predicate IRI
+    type_iri: str | None = None
+
+
+def _object_term(col: Column, dtype: str) -> Column:
+    d = dtype.lower()
+    if d in ("bigint", "int", "integer", "smallint", "tinyint", "long"):
+        return T.literal_col(col.cast("string"), T.XSD_INTEGER)
+    if d in ("double", "float"):
+        return T.literal_col(col.cast("string"), T.XSD_DOUBLE)
+    if d.startswith("decimal"):
+        return T.literal_col(col.cast("string"), T.XSD_DECIMAL)
+    if d == "boolean":
+        return T.literal_col(F.when(col, "true").otherwise("false"), T.XSD_BOOLEAN)
+    if d in ("timestamp", "timestamp_ntz"):
+        lex = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+        return T.literal_col(lex, T.XSD_DATETIME)
+    if d == "date":
+        return T.literal_col(F.date_format(col, "yyyy-MM-dd"), T.XSD_DATE)
+    return T.literal_col(col.cast("string"), T.XSD_STRING)
+
+
+def rdfize(spark: SparkSession, table: DataFrame, mapping: RdfMapping) -> DataFrame:
+    """Relational rows → term-struct triples (one output row per cell).
+
+    Uses a single stack() generation per table: no shuffle, fully
+    parallel, streams at scale.  FK columns can be mapped to IRIs by
+    listing the predicate IRI with a ``->prefix`` suffix, e.g.
+    ``{"c_nationkey": "urn:tpch:nation->urn:nation:"}``.
+    """
+    dtypes = dict(table.dtypes)
+    subj = T.iri_col(
+        F.concat(F.lit(mapping.subject_prefix), F.col(mapping.subject_key).cast("string"))
+    )
+    outs = []
+    base = table
+    for col_name, pred in mapping.predicates.items():
+        if "->" in pred:
+            pred_iri, obj_prefix = pred.split("->", 1)
+            obj = F.when(
+                F.col(col_name).isNotNull(),
+                T.iri_col(F.concat(F.lit(obj_prefix), F.col(col_name).cast("string"))),
+            )
+        else:
+            pred_iri = pred
+            obj = _object_term(F.col(col_name), dtypes[col_name])
+        outs.append(
+            base.select(
+                subj.alias("st"),
+                T.lit_term(T.Term.iri(pred_iri)).alias("pt"),
+                obj.alias("ot"),
+            ).where(F.col("ot").isNotNull())
+        )
+    if mapping.type_iri:
+        outs.append(
+            base.select(
+                subj.alias("st"),
+                T.lit_term(T.Term.iri(T.RDF + "type")).alias("pt"),
+                T.lit_term(T.Term.iri(mapping.type_iri)).alias("ot"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionAll(o)
+    return u

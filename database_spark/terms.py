@@ -1,0 +1,245 @@
+"""RDF term encoding for the Spark engine.
+
+Reference design: every RDF term is an ``IV`` — a sortable packed key
+with a flags byte (VTE kind + DTE datatype), small values inlined into
+the statement indices, everything else dictionary-encoded
+(``bigdata-rdf/.../internal/IV.java:53``, ``VTE.java:42-54``,
+``DTE.java:90-241``, ``LexiconRelation.java:147``).
+
+Spark-native equivalent used here:
+
+* each term is a **struct column** ``TERM = STRUCT<kind:byte, lex:string,
+  dt:string, lang:string>`` carried *inline* in the triples table (the
+  analog of IV inlining — no dictionary join is ever needed to evaluate
+  a FILTER/BIND/ORDER, which replaces the reference's
+  ``ChunkedMaterializationOp``);
+* each term additionally gets a 64-bit **identity id** =
+  ``xxhash64(kind, lex, dt, lang)`` used as the join key (joins on longs
+  shuffle ~5x fewer bytes than joins on IRI strings at 100 TB scale).
+  Upgrade path for >10^9 distinct terms: switch ``term_id`` to a 128-bit
+  ``md5`` binary column; all call sites go through :func:`term_id`.
+
+Term normalization (RDF 1.1): a simple literal is the same term as one
+typed ``xsd:string``; language-tagged literals have datatype
+``rdf:langString`` and a lowercase tag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+
+XSD_STRING = XSD + "string"
+XSD_INTEGER = XSD + "integer"
+XSD_DECIMAL = XSD + "decimal"
+XSD_DOUBLE = XSD + "double"
+XSD_FLOAT = XSD + "float"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_DATETIME = XSD + "dateTime"
+XSD_DATE = XSD + "date"
+RDF_LANGSTRING = RDF + "langString"
+
+# every XSD numeric datatype, mapped to its promotion family
+NUMERIC_DATATYPES = {
+    XSD_INTEGER: "integer",
+    XSD_DECIMAL: "decimal",
+    XSD_DOUBLE: "double",
+    XSD_FLOAT: "double",
+    XSD + "int": "integer",
+    XSD + "long": "integer",
+    XSD + "short": "integer",
+    XSD + "byte": "integer",
+    XSD + "nonNegativeInteger": "integer",
+    XSD + "nonPositiveInteger": "integer",
+    XSD + "negativeInteger": "integer",
+    XSD + "positiveInteger": "integer",
+    XSD + "unsignedInt": "integer",
+    XSD + "unsignedLong": "integer",
+    XSD + "unsignedShort": "integer",
+    XSD + "unsignedByte": "integer",
+}
+
+KIND_IRI = 0
+KIND_BNODE = 1
+KIND_LITERAL = 2
+
+TERM_TYPE = StructType(
+    [
+        StructField("kind", ByteType(), False),
+        StructField("lex", StringType(), False),
+        StructField("dt", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class Term:
+    """Driver-side (Python) RDF term — parser constants, VALUES rows."""
+
+    kind: int
+    lex: str
+    dt: str | None = None
+    lang: str | None = None
+
+    @staticmethod
+    def iri(value: str) -> "Term":
+        return Term(KIND_IRI, value)
+
+    @staticmethod
+    def bnode(label: str) -> "Term":
+        return Term(KIND_BNODE, label)
+
+    @staticmethod
+    def literal(lex: str, dt: str | None = None, lang: str | None = None) -> "Term":
+        if lang:
+            return Term(KIND_LITERAL, lex, RDF_LANGSTRING, lang.lower())
+        return Term(KIND_LITERAL, lex, dt or XSD_STRING, None)
+
+    @staticmethod
+    def integer(value: int) -> "Term":
+        return Term(KIND_LITERAL, str(int(value)), XSD_INTEGER)
+
+    @staticmethod
+    def double(value: float) -> "Term":
+        return Term(KIND_LITERAL, repr(float(value)), XSD_DOUBLE)
+
+    @staticmethod
+    def decimal(lex: str) -> "Term":
+        return Term(KIND_LITERAL, lex, XSD_DECIMAL)
+
+    @staticmethod
+    def boolean(value: bool) -> "Term":
+        return Term(KIND_LITERAL, "true" if value else "false", XSD_BOOLEAN)
+
+    def n3(self) -> str:
+        if self.kind == KIND_IRI:
+            return f"<{self.lex}>"
+        if self.kind == KIND_BNODE:
+            return f"_:{self.lex}"
+        esc = self.lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+        if self.dt == RDF_LANGSTRING:
+            return f'"{esc}"@{self.lang}'
+        if self.dt and self.dt != XSD_STRING:
+            return f'"{esc}"^^<{self.dt}>'
+        return f'"{esc}"'
+
+    def as_row(self) -> tuple:
+        return (self.kind, self.lex, self.dt, self.lang)
+
+
+def term_struct(kind: Column, lex: Column, dt: Column, lang: Column) -> Column:
+    """Assemble a TERM struct column from parts."""
+    return F.struct(
+        kind.cast("tinyint").alias("kind"),
+        lex.cast("string").alias("lex"),
+        dt.cast("string").alias("dt"),
+        lang.cast("string").alias("lang"),
+    )
+
+
+def iri_col(lex: Column) -> Column:
+    return term_struct(F.lit(KIND_IRI), lex, F.lit(None), F.lit(None))
+
+
+def literal_col(lex: Column, dt: str = XSD_STRING) -> Column:
+    """Typed literal from a lexical column (null lex → null term)."""
+    t = term_struct(F.lit(KIND_LITERAL), lex, F.lit(dt), F.lit(None))
+    return F.when(lex.isNotNull(), t)
+
+
+def lit_term(t: Term) -> Column:
+    return term_struct(F.lit(t.kind), F.lit(t.lex), F.lit(t.dt), F.lit(t.lang))
+
+
+def term_id(term: Column) -> Column:
+    """64-bit identity key of a term struct (join key).
+
+    xxhash64 chains field hashes (each value hashed with the running
+    hash as seed), so field boundaries can't alias; nulls are skipped by
+    xxhash64, hence the coalesce — `dt`/`lang` are only null for
+    IRIs/bnodes whose `kind` differs from any literal's.
+    """
+    return F.xxhash64(
+        term.getField("kind"),
+        term.getField("lex"),
+        F.coalesce(term.getField("dt"), F.lit("")),
+        F.coalesce(term.getField("lang"), F.lit("")),
+    )
+
+
+def is_numeric_dt(dt: Column) -> Column:
+    return dt.isin(*NUMERIC_DATATYPES.keys())
+
+
+def numeric_value(term: Column) -> Column:
+    """Typed numeric view of a literal term (null when non-numeric).
+
+    The analog of the reference evaluating range filters directly on
+    inlined IVs (`RangeBOp.java`): no dictionary join, just a cast.
+    """
+    lex = term.getField("lex")
+    return F.when(
+        (term.getField("kind") == KIND_LITERAL) & is_numeric_dt(term.getField("dt")),
+        F.try_cast(lex, "double"),
+    )
+
+
+def datetime_value(term: Column) -> Column:
+    return F.when(
+        (term.getField("kind") == KIND_LITERAL)
+        & term.getField("dt").isin(XSD_DATETIME, XSD_DATE),
+        F.try_cast(F.replace(term.getField("lex"), F.lit("T"), F.lit(" ")), "timestamp"),
+    )
+
+
+def boolean_value(term: Column) -> Column:
+    return F.when(
+        (term.getField("kind") == KIND_LITERAL)
+        & (term.getField("dt") == XSD_BOOLEAN),
+        F.try_cast(term.getField("lex"), "boolean"),
+    )
+
+
+def sort_key(term: Column) -> list[Column]:
+    """SPARQL total-order sort key (reference: ``IVComparator.java:68``).
+
+    Order classes: unbound < blank nodes < IRIs < literals; within
+    literals: booleans, numbers (by value, cross-type), datetimes, then
+    strings/other by (lexical, datatype, lang).  Returns the column list
+    to feed ``orderBy`` — ascending with nulls first reproduces the
+    'unbound first' rule.
+    """
+    kind = term.getField("kind")
+    dt = term.getField("dt")
+    rank = (
+        F.when(term.isNull(), F.lit(0))
+        .when(kind == KIND_BNODE, F.lit(1))
+        .when(kind == KIND_IRI, F.lit(2))
+        .when(dt == XSD_BOOLEAN, F.lit(3))
+        .when(is_numeric_dt(dt), F.lit(4))
+        .when(dt.isin(XSD_DATETIME, XSD_DATE), F.lit(5))
+        .otherwise(F.lit(6))
+    )
+    return [
+        rank,
+        numeric_value(term),
+        datetime_value(term),
+        boolean_value(term).cast("int"),
+        term.getField("lex"),
+        dt,
+        term.getField("lang"),
+    ]
