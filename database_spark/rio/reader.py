@@ -1,0 +1,287 @@
+"""RDF serialization readers → term-struct triple DataFrames.
+
+Reference: RIO loaders under ``bigdata-rdf/.../rio/`` (N-Triples parser
+``BigdataNTriplesParser.java``, Turtle ``BigdataTurtleParser.java``,
+TriG/N-Quads via Sesame; driver ``DataLoader.java:90``).  Here: a
+Python tokenizer for the line-oriented formats plus a Turtle subset
+(prefixes, ``a``, ``;``/``,`` lists, typed/lang literals, bnodes,
+collections NOT supported).  Parsing happens driver-side for small
+fixture files and distributes via ``spark.read.text`` +
+``mapInPandas`` for bulk N-Triples — the scale path keeps the parse on
+executors (one Arrow batch of lines in, one batch of term rows out).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType
+
+from .. import terms as T
+from ..terms import Term
+
+TRIPLE_SCHEMA = StructType(
+    [
+        StructField("st", T.TERM_TYPE, False),
+        StructField("pt", T.TERM_TYPE, False),
+        StructField("ot", T.TERM_TYPE, False),
+        StructField("gt", T.TERM_TYPE, True),
+    ]
+)
+
+_NT_TERM = re.compile(
+    r"""\s*(?:
+        <(?P<iri>[^>]*)>
+      | _:(?P<bnode>\S+)
+      | "(?P<lit>(?:[^"\\]|\\.)*)"
+        (?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9-]+))?
+    )""",
+    re.VERBOSE,
+)
+
+_ESC = {"t": "\t", "n": "\n", "r": "\r", '"': '"', "\\": "\\", "'": "'"}
+
+
+def _unescape(s: str) -> str:
+    def sub(m):
+        c = m.group(1)
+        if c.startswith("u"):
+            return chr(int(c[1:5], 16))
+        if c.startswith("U"):
+            return chr(int(c[1:9], 16))
+        return _ESC.get(c, c)
+
+    return re.sub(r"\\(u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8}|.)", sub, s)
+
+
+def parse_nt_line(line: str):
+    """One N-Triples/N-Quads statement → (Term, Term, Term, Term|None)."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    terms = []
+    pos = 0
+    while len(terms) < 4:
+        rest = line[pos:]
+        if rest.lstrip().startswith("."):
+            break
+        m = _NT_TERM.match(line, pos)
+        if not m:
+            raise ValueError(f"bad N-Triples at {line[pos:pos+40]!r}")
+        pos = m.end()
+        if m.group("iri") is not None:
+            terms.append(Term.iri(_unescape(m.group("iri"))))
+        elif m.group("bnode") is not None:
+            terms.append(Term.bnode(m.group("bnode")))
+        else:
+            terms.append(
+                Term.literal(
+                    _unescape(m.group("lit")), dt=m.group("dt"), lang=m.group("lang")
+                )
+            )
+    if len(terms) < 3:
+        raise ValueError(f"short statement: {line!r}")
+    s, p, o = terms[0], terms[1], terms[2]
+    g = terms[3] if len(terms) > 3 else None
+    return (s, p, o, g)
+
+
+def read_ntriples(spark: SparkSession, path: str, distributed: bool = False) -> DataFrame:
+    """N-Triples/N-Quads file → triples DataFrame (term structs).
+
+    distributed=True parses on executors via mapInPandas (bulk loads);
+    default parses driver-side (fixture-sized files).
+    """
+    if not distributed:
+        rows = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                q = parse_nt_line(line)
+                if q:
+                    s, p, o, g = q
+                    rows.append((s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None))
+        return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+    lines = spark.read.text(path)
+
+    def parse_batch(batches):
+        for pdf in batches:
+            rows = []
+            for line in pdf["value"]:
+                q = parse_nt_line(line)
+                if q:
+                    s, p, o, g = q
+                    rows.append(
+                        {
+                            "st": s.as_row(),
+                            "pt": p.as_row(),
+                            "ot": o.as_row(),
+                            "gt": g.as_row() if g else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["st", "pt", "ot", "gt"])
+
+    return lines.mapInPandas(parse_batch, TRIPLE_SCHEMA)
+
+
+# ------------------------------------------------------------------ turtle
+_TTL_TOKEN = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<PREFIX>@prefix|@base|PREFIX|BASE)
+  | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<STRING_LONG>(?:'''(?:[^'\\]|\\.|'(?!''))*''')|(?:\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"))
+  | (?P<STRING>'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
+  | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
+  | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+))
+  | (?P<DECIMAL>[+-]?\d*\.\d+)
+  | (?P<INTEGER>[+-]?\d+)
+  | (?P<BOOL>true|false)
+  | (?P<A>a)
+  | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<OP>\^\^|[\[\](){};,.])
+    """,
+    re.VERBOSE,
+)
+
+
+class TurtleParser:
+    """Minimal Turtle (covers the reference's .ttl test fixtures)."""
+
+    def __init__(self, text: str):
+        self.toks = []
+        i = 0
+        while i < len(text):
+            m = _TTL_TOKEN.match(text, i)
+            if not m:
+                raise ValueError(f"turtle lex error: {text[i:i+40]!r}")
+            if m.lastgroup != "WS":
+                self.toks.append((m.lastgroup, m.group(0)))
+            i = m.end()
+        self.toks.append(("EOF", ""))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list = []
+        self._bn = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def parse(self) -> list:
+        while self.peek()[0] != "EOF":
+            k, v = self.peek()
+            if k == "PREFIX":
+                self.next()
+                if v.lower().endswith("base"):
+                    self.base = self.next()[1][1:-1]
+                else:
+                    pname = self.next()[1]
+                    iri = self.next()[1][1:-1]
+                    self.prefixes[pname[:-1]] = iri
+                if self.peek() == ("OP", "."):
+                    self.next()
+                continue
+            self.parse_statement()
+            if self.peek() == ("OP", "."):
+                self.next()
+        return self.triples
+
+    def fresh_bnode(self) -> Term:
+        self._bn += 1
+        return Term.bnode(f"ttl{self._bn}")
+
+    def parse_statement(self):
+        s = self.parse_node(subject=True)
+        self.parse_polist(s)
+
+    def parse_polist(self, s: Term):
+        while True:
+            k, v = self.peek()
+            if k == "A":
+                self.next()
+                p = Term.iri(T.RDF + "type")
+            else:
+                p = self.parse_node()
+            while True:
+                o = self.parse_node()
+                self.triples.append((s, p, o))
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+            if self.peek() == ("OP", ";"):
+                self.next()
+                if self.peek()[0] in ("OP", "EOF") and self.peek()[1] in (".", "]", ""):
+                    return
+                continue
+            return
+
+    def parse_node(self, subject: bool = False) -> Term:
+        k, v = self.next()
+        if k == "IRIREF":
+            iri = _unescape(v[1:-1])
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                iri = self.base + iri
+            return Term.iri(iri)
+        if k == "PNAME":
+            pfx, _, local = v.partition(":")
+            if pfx not in self.prefixes:
+                raise ValueError(f"unknown prefix {pfx!r}")
+            return Term.iri(self.prefixes[pfx] + local)
+        if k == "BLANK":
+            return Term.bnode(v[2:])
+        if k in ("STRING", "STRING_LONG"):
+            lex = _unescape(v[3:-3] if k == "STRING_LONG" else v[1:-1])
+            nk, nv = self.peek()
+            if nk == "LANGTAG":
+                self.next()
+                return Term.literal(lex, lang=nv[1:])
+            if (nk, nv) == ("OP", "^^"):
+                self.next()
+                dt = self.parse_node()
+                return Term.literal(lex, dt=dt.lex)
+            return Term.literal(lex)
+        if k == "INTEGER":
+            return Term.literal(v, T.XSD_INTEGER)
+        if k == "DECIMAL":
+            return Term.literal(v, T.XSD_DECIMAL)
+        if k == "DOUBLE":
+            return Term.literal(v, T.XSD_DOUBLE)
+        if k == "BOOL":
+            return Term.boolean(v == "true")
+        if k == "A":
+            return Term.iri(T.RDF + "type")
+        if (k, v) == ("OP", "["):
+            bn = self.fresh_bnode()
+            if self.peek() != ("OP", "]"):
+                self.parse_polist(bn)
+            tk = self.next()
+            if tk != ("OP", "]"):
+                raise ValueError(f"expected ] got {tk!r}")
+            return bn
+        raise ValueError(f"unexpected turtle token {k} {v!r}")
+
+
+def read_turtle(spark: SparkSession, path: str) -> DataFrame:
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    triples = TurtleParser(text).parse()
+    rows = [(s.as_row(), p.as_row(), o.as_row(), None) for s, p, o in triples]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+def read_rdf(spark: SparkSession, path: str, distributed: bool = False) -> DataFrame:
+    if path.endswith((".nt", ".nq")):
+        return read_ntriples(spark, path, distributed)
+    if path.endswith(".ttl"):
+        return read_turtle(spark, path)
+    raise ValueError(f"unsupported RDF format: {path}")

@@ -1,0 +1,886 @@
+"""SPARQL algebra → DataFrame compiler.
+
+Reference pipeline: AST → ~40 rewrites → ``AST2BOpUtility.convert``
+(6093 LoC) → PipelineOp DAG → ``QueryEngine`` vectored execution
+(``ChunkedRunningQuery.java:92``).  Here the whole back half is Spark:
+we emit a declarative DataFrame plan and Catalyst/AQE own join
+algorithm choice (PipelineJoin/HashJoinOp/MergeJoin equivalents),
+ordering (ASTStaticJoinOptimizer/RTO ≙ CBO/AQE), pushdown and spill.
+
+Solution mapping = DataFrame with, per SPARQL variable ``v``:
+  * ``v``      TERM struct column (null = unbound)
+  * ``v__id``  64-bit term id (join key; joins on longs, not strings)
+
+What is hand-built here because Catalyst has no notion of it (SURVEY
+§4.4): SPARQL join compatibility on possibly-unbound vars, OPTIONAL
+filter scoping (filter joins the LeftJoin condition —
+`JoinTypeEnum.Optional`), MINUS's shared-variable rule, EXISTS as
+semi/anti join (`ASTExistsOptimizer`), property-path fixpoints
+(`ArbitraryLengthPathOp`), SPARQL total order, aggregate promotion.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import terms as T
+from ..operators.paths import reachable_pairs, transitive_closure
+from . import ast as A
+from .functions import (
+    ExprCompiler,
+    SparqlCompileError,
+    dt_rank,
+    ebv,
+    is_numeric,
+    pack_bool,
+    pack_integer,
+    pack_numeric,
+    pack_string,
+    rank_dt,
+    str_value_or_plain,
+)
+
+RPFX = "R__"
+
+
+@dataclass
+class Sol:
+    """A compiled solution-set: df + variable bookkeeping."""
+
+    df: DataFrame
+    vars: set = field(default_factory=set)
+    maybe_unbound: set = field(default_factory=set)
+
+    def tcol(self, v: str) -> Column:
+        return F.col(v)
+
+    def icol(self, v: str) -> Column:
+        return F.col(v + "__id")
+
+
+def _cols_for(vars_: set) -> list[str]:
+    out = []
+    for v in sorted(vars_):
+        out += [v, v + "__id"]
+    return out
+
+
+class Compiler:
+    def __init__(self, spark: SparkSession, triples: DataFrame, services: dict | None = None):
+        self.spark = spark
+        self.triples = triples
+        self.services = services or {}
+        self._fresh = itertools.count()
+
+    # ------------------------------------------------------------- utils
+    def fresh(self) -> str:
+        return f"__f{next(self._fresh)}"
+
+    def unit(self) -> Sol:
+        return Sol(self.spark.range(1).select())
+
+    def empty(self, vars_: set) -> Sol:
+        df = self.spark.range(0).select(
+            *[
+                c
+                for v in sorted(vars_)
+                for c in (
+                    F.lit(None).cast(T.TERM_TYPE).alias(v),
+                    F.lit(None).cast("long").alias(v + "__id"),
+                )
+            ]
+        )
+        return Sol(df, set(vars_), set(vars_))
+
+    def resolver(self, sol: Sol):
+        def resolve(name: str) -> Column:
+            if name in sol.vars:
+                return F.col(name)
+            raise KeyError(name)
+
+        return resolve
+
+    # ------------------------------------------------------- BGP / scans
+    def scan_pattern(self, tp: A.TriplePattern, graph) -> Sol:
+        """One triple pattern → filtered/projected scan of `triples`.
+
+        Reference: SPOAccessPath picks the best index permutation for
+        the bound positions (`SPOKeyOrder.getKeyOrder`); here bound
+        positions become pushed-down long-equality filters (xxhash64 of
+        a literal constant folds → `PushedFilters: [EqualTo(p, …)]`).
+        """
+        df = self.triples
+        binds: dict[str, str] = {}  # var name -> first position bound
+        conds: list[Column] = []
+        for pos, node in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
+            if isinstance(node, A.Var):
+                if node.name in binds:
+                    conds.append(F.col(pos) == F.col(binds[node.name]))
+                else:
+                    binds[node.name] = pos
+            elif isinstance(node, A.Const):
+                conds.append(F.col(pos) == T.term_id(T.lit_term(node.term)))
+            else:
+                raise SparqlCompileError(f"path node in scan: {node!r}")
+        # graph context
+        if graph is None:
+            conds.append(F.col("g").isNull())
+        elif isinstance(graph, A.Var):
+            conds.append(F.col("g").isNotNull())
+            if graph.name not in binds:
+                binds[graph.name] = "g"
+            else:
+                conds.append(F.col("g") == F.col(binds[graph.name]))
+        else:  # Term
+            conds.append(F.col("g") == T.term_id(T.lit_term(graph)))
+        for c in conds:
+            df = df.where(c)
+        sel = []
+        for var, pos in binds.items():
+            sel.append(F.col(pos + "t").alias(var))
+            sel.append(F.col(pos).alias(var + "__id"))
+        return Sol(df.select(*sel), set(binds.keys()), set())
+
+    def compile_bgp(self, patterns: list, graph) -> Sol:
+        """Join ordering: greedy most-bound-first among connected
+        patterns (the cheap static heuristic of
+        `ASTStaticJoinOptimizer.java:28-80`); AQE re-plans at runtime
+        (the reference's RTO, `JGraph.java:220`)."""
+        if not patterns:
+            return self.unit()
+
+        def n_bound(tp):
+            n = sum(isinstance(x, A.Const) for x in (tp.s, tp.p, tp.o))
+            return n
+
+        def tp_vars(tp):
+            vs = {x.name for x in (tp.s, tp.p, tp.o) if isinstance(x, A.Var)}
+            if isinstance(graph, A.Var):
+                vs.add(graph.name)
+            return vs
+
+        remaining = list(patterns)
+        remaining.sort(key=n_bound, reverse=True)
+        first = remaining.pop(0)
+        sol = self.compile_pattern_or_path(first, graph)
+        seen = tp_vars(first) if not _has_path(first) else set(sol.vars)
+        while remaining:
+            nxt_i = None
+            for i, tp in enumerate(remaining):
+                if tp_vars(tp) & seen:
+                    nxt_i = i
+                    break
+            if nxt_i is None:
+                nxt_i = 0  # disconnected → cross join (rare)
+            tp = remaining.pop(nxt_i)
+            sol = self.join(sol, self.compile_pattern_or_path(tp, graph))
+            seen |= tp_vars(tp)
+        return sol
+
+    def compile_pattern_or_path(self, tp: A.TriplePattern, graph) -> Sol:
+        if _has_path(tp):
+            return self.compile_path(tp.s, tp.p, tp.o, graph)
+        return self.scan_pattern(tp, graph)
+
+    # ------------------------------------------------------------- joins
+    def join(self, left: Sol, right: Sol, how: str = "inner", extra=None) -> Sol:
+        """SPARQL join: equi on shared vars; null-compatible condition
+        only where a shared var is possibly unbound (OPTIONAL output),
+        matching the semantics of JVMHashJoinUtility solution joins."""
+        if not left.vars and how == "inner" and extra is None:
+            if left.df is not None and not left.df.columns:
+                return right
+        shared = left.vars & right.vars
+        rdf = right.df
+        for c in rdf.columns:
+            rdf = rdf.withColumnRenamed(c, RPFX + c)
+        conds = []
+        slow = False
+        for v in sorted(shared):
+            li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
+            if v in left.maybe_unbound or v in right.maybe_unbound:
+                conds.append(li.isNull() | ri.isNull() | (li == ri))
+                slow = True
+            else:
+                conds.append(li == ri)
+        if extra is not None:
+            conds.append(extra)
+        cond = None
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+        if cond is None:
+            joined = left.df.crossJoin(rdf) if how == "inner" else left.df.join(rdf, F.lit(True), how)
+        else:
+            joined = left.df.join(rdf, cond, how)
+        out_vars = left.vars | right.vars
+        sel = []
+        for v in sorted(out_vars):
+            lv, rv = v in left.vars, v in right.vars
+            if lv and rv:
+                if (v in left.maybe_unbound) or how != "inner":
+                    sel.append(F.coalesce(F.col(v), F.col(RPFX + v)).alias(v))
+                    sel.append(F.coalesce(F.col(v + "__id"), F.col(RPFX + v + "__id")).alias(v + "__id"))
+                else:
+                    sel += [F.col(v), F.col(v + "__id")]
+            elif lv:
+                sel += [F.col(v), F.col(v + "__id")]
+            else:
+                sel.append(F.col(RPFX + v).alias(v))
+                sel.append(F.col(RPFX + v + "__id").alias(v + "__id"))
+        mu = set(left.maybe_unbound)
+        if how == "inner":
+            mu |= right.maybe_unbound
+            mu -= {v for v in shared if v not in left.maybe_unbound or v not in right.maybe_unbound}
+        else:  # left outer: all right-only vars become optional
+            mu |= right.maybe_unbound | (right.vars - left.vars)
+        _ = slow
+        return Sol(joined.select(*sel), out_vars, mu & out_vars)
+
+    def leftjoin(self, left: Sol, right: Sol, filters: list, graph) -> Sol:
+        """OPTIONAL: LeftJoin(left, right, F) — F evaluated as part of
+        the join (sees both sides), not as a post-filter (SURVEY §4.4
+    item 8; reference `JoinTypeEnum.Optional`)."""
+        extra = None
+        if filters:
+            rdf_vars = {RPFX + v: v for v in right.vars}
+
+            def resolve(name: str) -> Column:
+                if name in right.vars:
+                    return F.col(RPFX + name)
+                if name in left.vars:
+                    return F.col(name)
+                raise KeyError(name)
+
+            ec = ExprCompiler(resolve)
+            conds = [F.coalesce(ec.bool(f), F.lit(False)) for f in filters]
+            extra = conds[0]
+            for c in conds[1:]:
+                extra = extra & c
+        return self.join(left, right, "left_outer", extra)
+
+    def union(self, sols: list) -> Sol:
+        all_vars = set()
+        for s in sols:
+            all_vars |= s.vars
+        dfs = []
+        for s in sols:
+            missing = all_vars - s.vars
+            df = s.df
+            for v in sorted(missing):
+                df = df.withColumn(v, F.lit(None).cast(T.TERM_TYPE)).withColumn(
+                    v + "__id", F.lit(None).cast("long")
+                )
+            dfs.append(df.select(*_cols_for(all_vars)))
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        mu = set()
+        for s in sols:
+            mu |= s.maybe_unbound | (all_vars - s.vars)
+        return Sol(out, all_vars, mu)
+
+    def minus(self, left: Sol, right: Sol) -> Sol:
+        """MINUS with the shared-variable rule: a left row is removed
+        only if some right row is compatible AND shares ≥1 bound var
+        (disjoint domains keep the row — SURVEY §4.4 item 6)."""
+        shared = sorted(left.vars & right.vars)
+        if not shared:
+            return left
+        rdf = right.df.select(*[c for v in shared for c in (v + "__id",)]).dropDuplicates()
+        for v in shared:
+            rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
+        fast = all(
+            v not in left.maybe_unbound and v not in right.maybe_unbound for v in shared
+        )
+        if fast:
+            cond = None
+            for v in shared:
+                c = F.col(v + "__id") == F.col(RPFX + v + "__id")
+                cond = c if cond is None else cond & c
+            return Sol(left.df.join(rdf, cond, "left_anti"), left.vars, left.maybe_unbound)
+        compat = None
+        overlap = None
+        for v in shared:
+            li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
+            c = li.isNull() | ri.isNull() | (li == ri)
+            o = li.isNotNull() & ri.isNotNull()
+            compat = c if compat is None else compat & c
+            overlap = o if overlap is None else overlap | o
+        return Sol(
+            left.df.join(rdf, compat & overlap, "left_anti"),
+            left.vars,
+            left.maybe_unbound,
+        )
+
+    # ----------------------------------------------------------- filters
+    def apply_filters(self, sol: Sol, exprs: list, graph) -> Sol:
+        for e in exprs:
+            sol = self.apply_filter(sol, e, graph)
+        return sol
+
+    def apply_filter(self, sol: Sol, expr, graph) -> Sol:
+        # fast paths: FILTER EXISTS / FILTER NOT EXISTS → semi/anti join
+        if isinstance(expr, A.ExistsExpr):
+            return self._exists_join(sol, expr.group, graph, anti=expr.negated)
+        if (
+            isinstance(expr, A.Op)
+            and expr.op == "!"
+            and isinstance(expr.args[0], A.ExistsExpr)
+        ):
+            inner = expr.args[0]
+            return self._exists_join(sol, inner.group, graph, anti=not inner.negated)
+        sol, repl = self._bind_exists_markers(sol, expr, graph)
+        ec = ExprCompiler(self.resolver(sol), repl)
+        cond = F.coalesce(ec.bool(expr), F.lit(False))
+        return Sol(sol.df.where(cond), sol.vars, sol.maybe_unbound)
+
+    def _exists_join(self, sol: Sol, group: A.GroupPattern, graph, anti: bool) -> Sol:
+        inner = self.compile_group(group, graph)
+        shared = sorted(sol.vars & inner.vars)
+        if not shared:
+            nonempty = bool(inner.df.limit(1).count())
+            keep = (not nonempty) if anti else nonempty
+            return sol if keep else self.empty(sol.vars)
+        rdf = inner.df.select(*[v + "__id" for v in shared]).dropDuplicates()
+        for v in shared:
+            rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
+        cond = None
+        for v in shared:
+            li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
+            if v in sol.maybe_unbound or v in inner.maybe_unbound:
+                c = li.isNull() | ri.isNull() | (li == ri)
+            else:
+                c = li == ri
+            cond = c if cond is None else cond & c
+        how = "left_anti" if anti else "left_semi"
+        return Sol(sol.df.join(rdf, cond, how), sol.vars, sol.maybe_unbound)
+
+    def _bind_exists_markers(self, sol: Sol, expr, graph):
+        """EXISTS inside a boolean expression → precompute a marker
+        column per occurrence (ASTExistsOptimizer's askVar)."""
+        nodes = []
+        _walk_exists(expr, nodes)
+        repl = {}
+        for node in nodes:
+            inner = self.compile_group(node.group, graph)
+            shared = sorted(sol.vars & inner.vars)
+            mk = self.fresh()
+            if not shared:
+                flag = F.lit(bool(inner.df.limit(1).count()))
+                df = sol.df.withColumn(mk, flag)
+            else:
+                rdf = inner.df.select(*[v + "__id" for v in shared]).dropDuplicates()
+                for v in shared:
+                    rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
+                rdf = rdf.withColumn(mk, F.lit(True))
+                cond = None
+                for v in shared:
+                    c = F.col(v + "__id") == F.col(RPFX + v + "__id")
+                    cond = c if cond is None else cond & c
+                df = sol.df.join(rdf, cond, "left_outer").drop(
+                    *[RPFX + v + "__id" for v in shared]
+                )
+                df = df.withColumn(mk, F.coalesce(F.col(mk), F.lit(False)))
+            sol = Sol(df, sol.vars, sol.maybe_unbound)
+            val = F.col(mk)
+            if node.negated:
+                val = ~val
+            repl[id(node)] = pack_bool(val)
+        return sol, repl
+
+    # ------------------------------------------------------------ groups
+    def compile_group(self, group: A.GroupPattern, graph=None) -> Sol:
+        """Group graph pattern → algebra per SPARQL §18.2: BGP-join
+        accumulation, OPTIONAL → LeftJoin (with inner filters in the
+        join condition), UNION, MINUS, BIND/Extend, VALUES join;
+        group-level FILTERs apply to the whole group at the end."""
+        sol = self.unit()
+        filters = []
+        bgp: list[A.TriplePattern] = []
+
+        def flush_bgp():
+            nonlocal sol, bgp
+            if bgp:
+                sol = self.join(sol, self.compile_bgp(bgp, graph))
+                bgp = []
+
+        for el in group.elements:
+            if isinstance(el, A.TriplePattern):
+                bgp.append(el)
+            elif isinstance(el, A.GroupPattern):
+                flush_bgp()
+                sol = self.join(sol, self.compile_group(el, graph))
+            elif isinstance(el, A.OptionalPattern):
+                flush_bgp()
+                inner_filters = [
+                    f.expr for f in el.group.elements if isinstance(f, A.FilterPattern)
+                ]
+                inner_rest = A.GroupPattern(
+                    [x for x in el.group.elements if not isinstance(x, A.FilterPattern)]
+                )
+                right = self.compile_group(inner_rest, graph)
+                sol = self.leftjoin(sol, right, inner_filters, graph)
+            elif isinstance(el, A.UnionPattern):
+                flush_bgp()
+                sol = self.join(sol, self.union([self.compile_group(g, graph) for g in el.groups]))
+            elif isinstance(el, A.MinusPattern):
+                flush_bgp()
+                sol = self.minus(sol, self.compile_group(el.group, graph))
+            elif isinstance(el, A.GraphPattern):
+                flush_bgp()
+                g = el.graph.term if isinstance(el.graph, A.Const) else el.graph
+                sol = self.join(sol, self.compile_group(el.group, g))
+            elif isinstance(el, A.FilterPattern):
+                filters.append(el.expr)
+            elif isinstance(el, A.BindPattern):
+                flush_bgp()
+                sol = self.extend(sol, el.var.name, el.expr, graph)
+            elif isinstance(el, A.ValuesPattern):
+                flush_bgp()
+                sol = self.join(sol, self.values_sol(el))
+            elif isinstance(el, A.SubSelect):
+                flush_bgp()
+                sol = self.join(sol, self.compile_select(el.query))
+            elif isinstance(el, A.ServicePattern):
+                flush_bgp()
+                sol = self.join(sol, self.service(el, graph))
+            else:
+                raise SparqlCompileError(f"unsupported pattern {el!r}")
+        flush_bgp()
+        return self.apply_filters(sol, filters, graph)
+
+    def extend(self, sol: Sol, name: str, expr, graph) -> Sol:
+        """BIND: errors → var stays unbound (ConditionalBind.java:25)."""
+        sol, repl = self._bind_exists_markers(sol, expr, graph)
+        ec = ExprCompiler(self.resolver(sol), repl)
+        t = ec.term(expr)
+        df = sol.df.withColumn(name, t).withColumn(
+            name + "__id", F.when(F.col(name).isNotNull(), T.term_id(F.col(name)))
+        )
+        return Sol(df, sol.vars | {name}, sol.maybe_unbound | {name})
+
+    def values_sol(self, vp: A.ValuesPattern) -> Sol:
+        from pyspark.sql.types import StructField, StructType
+
+        names = [v.name for v in vp.vars]
+        schema = StructType([StructField(n, T.TERM_TYPE, True) for n in names])
+        rows = [tuple(t.as_row() if t else None for t in row) for row in vp.rows]
+        df = self.spark.createDataFrame(rows, schema)
+        for n in names:
+            df = df.withColumn(
+                n + "__id", F.when(F.col(n).isNotNull(), T.term_id(F.col(n)))
+            )
+        mu = {n for i, n in enumerate(names) if any(r[i] is None for r in vp.rows)}
+        return Sol(df.select(*_cols_for(set(names))), set(names), mu)
+
+    def service(self, sp: A.ServicePattern, graph) -> Sol:
+        if isinstance(sp.endpoint, A.Const):
+            iri = sp.endpoint.term.lex
+            for prefix, fn in self.services.items():
+                if iri.startswith(prefix):
+                    return fn(self, sp, graph)
+        if sp.silent:
+            return self.unit()
+        raise SparqlCompileError(f"no service handler for {sp.endpoint!r}")
+
+    # ------------------------------------------------------------- paths
+    def compile_path(self, s, path, o, graph) -> Sol:
+        """Property paths (§2.9): algebra expansion for seq/alt/inv/
+        negated sets (ASTPropertyPathOptimizer), iterative fixpoint for
+        * and + (ArbitraryLengthPathOp semi-naive loop)."""
+        if isinstance(path, (A.Var, A.Const)):
+            return self.scan_pattern(A.TriplePattern(s, path, o), graph)
+        if isinstance(path, A.PathIRI):
+            return self.scan_pattern(A.TriplePattern(s, A.Const(path.iri), o), graph)
+        if isinstance(path, A.PathInv):
+            return self.compile_path(o, path.path, s, graph)
+        if isinstance(path, A.PathSeq):
+            mid_vars = [A.Var(self.fresh()) for _ in path.parts[:-1]]
+            ends = [s] + mid_vars + [o]
+            sol = None
+            for i, part in enumerate(path.parts):
+                part_sol = self.compile_path(ends[i], part, ends[i + 1], graph)
+                sol = part_sol if sol is None else self.join(sol, part_sol)
+            keep = {x.name for x in (s, o) if isinstance(x, A.Var)}
+            if isinstance(graph, A.Var):
+                keep.add(graph.name)
+            return self.project_sol(sol, keep)
+        if isinstance(path, A.PathAlt):
+            sols = [self.compile_path(s, p, o, graph) for p in path.parts]
+            return self.union(sols)
+        if isinstance(path, A.PathNeg):
+            return self._path_neg(s, path, o, graph)
+        if isinstance(path, A.PathMod):
+            return self._path_mod(s, path, o, graph)
+        raise SparqlCompileError(f"unsupported path {path!r}")
+
+    def _path_neg(self, s, path: A.PathNeg, o, graph) -> Sol:
+        sols = []
+        if path.forward:
+            c = None
+            for t in path.forward:
+                x = F.col("p") != T.term_id(T.lit_term(t))
+                c = x if c is None else c & x
+            sols.append(self._pairs_scan(s, o, graph, c))
+        if path.inverse:
+            c = None
+            for t in path.inverse:
+                x = F.col("p") != T.term_id(T.lit_term(t))
+                c = x if c is None else c & x
+            sols.append(self._pairs_scan(o, s, graph, c))
+        return self.union(sols) if len(sols) > 1 else sols[0]
+
+    def _pairs_scan(self, s, o, graph, extra: Column) -> Sol:
+        """Scan all triples matching an (s, o) shape under a predicate
+        condition (negated property sets)."""
+        df = self.triples.where(extra)
+        binds: dict[str, str] = {}
+        conds: list[Column] = []
+        for pos, node in (("s", s), ("o", o)):
+            if isinstance(node, A.Var):
+                if node.name in binds:
+                    conds.append(F.col(pos) == F.col(binds[node.name]))
+                else:
+                    binds[node.name] = pos
+            else:
+                conds.append(F.col(pos) == T.term_id(T.lit_term(node.term)))
+        if graph is None:
+            conds.append(F.col("g").isNull())
+        elif isinstance(graph, A.Var):
+            conds.append(F.col("g").isNotNull())
+            if graph.name not in binds:
+                binds[graph.name] = "g"
+        else:
+            conds.append(F.col("g") == T.term_id(T.lit_term(graph)))
+        for c in conds:
+            df = df.where(c)
+        sel = []
+        for var, pos in binds.items():
+            sel.append(F.col(pos + "t").alias(var))
+            sel.append(F.col(pos).alias(var + "__id"))
+        return Sol(df.select(*sel), set(binds), set())
+
+    def _path_mod(self, s, path: A.PathMod, o, graph) -> Sol:
+        av, bv = A.Var(self.fresh()), A.Var(self.fresh())
+        step = self.compile_path(av, path.path, bv, graph)
+        gv = graph.name if isinstance(graph, A.Var) else None
+        if gv and gv in step.vars:
+            raise SparqlCompileError(
+                "arbitrary-length paths under GRAPH ?var are not supported yet"
+            )
+        step_df = step.df
+        a, b = av.name, bv.name
+        s_const = s.term if isinstance(s, A.Const) else None
+        o_const = o.term if isinstance(o, A.Const) else None
+        if path.mod == "?":
+            pairs = self._with_zero_length(step_df, a, b, graph, s_const, o_const, only_zero_union=True)
+        else:
+            seed = None
+            seed_side = None
+            if s_const is not None:
+                seed = T.lit_term(s_const)
+                seed_side = "a"
+            elif o_const is not None:
+                seed = T.lit_term(o_const)
+                seed_side = "b"
+            closed = (
+                reachable_pairs(self.spark, step_df, a, b, seed, seed_side)
+                if seed is not None
+                else transitive_closure(self.spark, step_df, a, b)
+            )
+            if path.mod == "*":
+                pairs = self._with_zero_length(closed, a, b, graph, s_const, o_const)
+            else:
+                pairs = closed
+        # now bind s/o against pairs
+        sel = []
+        vars_ = set()
+        df = pairs
+        if isinstance(s, A.Var):
+            sel += [F.col(a).alias(s.name), F.col(a + "__id").alias(s.name + "__id")]
+            vars_.add(s.name)
+        else:
+            df = df.where(F.col(a + "__id") == T.term_id(T.lit_term(s.term)))
+        if isinstance(o, A.Var):
+            sel += [F.col(b).alias(o.name), F.col(b + "__id").alias(o.name + "__id")]
+            vars_.add(o.name)
+        else:
+            df = df.where(F.col(b + "__id") == T.term_id(T.lit_term(o.term)))
+        if gv and gv in step.vars:
+            sel += [F.col(gv), F.col(gv + "__id")]
+            vars_.add(gv)
+        if not sel:
+            sel = [F.lit(1).alias("__one")]
+        return Sol(df.select(*sel).dropDuplicates(), vars_, set())
+
+    def _graph_nodes(self, graph) -> DataFrame:
+        """All terms used as subject or object in the active graph
+        (ZeroLengthPathOp.java:53 domain)."""
+        df = self.triples
+        if graph is None:
+            df = df.where(F.col("g").isNull())
+        elif isinstance(graph, A.Var):
+            df = df.where(F.col("g").isNotNull())
+        else:
+            df = df.where(F.col("g") == T.term_id(T.lit_term(graph)))
+        subs = df.select(F.col("st").alias("n"), F.col("s").alias("n__id"))
+        objs = df.select(F.col("ot").alias("n"), F.col("o").alias("n__id"))
+        return subs.unionAll(objs).dropDuplicates(["n__id"])
+
+    def _with_zero_length(
+        self, pairs: DataFrame, a: str, b: str, graph, s_const, o_const, only_zero_union: bool = False
+    ) -> DataFrame:
+        """Add zero-length (x,x) pairs: for bound endpoints just the
+        endpoint; otherwise every node in the graph."""
+        if s_const is not None or o_const is not None:
+            t = T.lit_term(s_const if s_const is not None else o_const)
+            zero = self.spark.range(1).select(
+                t.alias(a),
+                T.term_id(t).alias(a + "__id"),
+                t.alias(b),
+                T.term_id(t).alias(b + "__id"),
+            )
+        else:
+            nodes = self._graph_nodes(graph)
+            zero = nodes.select(
+                F.col("n").alias(a),
+                F.col("n__id").alias(a + "__id"),
+                F.col("n").alias(b),
+                F.col("n__id").alias(b + "__id"),
+            )
+        cols = [a, a + "__id", b, b + "__id"]
+        return pairs.select(*cols).unionAll(zero.select(*cols)).dropDuplicates([a + "__id", b + "__id"])
+
+    def project_sol(self, sol: Sol, keep: set) -> Sol:
+        keep = set(keep) & sol.vars
+        return Sol(sol.df.select(*_cols_for(keep)), keep, sol.maybe_unbound & keep)
+
+    # ----------------------------------------------------------- SELECT
+    def compile_select(self, q: A.SelectQuery) -> Sol:
+        sol = self.compile_group(q.where)
+        if q.values is not None:
+            sol = self.join(sol, self.values_sol(q.values))
+
+        aggs = _collect_aggs(q)
+        if q.group_by or aggs:
+            sol, agg_repl = self._aggregate(sol, q, aggs)
+            for h in q.having:
+                ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
+                sol = Sol(
+                    sol.df.where(F.coalesce(ec.bool(h), F.lit(False))),
+                    sol.vars,
+                    sol.maybe_unbound,
+                )
+        else:
+            agg_repl = []
+
+        # projection expressions (SELECT (expr AS v))
+        for var, expr in q.projections:
+            if expr is not None:
+                ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
+                t = ec.term(expr)
+                df = sol.df.withColumn(var.name, t).withColumn(
+                    var.name + "__id",
+                    F.when(F.col(var.name).isNotNull(), T.term_id(F.col(var.name))),
+                )
+                sol = Sol(df, sol.vars | {var.name}, sol.maybe_unbound | {var.name})
+
+        # ORDER BY before projection (may reference non-projected vars)
+        if q.order_by:
+            sort_cols = []
+            ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
+            for expr, asc in q.order_by:
+                t = ec.term(expr)
+                for k in T.sort_key(t):
+                    sort_cols.append(k.asc_nulls_first() if asc else k.desc_nulls_last())
+            df = sol.df.orderBy(*sort_cols)
+            sol = Sol(df, sol.vars, sol.maybe_unbound)
+
+        # projection
+        if q.projections:
+            keep = {v.name for v, _ in q.projections}
+        else:
+            keep = {v for v in sol.vars if not v.startswith("__")}
+        missing = keep - sol.vars
+        df = sol.df
+        for v in sorted(missing):
+            df = df.withColumn(v, F.lit(None).cast(T.TERM_TYPE)).withColumn(
+                v + "__id", F.lit(None).cast("long")
+            )
+        ordered_keep = [v.name for v, _ in q.projections] if q.projections else sorted(keep)
+        df = df.select(*[c for v in ordered_keep for c in (v, v + "__id")])
+        sol = Sol(df, set(ordered_keep), (sol.maybe_unbound | missing) & set(ordered_keep))
+
+        if q.distinct or q.reduced:
+            sol = Sol(
+                sol.df.dropDuplicates([v + "__id" for v in ordered_keep]),
+                sol.vars,
+                sol.maybe_unbound,
+            )
+        if q.offset:
+            sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
+        if q.limit is not None:
+            sol = Sol(sol.df.limit(q.limit), sol.vars, sol.maybe_unbound)
+        sol.projected_order = ordered_keep  # type: ignore[attr-defined]
+        return sol
+
+    # -------------------------------------------------------- aggregation
+    def _aggregate(self, sol: Sol, q: A.SelectQuery, aggs: list):
+        """GROUP BY + the 7 SPARQL aggregates with runtime numeric
+        promotion (reference: MemoryGroupByOp/PipelinedAggregationOp +
+        SUM.java/AVERAGE.java promotion ladders; Spark does
+        partial+final aggregation automatically)."""
+        df = sol.df
+        ec = ExprCompiler(self.resolver(sol))
+        keys = []
+        key_vars = set()
+        for i, g in enumerate(q.group_by):
+            if isinstance(g, tuple):
+                expr, var = g
+                df = df.withColumn(var.name, ec.term(expr)).withColumn(
+                    var.name + "__id",
+                    F.when(F.col(var.name).isNotNull(), T.term_id(F.col(var.name))),
+                )
+                keys.append(var.name)
+                key_vars.add(var.name)
+            elif isinstance(g, A.Var):
+                keys.append(g.name)
+                key_vars.add(g.name)
+            else:
+                kn = f"__gk{i}"
+                df = df.withColumn(kn, ec.term(g)).withColumn(
+                    kn + "__id", F.when(F.col(kn).isNotNull(), T.term_id(F.col(kn)))
+                )
+                keys.append(kn)
+
+        def resolve(name: str) -> Column:
+            if name in sol.vars or name in key_vars:
+                return F.col(name)
+            raise KeyError(name)
+
+        ec = ExprCompiler(resolve)
+        agg_cols = []
+        repl = []
+        for j, agg in enumerate(aggs):
+            name = f"__agg{j}"
+            if agg.expr is not None:
+                inp = f"__ain{j}"
+                df = df.withColumn(inp, ec.term(agg.expr))
+                in_t = F.col(inp)
+            agg_cols_for = []
+            if agg.name == "COUNT":
+                if agg.expr is None:
+                    c = F.count_distinct(*[F.col(v + "__id") for v in sorted(sol.vars)]) if agg.distinct and sol.vars else F.count(F.lit(1))
+                else:
+                    c = F.count_distinct(in_t) if agg.distinct else F.count(in_t)
+                agg_cols_for.append(pack_integer(c).alias(name))
+            elif agg.name in ("SUM", "AVG"):
+                v = T.numeric_value(in_t)
+                if agg.distinct:
+                    val = F.sum_distinct(v) if agg.name == "SUM" else _avg_distinct(v)
+                else:
+                    val = F.sum(v) if agg.name == "SUM" else F.avg(v)
+                err = F.max(F.when(in_t.isNull() | ~is_numeric(in_t), 1).otherwise(0))
+                n = F.count(F.lit(1))
+                rank = F.max(dt_rank(in_t))
+                if agg.name == "AVG":
+                    rank = F.greatest(F.max(dt_rank(in_t)), F.lit(1))
+                out = F.when(err == 0, pack_numeric(val, rank_dt(rank)))
+                agg_cols_for.append(out.alias(name))
+            elif agg.name in ("MIN", "MAX", "SAMPLE"):
+                key = F.struct(*[k.alias(f"k{i}") for i, k in enumerate(T.sort_key(in_t))])
+                fn = F.max_by if agg.name == "MAX" else F.min_by
+                agg_cols_for.append(
+                    fn(in_t, F.when(in_t.isNotNull(), key)).alias(name)
+                )
+            elif agg.name == "GROUP_CONCAT":
+                sv = str_value_or_plain(in_t)
+                sv = F.coalesce(sv, in_t.getField("lex"))
+                lst = F.collect_set(sv) if agg.distinct else F.collect_list(sv)
+                agg_cols_for.append(
+                    pack_string(F.array_join(F.sort_array(lst), agg.separator)).alias(name)
+                )
+            else:
+                raise SparqlCompileError(f"aggregate {agg.name}")
+            agg_cols += agg_cols_for
+            repl.append((agg, F.col(name)))
+
+        gb_cols = [c for k in keys for c in (k, k + "__id")]
+        if keys:
+            grouped = df.groupBy(*gb_cols).agg(*agg_cols) if agg_cols else df.select(*gb_cols).dropDuplicates([k + "__id" for k in keys])
+        else:
+            grouped = df.agg(*agg_cols)
+        # SUM/AVG over an empty global group = 0 — only reachable with no
+        # GROUP BY; Spark returns null sum there, patch it:
+        new_vars = key_vars
+        out = Sol(grouped, set(new_vars), sol.maybe_unbound & new_vars)
+        # replacements need packed-term columns; fix SUM empty-group case
+        for j, agg in enumerate(aggs):
+            name = f"__agg{j}"
+            if agg.name in ("SUM", "AVG") and not keys:
+                patched = F.coalesce(F.col(name), pack_integer(F.lit(0)))
+                repl = [(a, patched if a is agg else c) for a, c in repl]
+        return out, repl
+
+
+def _avg_distinct(v: Column) -> Column:
+    return F.try_divide(F.sum_distinct(v), F.count_distinct(v))
+
+
+def _has_path(tp: A.TriplePattern) -> bool:
+    return not isinstance(tp.p, (A.Var, A.Const))
+
+
+def _walk_exists(e, out: list) -> None:
+    if isinstance(e, A.ExistsExpr):
+        out.append(e)
+        return
+    if isinstance(e, A.Op):
+        for a in e.args:
+            _walk_exists(a, out)
+    elif isinstance(e, A.FuncCall):
+        for a in e.args:
+            _walk_exists(a, out)
+    elif isinstance(e, A.InExpr):
+        _walk_exists(e.expr, out)
+        for a in e.options:
+            _walk_exists(a, out)
+
+
+def _collect_aggs(q: A.SelectQuery) -> list:
+    found: list = []
+
+    def walk(e):
+        if isinstance(e, A.AggExpr):
+            if not any(_agg_eq(e, f) for f in found):
+                found.append(e)
+            return
+        if isinstance(e, A.Op):
+            for a in e.args:
+                walk(a)
+        elif isinstance(e, A.FuncCall):
+            for a in e.args:
+                walk(a)
+        elif isinstance(e, A.InExpr):
+            walk(e.expr)
+            for a in e.options:
+                walk(a)
+
+    for _, expr in q.projections:
+        if expr is not None:
+            walk(expr)
+    for h in q.having:
+        walk(h)
+    for e, _ in q.order_by:
+        walk(e)
+    return found
+
+
+def _agg_eq(a: A.AggExpr, b: A.AggExpr) -> bool:
+    return a is b or a == b

@@ -1,0 +1,267 @@
+"""SparqlEngine — the query/update entry point.
+
+Reference lifecycle (SURVEY §3.1): parse → AST rewrites → AST2BOp →
+QueryEngine vectored pipeline.  Ours: parse → compile to a DataFrame →
+Catalyst.  Query forms SELECT/ASK/CONSTRUCT/DESCRIBE
+(``QueryType.java``, ``ASTConstructIterator.java``,
+``DescribeModeEnum.java``) and the UPDATE verbs
+(``AST2BOpUpdate.java:400-458`` convertUpdateSwitch).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import terms as T
+from ..store import TripleStore
+from . import ast as A
+from .compiler import Compiler, Sol
+from .parser import parse_query, parse_update
+
+
+@dataclass
+class SelectResult:
+    df: DataFrame  # term-struct column per projected variable
+    vars: list
+
+
+def term_value(col: Column, target: str = "lex") -> Column:
+    """Extract a plain SQL value from a TERM struct column."""
+    if target == "lex":
+        return col.getField("lex")
+    if target == "long":
+        return (col.getField("lex")).try_cast("long")
+    if target == "int":
+        return (col.getField("lex")).try_cast("int")
+    if target == "double":
+        return T.numeric_value(col)
+    if target == "decimal":
+        return (col.getField("lex")).try_cast("decimal(38,12)")
+    if target == "timestamp":
+        return T.datetime_value(col)
+    if target == "boolean":
+        return T.boolean_value(col)
+    raise ValueError(target)
+
+
+class SparqlEngine:
+    def __init__(self, store: TripleStore, services: dict | None = None):
+        self.store = store
+        self.services = services or {}
+
+    # ------------------------------------------------------------ queries
+    def _compiler(self) -> Compiler:
+        return Compiler(self.store.spark, self.store.df, self.services)
+
+    def select(self, text: str) -> SelectResult:
+        q = parse_query(text)
+        if not isinstance(q, A.SelectQuery):
+            raise TypeError("not a SELECT query")
+        return self._select(q)
+
+    def _select(self, q: A.SelectQuery) -> SelectResult:
+        c = self._compiler()
+        sol = c.compile_select(q)
+        order = getattr(sol, "projected_order", sorted(sol.vars))
+        return SelectResult(sol.df.select(*order), order)
+
+    def ask(self, text: str) -> bool:
+        q = parse_query(text)
+        if not isinstance(q, A.AskQuery):
+            raise TypeError("not an ASK query")
+        c = self._compiler()
+        sol = c.compile_group(q.where)
+        return bool(sol.df.limit(1).count())
+
+    def construct(self, text: str) -> DataFrame:
+        q = parse_query(text)
+        if not isinstance(q, A.ConstructQuery):
+            raise TypeError("not a CONSTRUCT query")
+        c = self._compiler()
+        sol = c.compile_group(q.where)
+        if q.offset:
+            sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
+        if q.limit is not None:
+            sol = Sol(sol.df.limit(q.limit), sol.vars, sol.maybe_unbound)
+        return self._instantiate(sol, q.template)
+
+    def _instantiate(self, sol: Sol, template: list, graph: T.Term | None = None) -> DataFrame:
+        """Template instantiation (ASTConstructIterator): one select per
+        template triple, union, validity filter, distinct."""
+        outs = []
+        for tp in template:
+            cols = []
+            ok = F.lit(True)
+            for node, name in ((tp.s, "st"), (tp.p, "pt"), (tp.o, "ot")):
+                if isinstance(node, A.Var):
+                    if node.name in sol.vars:
+                        c = F.col(node.name)
+                    else:
+                        c = F.lit(None).cast(T.TERM_TYPE)
+                    ok = ok & c.isNotNull()
+                else:
+                    c = T.lit_term(node.term)
+                cols.append(c.alias(name))
+            df = sol.df.select(*cols).where(ok)
+            df = df.where(
+                (F.col("st").getField("kind") != T.KIND_LITERAL)
+                & (F.col("pt").getField("kind") == T.KIND_IRI)
+            )
+            outs.append(df)
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        if graph is not None:
+            u = u.withColumn("gt", T.lit_term(graph))
+        else:
+            u = u.withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
+        u = u.withColumn("__sid", T.term_id(F.col("st"))).withColumn(
+            "__pid", T.term_id(F.col("pt"))
+        ).withColumn("__oid", T.term_id(F.col("ot")))
+        u = u.dropDuplicates(["__sid", "__pid", "__oid"]).drop("__sid", "__pid", "__oid")
+        return u
+
+    def describe(self, text: str) -> DataFrame:
+        """DESCRIBE via simple forward+backward statements about each
+        resource (DescribeModeEnum SYMMETRIC_ONE_STEP)."""
+        q = parse_query(text)
+        if not isinstance(q, A.DescribeQuery):
+            raise TypeError("not a DESCRIBE query")
+        c = self._compiler()
+        ids = None
+        var_targets = [t for t in q.targets if isinstance(t, A.Var)]
+        const_targets = [t.term for t in q.targets if isinstance(t, A.Const)]
+        if q.where is not None and var_targets:
+            sol = c.compile_group(q.where)
+            parts = [
+                sol.df.select(F.col(v.name + "__id").alias("id"))
+                for v in var_targets
+                if v.name in sol.vars
+            ]
+            if parts:
+                ids = parts[0]
+                for p in parts[1:]:
+                    ids = ids.unionAll(p)
+        if const_targets:
+            spark = self.store.spark
+            cdf = spark.range(1).select(
+                F.explode(
+                    F.array(*[T.term_id(T.lit_term(t)) for t in const_targets])
+                ).alias("id")
+            )
+            ids = cdf if ids is None else ids.unionAll(cdf)
+        if ids is None:
+            return self.store.df.select("st", "pt", "ot").limit(0)
+        ids = ids.where(F.col("id").isNotNull()).dropDuplicates()
+        trips = self.store.df
+        fwd = trips.join(ids.withColumnRenamed("id", "s"), "s", "left_semi")
+        bwd = trips.join(ids.withColumnRenamed("id", "o"), "o", "left_semi")
+        return fwd.unionByName(bwd).dropDuplicates(["s", "p", "o", "g"]).select("st", "pt", "ot")
+
+    def query(self, text: str):
+        q = parse_query(text)
+        if isinstance(q, A.SelectQuery):
+            return self._select(q)
+        if isinstance(q, A.AskQuery):
+            c = self._compiler()
+            return bool(c.compile_group(q.where).df.limit(1).count())
+        if isinstance(q, A.ConstructQuery):
+            return self.construct(text)
+        if isinstance(q, A.DescribeQuery):
+            return self.describe(text)
+        raise TypeError(f"unsupported query {type(q)}")
+
+    # ------------------------------------------------------------ update
+    def update(self, text: str) -> None:
+        """Execute SPARQL UPDATE ops in order, replacing self.store
+        (AST2BOpUpdate.convertUpdateSwitch dispatch)."""
+        for op in parse_update(text):
+            self._update_one(op)
+
+    def _update_one(self, op) -> None:
+        spark = self.store.spark
+        if isinstance(op, A.InsertData):
+            self.store = self.store.add(self._quads_df(op.triples))
+        elif isinstance(op, A.DeleteData):
+            self.store = self.store.remove(self._quads_df(op.triples))
+        elif isinstance(op, A.Modify):
+            c = self._compiler()
+            g = op.with_graph
+            sol = c.compile_group(op.where, graph=g)
+            sol = Sol(sol.df.localCheckpoint(), sol.vars, sol.maybe_unbound)
+            if op.delete_templates:
+                dels = self._instantiate(sol, op.delete_templates, g)
+                self.store = self.store.remove(dels)
+            if op.insert_templates:
+                ins = self._instantiate(sol, op.insert_templates, g)
+                self.store = self.store.add(ins)
+        elif isinstance(op, A.LoadUpdate):
+            from ..rio.reader import read_rdf
+
+            path = op.source.lex
+            if path.startswith("file://"):
+                path = path[7:]
+            df = read_rdf(spark, path)
+            if op.graph is not None:
+                df = df.withColumn("gt", T.lit_term(op.graph))
+            self.store = self.store.add(df)
+        elif isinstance(op, (A.ClearUpdate, A.DropUpdate)):
+            tgt = op.target
+            df = self.store.df
+            if tgt == "DEFAULT":
+                kept = df.where(F.col("g").isNotNull())
+            elif tgt == "NAMED":
+                kept = df.where(F.col("g").isNull())
+            elif tgt == "ALL":
+                kept = df.limit(0)
+            else:
+                kept = df.where(
+                    F.col("g").isNull() | (F.col("g") != T.term_id(T.lit_term(tgt)))
+                )
+            self.store = TripleStore(spark, kept)
+        elif isinstance(op, A.CreateUpdate):
+            pass  # graphs are implicit
+        elif isinstance(op, A.CopyMoveAdd):
+            df = self.store.df
+
+            def graph_cond(tgt):
+                if tgt == "DEFAULT":
+                    return F.col("g").isNull()
+                return F.coalesce(
+                    F.col("g") == T.term_id(T.lit_term(tgt)), F.lit(False)
+                )
+
+            moved = df.where(graph_cond(op.src))
+            if op.dst == "DEFAULT":
+                moved = moved.withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
+            else:
+                moved = moved.withColumn("gt", T.lit_term(op.dst))
+            moved = moved.select("st", "pt", "ot", "gt", "inferred")
+            base = df
+            if op.op in ("COPY", "MOVE"):
+                base = base.where(~graph_cond(op.dst))  # overwrite destination
+            if op.op == "MOVE":
+                base = base.where(~graph_cond(op.src))
+            self.store = TripleStore(spark, base).add(moved)
+        else:
+            raise TypeError(f"unsupported update {type(op)}")
+
+    def _quads_df(self, quads: list) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        rows = [
+            (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
+            for (s, p, o, g) in quads
+        ]
+        schema = StructType(
+            [
+                StructField("st", T.TERM_TYPE, False),
+                StructField("pt", T.TERM_TYPE, False),
+                StructField("ot", T.TERM_TYPE, False),
+                StructField("gt", T.TERM_TYPE, True),
+            ]
+        )
+        return self.store.spark.createDataFrame(rows, schema)

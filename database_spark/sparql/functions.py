@@ -1,0 +1,536 @@
+"""SPARQL value-expression compiler → Spark Columns.
+
+Reference: one BOp class per function under
+``bigdata-rdf/.../internal/constraints/`` (e.g. ``CompareBOp.java:59``
+for type-promoting comparison, ``EBVBOp.java`` for effective boolean
+value, ``MathBOp.java`` for promoted arithmetic), registered in
+``FunctionRegistry.java:125-249``.  Errors raise
+``SparqlTypeErrorException`` which FILTER treats as false and BIND as
+unbound (``SPARQLConstraint.java:45``, ``ConditionalBind.java:25``).
+
+Spark design: an expression compiles to either
+* a TERM struct Column (``compile_term``) — null = error/unbound, or
+* a boolean Column (``compile_bool``) — null = error,
+so Spark's 3-valued logic *is* SPARQL's error logic (null AND false =
+false; null OR true = true — exactly the SPARQL truth tables), and a
+FILTER is ``coalesce(expr, false)``.  Catalyst collapses the
+struct-pack/field-extract pairs these produce (SimplifyExtractValueOps),
+so the term-struct calling convention costs nothing at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .. import terms as T
+from . import ast as A
+
+NUM_DTS = list(T.NUMERIC_DATATYPES.keys())
+INTEGER_DTS = [dt for dt, fam in T.NUMERIC_DATATYPES.items() if fam == "integer"]
+DOUBLE_DTS = [T.XSD_DOUBLE, T.XSD_FLOAT]
+
+
+class SparqlCompileError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------- packing
+def pack_string(col: Column) -> Column:
+    return F.when(col.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), col, F.lit(T.XSD_STRING), F.lit(None)))
+
+
+def pack_bool(col: Column) -> Column:
+    return F.when(
+        col.isNotNull(),
+        T.term_struct(F.lit(T.KIND_LITERAL), F.when(col, "true").otherwise("false"), F.lit(T.XSD_BOOLEAN), F.lit(None)),
+    )
+
+
+def pack_integer(col: Column) -> Column:
+    return F.when(
+        col.isNotNull(),
+        T.term_struct(F.lit(T.KIND_LITERAL), col.cast("long").cast("string"), F.lit(T.XSD_INTEGER), F.lit(None)),
+    )
+
+
+def pack_double(col: Column) -> Column:
+    return F.when(
+        col.isNotNull(),
+        T.term_struct(F.lit(T.KIND_LITERAL), col.cast("double").cast("string"), F.lit(T.XSD_DOUBLE), F.lit(None)),
+    )
+
+
+def _num_lex(value: Column, dt: Column) -> Column:
+    """Lexical form of a numeric result under result-datatype `dt`."""
+    return (
+        F.when(dt == T.XSD_INTEGER, value.cast("long").cast("string"))
+        .when(dt == T.XSD_DECIMAL, value.cast("decimal(38,12)").cast("string"))
+        .otherwise(value.cast("string"))
+    )
+
+
+def pack_numeric(value: Column, dt: Column) -> Column:
+    """Pack a double value as a literal of runtime datatype `dt`."""
+    return F.when(
+        value.isNotNull() & dt.isNotNull(),
+        T.term_struct(F.lit(T.KIND_LITERAL), _num_lex(value, dt), dt, F.lit(None)),
+    )
+
+
+def pack_datetime(col: Column) -> Column:
+    lex = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
+    return F.when(col.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), lex, F.lit(T.XSD_DATETIME), F.lit(None)))
+
+
+# ------------------------------------------------------------- accessors
+def kind(t: Column) -> Column:
+    return t.getField("kind")
+
+
+def lex(t: Column) -> Column:
+    return t.getField("lex")
+
+
+def dt_of(t: Column) -> Column:
+    return t.getField("dt")
+
+
+def lang_of(t: Column) -> Column:
+    return t.getField("lang")
+
+
+def is_literal(t: Column) -> Column:
+    return t.isNotNull() & (kind(t) == T.KIND_LITERAL)
+
+
+def is_numeric(t: Column) -> Column:
+    return is_literal(t) & dt_of(t).isin(*NUM_DTS) & T.numeric_value(t).isNotNull()
+
+
+def is_stringish(t: Column) -> Column:
+    """simple / xsd:string / lang-tagged — the STR-function domain."""
+    return is_literal(t) & (dt_of(t).isin(T.XSD_STRING, T.RDF_LANGSTRING))
+
+
+def str_value(t: Column) -> Column:
+    """String value for string functions: error (null) unless string-ish."""
+    return F.when(is_stringish(t), lex(t))
+
+
+def dt_rank(t: Column) -> Column:
+    """Numeric promotion rank: integer<decimal<float/double (SUM.java:53)."""
+    d = dt_of(t)
+    return (
+        F.when(d.isin(*INTEGER_DTS), F.lit(0))
+        .when(d == T.XSD_DECIMAL, F.lit(1))
+        .when(d == T.XSD_FLOAT, F.lit(2))
+        .when(d == T.XSD_DOUBLE, F.lit(3))
+    )
+
+
+def rank_dt(rank: Column) -> Column:
+    return (
+        F.when(rank == 0, F.lit(T.XSD_INTEGER))
+        .when(rank == 1, F.lit(T.XSD_DECIMAL))
+        .when(rank == 2, F.lit(T.XSD_FLOAT))
+        .otherwise(F.lit(T.XSD_DOUBLE))
+    )
+
+
+def ebv(t: Column) -> Column:
+    """Effective boolean value (EBVBOp.java); null = type error."""
+    d = dt_of(t)
+    n = T.numeric_value(t)
+    return (
+        F.when(t.isNull(), F.lit(None).cast("boolean"))
+        .when(kind(t) != T.KIND_LITERAL, F.lit(None).cast("boolean"))
+        .when(d == T.XSD_BOOLEAN, T.boolean_value(t))
+        .when(d.isin(*NUM_DTS), F.when(n.isNotNull(), n != 0))
+        .when(d.isin(T.XSD_STRING, T.RDF_LANGSTRING), F.length(lex(t)) > 0)
+    )
+
+
+# ------------------------------------------------------------ comparison
+_CMP = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def term_equal(a: Column, b: Column) -> Column:
+    """RDF term identity (sameTerm)."""
+    return (
+        (kind(a) == kind(b))
+        & (lex(a) == lex(b))
+        & (F.coalesce(dt_of(a), F.lit("")) == F.coalesce(dt_of(b), F.lit("")))
+        & (F.coalesce(lang_of(a), F.lit("")) == F.coalesce(lang_of(b), F.lit("")))
+    )
+
+
+def compare(a: Column, b: Column, op: str) -> Column:
+    """SPARQL operator mapping w/ type promotion (CompareBOp.java:59).
+
+    Value comparison within numeric / string / boolean / dateTime
+    categories; `=`/`!=` additionally defined on IRIs & bnodes as term
+    identity; anything else is a type error (null).
+    """
+    f = _CMP[op]
+    num = f(T.numeric_value(a), T.numeric_value(b))
+    both_num = is_numeric(a) & is_numeric(b)
+    simple_a = is_literal(a) & (dt_of(a) == T.XSD_STRING)
+    simple_b = is_literal(b) & (dt_of(b) == T.XSD_STRING)
+    lang_pair = (
+        is_literal(a) & is_literal(b)
+        & (dt_of(a) == T.RDF_LANGSTRING) & (dt_of(b) == T.RDF_LANGSTRING)
+        & (lang_of(a) == lang_of(b))
+    )
+    both_bool = (dt_of(a) == T.XSD_BOOLEAN) & (dt_of(b) == T.XSD_BOOLEAN)
+    both_dt = T.datetime_value(a).isNotNull() & T.datetime_value(b).isNotNull()
+    result = (
+        F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
+        .when(both_num, num)
+        .when(simple_a & simple_b, f(lex(a), lex(b)))
+        .when(lang_pair, f(lex(a), lex(b)))
+        .when(both_bool, f(T.boolean_value(a), T.boolean_value(b)))
+        .when(both_dt, f(T.datetime_value(a), T.datetime_value(b)))
+    )
+    if op in ("=", "!="):
+        ident = term_equal(a, b)
+        non_lit = (kind(a) != T.KIND_LITERAL) & (kind(b) != T.KIND_LITERAL)
+        result = result.when(non_lit, ident if op == "=" else ~ident)
+        # same unknown-datatype literals: identical term => equal;
+        # different terms of unsupported types remain an error for '='
+        result = result.when(
+            is_literal(a) & is_literal(b) & ident, F.lit(op == "=")
+        )
+    return result
+
+
+# ------------------------------------------------------------- compiler
+class ExprCompiler:
+    """Compiles AST expressions against a variable→Column resolver.
+
+    `resolve(name)` must return the TERM struct Column for a variable
+    (or raise KeyError for out-of-scope vars → compiled as unbound).
+    `replacements` maps id(node) → Column for pre-computed subtrees
+    (EXISTS markers, aggregate result columns).
+    """
+
+    def __init__(self, resolve, replacements: dict | None = None, agg_pairs: list | None = None):
+        self.resolve = resolve
+        self.replacements = replacements or {}
+        self.agg_pairs = agg_pairs or []
+
+    def _agg_col(self, e):
+        for node, col in self.agg_pairs:
+            if node is e or node == e:
+                return col
+        return None
+
+    # ---- dispatch
+    def term(self, e) -> Column:
+        if id(e) in self.replacements:
+            return self.replacements[id(e)]
+        if isinstance(e, A.AggExpr):
+            col = self._agg_col(e)
+            if col is None:
+                raise SparqlCompileError(f"aggregate outside aggregation context: {e!r}")
+            return col
+        if isinstance(e, A.Var):
+            try:
+                return self.resolve(e.name)
+            except KeyError:
+                return F.lit(None).cast(T.TERM_TYPE)
+        if isinstance(e, A.Const):
+            return T.lit_term(e.term)
+        if isinstance(e, A.Op):
+            if e.op in ("||", "&&", "!", "=", "!=", "<", ">", "<=", ">="):
+                return pack_bool(self.bool(e))
+            return self._arith(e)
+        if isinstance(e, A.FuncCall):
+            return self._func(e)
+        if isinstance(e, A.InExpr):
+            return pack_bool(self.bool(e))
+        if isinstance(e, A.ExistsExpr):
+            raise SparqlCompileError("EXISTS must be pre-bound by the pattern compiler")
+        raise SparqlCompileError(f"cannot compile expression {e!r}")
+
+    def bool(self, e) -> Column:
+        if id(e) in self.replacements:
+            return ebv(self.replacements[id(e)])
+        if isinstance(e, A.AggExpr):
+            return ebv(self.term(e))
+        if isinstance(e, A.Op):
+            if e.op == "||":
+                return self.bool(e.args[0]) | self.bool(e.args[1])
+            if e.op == "&&":
+                return self.bool(e.args[0]) & self.bool(e.args[1])
+            if e.op == "!":
+                return ~self.bool(e.args[0])
+            if e.op in _CMP:
+                return compare(self.term(e.args[0]), self.term(e.args[1]), e.op)
+        if isinstance(e, A.InExpr):
+            t = self.term(e.expr)
+            tests = [compare(t, self.term(o), "=") for o in e.options]
+            if not tests:
+                return F.lit(not e.negated) & t.isNotNull()
+            acc = tests[0]
+            for x in tests[1:]:
+                acc = acc | x
+            return ~acc if e.negated else acc
+        if isinstance(e, A.FuncCall) and e.name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "BOUND", "SAMETERM", "LANGMATCHES", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS"):
+            return self._bool_func(e)
+        # generic: EBV of the term value
+        return ebv(self.term(e))
+
+    # ---- arithmetic (MathBOp.java promotion ladder)
+    def _arith(self, e: A.Op) -> Column:
+        if e.op == "neg":
+            a = self.term(e.args[0])
+            return pack_numeric(-T.numeric_value(a), rank_dt(dt_rank(a)))
+        a, b = self.term(e.args[0]), self.term(e.args[1])
+        va, vb = T.numeric_value(a), T.numeric_value(b)
+        rank = F.greatest(dt_rank(a), dt_rank(b))
+        if e.op == "+":
+            v = va + vb
+        elif e.op == "-":
+            v = va - vb
+        elif e.op == "*":
+            v = va * vb
+        elif e.op == "/":
+            v = F.when(vb != 0, va / vb)  # div-by-zero = error for exact types
+            v = F.when(rank >= 2, va / vb).otherwise(v)  # double: inf ok
+            rank = F.greatest(rank, F.lit(1))  # integer/integer -> decimal
+        else:
+            raise SparqlCompileError(f"unknown arithmetic op {e.op}")
+        return pack_numeric(F.when(is_numeric(a) & is_numeric(b), v), rank_dt(rank))
+
+    # ---- boolean-only builtins
+    def _bool_func(self, e: A.FuncCall) -> Column:
+        n = e.name
+        args = [self.term(a) for a in e.args]
+        if n == "BOUND":
+            return args[0].isNotNull()
+        if n in ("ISIRI", "ISURI"):
+            return F.when(args[0].isNotNull(), kind(args[0]) == T.KIND_IRI)
+        if n == "ISBLANK":
+            return F.when(args[0].isNotNull(), kind(args[0]) == T.KIND_BNODE)
+        if n == "ISLITERAL":
+            return F.when(args[0].isNotNull(), kind(args[0]) == T.KIND_LITERAL)
+        if n == "ISNUMERIC":
+            return F.when(args[0].isNotNull(), is_numeric(args[0]))
+        if n == "SAMETERM":
+            return F.when(args[0].isNotNull() & args[1].isNotNull(), term_equal(args[0], args[1]))
+        if n == "LANGMATCHES":
+            tag, rng = str_value_or_plain(args[0]), str_value_or_plain(args[1])
+            return F.when(
+                rng == "*", F.length(tag) > 0
+            ).otherwise(
+                (F.lower(tag) == F.lower(rng))
+                | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-")))
+            )
+        if n == "REGEX":
+            s = str_value(args[0])
+            pat = lex(args[1])
+            if len(args) > 2:
+                pat = F.concat(_regex_flags(lex(args[2])), pat)
+            return F.rlike(s, pat)
+        if n == "CONTAINS":
+            return F.contains(str_value(args[0]), str_value(args[1]))
+        if n == "STRSTARTS":
+            return F.startswith(str_value(args[0]), str_value(args[1]))
+        if n == "STRENDS":
+            return F.endswith(str_value(args[0]), str_value(args[1]))
+        raise SparqlCompileError(n)
+
+    # ---- general builtins
+    def _func(self, e: A.FuncCall) -> Column:
+        n = e.name
+        if n in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "BOUND",
+                 "SAMETERM", "LANGMATCHES", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS"):
+            return pack_bool(self._bool_func(e))
+        if n == "COALESCE":
+            return F.coalesce(*[self.term(a) for a in e.args])
+        if n == "IF":
+            c = self.bool(e.args[0])
+            return F.when(c, self.term(e.args[1])).when(~c, self.term(e.args[2]))
+        args = [self.term(a) for a in e.args]
+        if n == "STR":
+            t = args[0]
+            return F.when(t.isNotNull() & (kind(t) != T.KIND_BNODE), pack_string(lex(t)))
+        if n == "LANG":
+            return F.when(is_literal(args[0]), pack_string(F.coalesce(lang_of(args[0]), F.lit(""))))
+        if n == "DATATYPE":
+            t = args[0]
+            return F.when(
+                is_literal(t),
+                T.term_struct(F.lit(T.KIND_IRI), F.coalesce(dt_of(t), F.lit(T.XSD_STRING)), F.lit(None), F.lit(None)),
+            )
+        if n in ("IRI", "URI"):
+            t = args[0]
+            as_iri = F.when(kind(t) == T.KIND_IRI, lex(t)).when(
+                dt_of(t) == T.XSD_STRING, lex(t)
+            )
+            return F.when(as_iri.isNotNull(), T.term_struct(F.lit(T.KIND_IRI), as_iri, F.lit(None), F.lit(None)))
+        if n == "BNODE":
+            lbl = F.sha1(lex(args[0])) if args else F.sha1(F.concat(F.rand().cast("string")))
+            return T.term_struct(F.lit(T.KIND_BNODE), lbl, F.lit(None), F.lit(None))
+        if n == "STRDT":
+            return F.when(
+                (dt_of(args[0]) == T.XSD_STRING) & (kind(args[1]) == T.KIND_IRI),
+                T.term_struct(F.lit(T.KIND_LITERAL), lex(args[0]), lex(args[1]), F.lit(None)),
+            )
+        if n == "STRLANG":
+            return F.when(
+                (dt_of(args[0]) == T.XSD_STRING) & (dt_of(args[1]) == T.XSD_STRING),
+                T.term_struct(F.lit(T.KIND_LITERAL), lex(args[0]), F.lit(T.RDF_LANGSTRING), F.lower(lex(args[1]))),
+            )
+        if n in ("UUID",):
+            return T.term_struct(F.lit(T.KIND_IRI), F.concat(F.lit("urn:uuid:"), F.uuid()), F.lit(None), F.lit(None))
+        if n == "STRUUID":
+            return pack_string(F.uuid())
+        if n == "RAND":
+            return pack_double(F.rand())
+        if n == "NOW":
+            return pack_datetime(F.current_timestamp())
+        if n == "ABS":
+            return pack_numeric(F.abs(T.numeric_value(args[0])), rank_dt(dt_rank(args[0])))
+        if n in ("CEIL", "FLOOR", "ROUND"):
+            fn = {"CEIL": F.ceil, "FLOOR": F.floor, "ROUND": F.round}[n]
+            v = fn(T.numeric_value(args[0])).cast("double")
+            return pack_numeric(v, rank_dt(dt_rank(args[0])))
+        if n == "STRLEN":
+            return F.when(str_value(args[0]).isNotNull(), pack_integer(F.length(str_value(args[0]))))
+        if n == "SUBSTR":
+            s = str_value(args[0])
+            start = T.numeric_value(args[1]).cast("int")
+            if len(args) > 2:
+                ln = T.numeric_value(args[2]).cast("int")
+                out = s.substr(start, ln)
+            else:
+                out = s.substr(start, F.lit(2_000_000_000))
+            return self._like_string(args[0], out)
+        if n == "UCASE":
+            return self._like_string(args[0], F.upper(str_value(args[0])))
+        if n == "LCASE":
+            return self._like_string(args[0], F.lower(str_value(args[0])))
+        if n == "ENCODE_FOR_URI":
+            return pack_string(F.url_encode(str_value(args[0])))
+        if n == "CONCAT":
+            parts = [str_value_or_plain(a) for a in args]
+            return pack_string(F.concat(*parts)) if parts else pack_string(F.lit(""))
+        if n == "STRBEFORE":
+            s, sub = str_value(args[0]), str_value(args[1])
+            out = F.when(F.length(sub) == 0, F.lit("")).when(
+                F.contains(s, sub), F.substring_index(s, sub, 1)
+            ).otherwise(F.lit(""))
+            return self._like_string(args[0], F.when(s.isNotNull() & sub.isNotNull(), out))
+        if n == "STRAFTER":
+            s, sub = str_value(args[0]), str_value(args[1])
+            out = F.when(F.length(sub) == 0, s).when(
+                F.contains(s, sub),
+                F.substr(s, F.instr(s, sub) + F.length(sub), F.lit(2_000_000_000)),
+            ).otherwise(F.lit(""))
+            return self._like_string(args[0], F.when(s.isNotNull() & sub.isNotNull(), out))
+        if n == "REPLACE":
+            s = str_value(args[0])
+            pat, rep = lex(args[1]), lex(args[2])
+            if len(args) > 3:
+                pat = F.concat(_regex_flags(lex(args[3])), pat)
+            return self._like_string(args[0], F.regexp_replace(s, pat, rep))
+        if n in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES"):
+            fn = {"YEAR": F.year, "MONTH": F.month, "DAY": F.dayofmonth, "HOURS": F.hour, "MINUTES": F.minute}[n]
+            return pack_integer(fn(T.datetime_value(args[0])))
+        if n == "SECONDS":
+            return pack_numeric(F.second(T.datetime_value(args[0])).cast("double"), F.lit(T.XSD_DECIMAL))
+        if n in ("TIMEZONE", "TZ"):
+            # lexical timezone suffix ("Z", "+05:00", or "")
+            tz = F.regexp_extract(lex(args[0]), r"(Z|[+-]\d\d:\d\d)$", 1)
+            if n == "TZ":
+                return F.when(T.datetime_value(args[0]).isNotNull(), pack_string(tz))
+            return F.when(
+                T.datetime_value(args[0]).isNotNull() & (F.length(tz) > 0),
+                T.term_struct(
+                    F.lit(T.KIND_LITERAL),
+                    F.when(tz == "Z", "PT0S").otherwise(tz),
+                    F.lit(T.XSD + "dayTimeDuration"),
+                    F.lit(None),
+                ),
+            )
+        if n == "MD5":
+            return pack_string(F.md5(str_value(args[0]).cast("binary")))
+        if n == "SHA1":
+            return pack_string(F.sha1(str_value(args[0]).cast("binary")))
+        if n in ("SHA256", "SHA384", "SHA512"):
+            return pack_string(F.sha2(str_value(args[0]).cast("binary"), int(n[3:])))
+        if n.startswith(T.XSD):
+            return self._xsd_cast(n, args[0])
+        raise SparqlCompileError(f"unknown function {n}")
+
+    def _like_string(self, src: Column, out: Column) -> Column:
+        """Result carries the lang/dt of the source string arg (SUBSTR/UCASE/...)."""
+        return F.when(
+            out.isNotNull(),
+            T.term_struct(F.lit(T.KIND_LITERAL), out, dt_of(src), lang_of(src)),
+        )
+
+    # ---- XSD constructor casts (FunctionRegistry.java:240-249)
+    def _xsd_cast(self, dt: str, t: Column) -> Column:
+        v = lex(t)
+        src_num = T.numeric_value(t)
+        src_bool = T.boolean_value(t)
+        if dt == T.XSD_STRING:
+            return F.when(kind(t) != T.KIND_BNODE, pack_string(lex(t)))
+        if dt in (T.XSD_INTEGER, T.XSD + "int", T.XSD + "long"):
+            out = F.when(is_numeric(t), src_num.cast("long")).when(
+                dt_of(t) == T.XSD_BOOLEAN, F.when(src_bool, 1).otherwise(0)
+            ).otherwise((v).try_cast("long"))
+            return F.when(out.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), out.cast("string"), F.lit(dt), F.lit(None)))
+        if dt == T.XSD_DECIMAL:
+            out = F.when(is_numeric(t), src_num).otherwise((v).try_cast("double"))
+            return F.when(out.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), out.cast("decimal(38,12)").cast("string"), F.lit(dt), F.lit(None)))
+        if dt in (T.XSD_DOUBLE, T.XSD_FLOAT):
+            out = F.when(is_numeric(t), src_num).when(
+                dt_of(t) == T.XSD_BOOLEAN, F.when(src_bool, 1.0).otherwise(0.0)
+            ).otherwise((v).try_cast("double"))
+            return F.when(out.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), out.cast("string"), F.lit(dt), F.lit(None)))
+        if dt == T.XSD_BOOLEAN:
+            out = (
+                F.when(dt_of(t) == T.XSD_BOOLEAN, src_bool)
+                .when(is_numeric(t), src_num != 0)
+                .when(v.isin("true", "1"), F.lit(True))
+                .when(v.isin("false", "0"), F.lit(False))
+            )
+            return pack_bool(out)
+        if dt in (T.XSD_DATETIME, T.XSD_DATE):
+            ts = F.when(
+                T.datetime_value(t).isNotNull(), T.datetime_value(t)
+            ).otherwise(F.replace(v, F.lit("T"), F.lit(" ")).try_cast("timestamp"))
+            if dt == T.XSD_DATE:
+                lexo = F.date_format(ts, "yyyy-MM-dd")
+            else:
+                lexo = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+            return F.when(ts.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), lexo, F.lit(dt), F.lit(None)))
+        raise SparqlCompileError(f"unsupported cast {dt}")
+
+
+def str_value_or_plain(t: Column) -> Column:
+    """String content for functions that accept IRIs too (CONCAT args are
+    strings only per spec, but LANGMATCHES takes plain output of LANG)."""
+    return F.when(is_stringish(t), lex(t))
+
+
+def ebv_or_bool(col: Column) -> Column:
+    if isinstance(col, Column):
+        return col
+    return col
+
+
+def _regex_flags(flags: Column) -> Column:
+    """SPARQL regex flags → Java embedded flags ((?i) etc.)."""
+    return F.when(F.length(flags) > 0, F.concat(F.lit("(?"), flags, F.lit(")"))).otherwise(F.lit(""))

@@ -151,9 +151,24 @@ class TripleStore:
         )
 
     def remove(self, other: DataFrame) -> "TripleStore":
-        """Remove statements by (s,p,o,g) identity (RemoveStatementsOp)."""
-        keys = _with_ids(other).select("s", "p", "o", "g")
-        kept = self.df.join(keys, ["s", "p", "o", "g"], "left_anti")
+        """Remove statements by (s,p,o,g) identity (RemoveStatementsOp).
+
+        g needs a null-safe join: NULL g = default graph, and a plain
+        equi-join would never match it.
+        """
+        keys = _with_ids(other).select(
+            F.col("s").alias("__ks"),
+            F.col("p").alias("__kp"),
+            F.col("o").alias("__ko"),
+            F.col("g").alias("__kg"),
+        )
+        cond = (
+            (F.col("s") == F.col("__ks"))
+            & (F.col("p") == F.col("__kp"))
+            & (F.col("o") == F.col("__ko"))
+            & F.col("g").eqNullSafe(F.col("__kg"))
+        )
+        kept = self.df.join(keys, cond, "left_anti")
         return TripleStore(self.spark, kept)
 
 

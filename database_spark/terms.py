@@ -194,7 +194,7 @@ def numeric_value(term: Column) -> Column:
     lex = term.getField("lex")
     return F.when(
         (term.getField("kind") == KIND_LITERAL) & is_numeric_dt(term.getField("dt")),
-        F.try_cast(lex, "double"),
+        (lex).try_cast("double"),
     )
 
 
@@ -202,7 +202,7 @@ def datetime_value(term: Column) -> Column:
     return F.when(
         (term.getField("kind") == KIND_LITERAL)
         & term.getField("dt").isin(XSD_DATETIME, XSD_DATE),
-        F.try_cast(F.replace(term.getField("lex"), F.lit("T"), F.lit(" ")), "timestamp"),
+        F.replace(term.getField("lex"), F.lit("T"), F.lit(" ")).try_cast("timestamp"),
     )
 
 
@@ -210,7 +210,7 @@ def boolean_value(term: Column) -> Column:
     return F.when(
         (term.getField("kind") == KIND_LITERAL)
         & (term.getField("dt") == XSD_BOOLEAN),
-        F.try_cast(term.getField("lex"), "boolean"),
+        (term.getField("lex")).try_cast("boolean"),
     )
 
 
