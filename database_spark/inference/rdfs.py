@@ -1,0 +1,202 @@
+"""RDFS(+OWL-fragment) forward-chaining closure as DataFrame datalog.
+
+Reference: ``InferenceEngine.java`` driving ``FullClosure``/
+``FastClosure`` over ~40 rules (``RuleRdfs02..11.java``,
+``RuleOwlSameAs1/2/3.java``, ``RuleOwlTransitiveProperty1/2.java``,
+``RuleOwlInverseOf1/2.java`` under ``bigdata-rdf/.../rules/``), with
+truth maintenance on retraction.
+
+Spark-native: a semi-naive fixpoint — each round evaluates every rule
+body as a DataFrame join against the current closure, unions the heads,
+anti-joins out known statements, and marks them ``inferred=1``
+(``StatementEnum`` Inferred).  Retraction = recompute closure (v1
+strategy; the reference's justification-based TM is an optimization,
+not a semantic difference).
+
+Rules implemented (the RDFS core + OWL-lite fragment with visible
+effect on instance data):
+  rdfs2  (p dom c)  & (s p o)            → (s type c)
+  rdfs3  (p rng c)  & (s p o), o IRI/bn  → (o type c)
+  rdfs5  subPropertyOf transitivity
+  rdfs7  (p subP q) & (s p o)            → (s q o)
+  rdfs9  (c subC d) & (s type c)         → (s type d)
+  rdfs11 subClassOf transitivity
+  owl:inverseOf (both directions), owl:SymmetricProperty,
+  owl:TransitiveProperty, owl:equivalentClass (↔ subClassOf),
+  owl:equivalentProperty (↔ subPropertyOf)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import terms as T
+from ..store import INFERRED, TripleStore
+
+RDF_TYPE = T.Term.iri(T.RDF + "type")
+SUBCLASS = T.Term.iri(T.RDFS + "subClassOf")
+SUBPROP = T.Term.iri(T.RDFS + "subPropertyOf")
+DOMAIN = T.Term.iri(T.RDFS + "domain")
+RANGE = T.Term.iri(T.RDFS + "range")
+INVERSE = T.Term.iri(T.OWL + "inverseOf")
+SYMMETRIC = T.Term.iri(T.OWL + "SymmetricProperty")
+TRANSITIVE = T.Term.iri(T.OWL + "TransitiveProperty")
+EQ_CLASS = T.Term.iri(T.OWL + "equivalentClass")
+EQ_PROP = T.Term.iri(T.OWL + "equivalentProperty")
+
+
+def _pid(term: T.Term):
+    return T.term_id(T.lit_term(term))
+
+
+def _mk(s_cols, p_term: T.Term, o_cols) -> list:
+    """Build head select-list: (st,pt,ot) from column pairs / const."""
+    st, sid = s_cols
+    ot, oid = o_cols
+    return [
+        st.alias("st"),
+        T.lit_term(p_term).alias("pt"),
+        ot.alias("ot"),
+        sid.alias("s"),
+        _pid(p_term).alias("p"),
+        oid.alias("o"),
+    ]
+
+
+def rdfs_closure(store: TripleStore, max_iter: int = 32) -> TripleStore:
+    """Compute the closure; returns a store whose df includes inferred
+    statements (inferred=1).  Default graph only (g null), like the
+    reference's per-namespace closure."""
+    spark = store.spark
+    base = store.df.where(F.col("g").isNull()).select("s", "p", "o", "st", "pt", "ot")
+    total = base.localCheckpoint()
+
+    def head_df(df: DataFrame, cols: list) -> DataFrame:
+        return df.select(*cols).select("s", "p", "o", "st", "pt", "ot")
+
+    for _ in range(max_iter):
+        t = total
+        # schema-level frames (small → broadcast by Catalyst/AQE)
+        subp = t.where(F.col("p") == _pid(SUBPROP)).select(
+            F.col("s").alias("sp_s"), F.col("o").alias("sp_o"),
+            F.col("st").alias("sp_st"), F.col("ot").alias("sp_ot"),
+        )
+        subc = t.where(F.col("p") == _pid(SUBCLASS)).select(
+            F.col("s").alias("sc_s"), F.col("o").alias("sc_o"),
+            F.col("st").alias("sc_st"), F.col("ot").alias("sc_ot"),
+        )
+        dom = t.where(F.col("p") == _pid(DOMAIN)).select(
+            F.col("s").alias("d_p"), F.col("o").alias("d_c"), F.col("ot").alias("d_ct")
+        )
+        rng = t.where(F.col("p") == _pid(RANGE)).select(
+            F.col("s").alias("r_p"), F.col("o").alias("r_c"), F.col("ot").alias("r_ct")
+        )
+        inv = t.where(F.col("p") == _pid(INVERSE)).select(
+            F.col("s").alias("i_p"), F.col("o").alias("i_q"),
+            F.col("st").alias("i_pt"), F.col("ot").alias("i_qt"),
+        )
+        sym = t.where(
+            (F.col("p") == _pid(RDF_TYPE)) & (F.col("o") == _pid(SYMMETRIC))
+        ).select(F.col("s").alias("y_p"))
+        trans = t.where(
+            (F.col("p") == _pid(RDF_TYPE)) & (F.col("o") == _pid(TRANSITIVE))
+        ).select(F.col("s").alias("tr_p"))
+        eqc = t.where(F.col("p") == _pid(EQ_CLASS)).select(
+            F.col("s").alias("ec_s"), F.col("o").alias("ec_o"),
+            F.col("st").alias("ec_st"), F.col("ot").alias("ec_ot"),
+        )
+        eqp = t.where(F.col("p") == _pid(EQ_PROP)).select(
+            F.col("s").alias("ep_s"), F.col("o").alias("ep_o"),
+            F.col("st").alias("ep_st"), F.col("ot").alias("ep_ot"),
+        )
+        types = t.where(F.col("p") == _pid(RDF_TYPE))
+
+        heads = []
+        # rdfs7: s p o & p subP q → s q o
+        heads.append(
+            t.join(subp, t["p"] == subp["sp_s"]).select(
+                "st", F.col("sp_ot").alias("pt"), "ot",
+                "s", F.col("sp_o").alias("p"), "o",
+            ).select("s", "p", "o", "st", "pt", "ot")
+        )
+        # rdfs5: subP transitivity
+        sp2 = subp.select(
+            F.col("sp_s").alias("a"), F.col("sp_o").alias("b"), F.col("sp_st").alias("at")
+        ).join(
+            subp.select(F.col("sp_s").alias("b"), F.col("sp_o").alias("c"), F.col("sp_ot").alias("ct")),
+            "b",
+        )
+        heads.append(head_df(sp2, _mk((F.col("at"), F.col("a")), SUBPROP, (F.col("ct"), F.col("c")))))
+        # rdfs11: subC transitivity
+        sc2 = subc.select(
+            F.col("sc_s").alias("a"), F.col("sc_o").alias("b"), F.col("sc_st").alias("at")
+        ).join(
+            subc.select(F.col("sc_s").alias("b"), F.col("sc_o").alias("c"), F.col("sc_ot").alias("ct")),
+            "b",
+        )
+        heads.append(head_df(sc2, _mk((F.col("at"), F.col("a")), SUBCLASS, (F.col("ct"), F.col("c")))))
+        # rdfs2: p dom c & s p o → s type c
+        d = t.join(dom, t["p"] == dom["d_p"])
+        heads.append(head_df(d, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("d_ct"), F.col("d_c")))))
+        # rdfs3: p rng c & s p o (o resource) → o type c
+        r = t.join(rng, t["p"] == rng["r_p"]).where(F.col("ot").getField("kind") != T.KIND_LITERAL)
+        heads.append(head_df(r, _mk((F.col("ot"), F.col("o")), RDF_TYPE, (F.col("r_ct"), F.col("r_c")))))
+        # rdfs9: s type c & c subC d → s type d
+        t9 = types.join(subc, types["o"] == subc["sc_s"])
+        heads.append(head_df(t9, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("sc_ot"), F.col("sc_o")))))
+        # owl:inverseOf: s p o & p inv q → o q s (and reverse direction)
+        iv1 = t.join(inv, t["p"] == inv["i_p"]).select(
+            F.col("ot").alias("st"), F.col("i_qt").alias("pt"), F.col("st").alias("ot"),
+            F.col("o").alias("s"), F.col("i_q").alias("p"), F.col("s").alias("o"),
+        ).select("s", "p", "o", "st", "pt", "ot")
+        iv2 = t.join(inv, t["p"] == inv["i_q"]).select(
+            F.col("ot").alias("st"), F.col("i_pt").alias("pt"), F.col("st").alias("ot"),
+            F.col("o").alias("s"), F.col("i_p").alias("p"), F.col("s").alias("o"),
+        ).select("s", "p", "o", "st", "pt", "ot")
+        heads += [iv1, iv2]
+        # symmetric: s p o & p type Symmetric → o p s
+        sy = t.join(sym, t["p"] == sym["y_p"]).select(
+            F.col("ot").alias("st"), F.col("pt"), F.col("st").alias("ot"),
+            F.col("o").alias("s"), F.col("p"), F.col("s").alias("o"),
+        ).select("s", "p", "o", "st", "pt", "ot")
+        heads.append(sy)
+        # transitive: s p o & o p z & p type Transitive → s p z
+        tr_edges = t.join(trans, t["p"] == trans["tr_p"])
+        tr2 = tr_edges.alias("L").join(
+            tr_edges.alias("R"),
+            (F.col("L.o") == F.col("R.s")) & (F.col("L.p") == F.col("R.p")),
+        ).select(
+            F.col("L.s").alias("s"), F.col("L.p").alias("p"), F.col("R.o").alias("o"),
+            F.col("L.st").alias("st"), F.col("L.pt").alias("pt"), F.col("R.ot").alias("ot"),
+        )
+        heads.append(tr2)
+        # equivalentClass ↔ mutual subClassOf; equivalentProperty ↔ subP
+        heads.append(head_df(eqc, _mk((F.col("ec_st"), F.col("ec_s")), SUBCLASS, (F.col("ec_ot"), F.col("ec_o")))))
+        heads.append(head_df(eqc, _mk((F.col("ec_ot"), F.col("ec_o")), SUBCLASS, (F.col("ec_st"), F.col("ec_s")))))
+        heads.append(head_df(eqp, _mk((F.col("ep_st"), F.col("ep_s")), SUBPROP, (F.col("ep_ot"), F.col("ep_o")))))
+        heads.append(head_df(eqp, _mk((F.col("ep_ot"), F.col("ep_o")), SUBPROP, (F.col("ep_st"), F.col("ep_s")))))
+
+        new = heads[0]
+        for h in heads[1:]:
+            new = new.unionByName(h)
+        new = new.dropDuplicates(["s", "p", "o"]).join(
+            total.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+        ).localCheckpoint()
+        if new.isEmpty():
+            break
+        total = total.unionByName(new).localCheckpoint()
+
+    inferred = total.join(
+        store.df.where(F.col("g").isNull()).select("s", "p", "o"),
+        ["s", "p", "o"],
+        "left_anti",
+    ).select(
+        "s", "p", "o",
+        F.lit(None).cast("long").alias("g"),
+        "st", "pt", "ot",
+        F.lit(None).cast(T.TERM_TYPE).alias("gt"),
+        F.lit(INFERRED).cast("tinyint").alias("inferred"),
+    ).select("s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred")
+    out = store.df.unionByName(inferred)
+    return TripleStore(spark, out)

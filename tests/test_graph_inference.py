@@ -1,0 +1,117 @@
+"""Graph analytics (GAS parity) + RDFS closure tests.
+
+Mirrors bigdata-gas/src/test/java/.../TestBFS/TestSSSP/TestCC/TestPR
+over small fixture graphs, and the rules tests under RDF/rdf/rules/.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_spark import terms as T
+from database_spark.inference.rdfs import rdfs_closure
+from database_spark.operators.graph import (
+    bfs,
+    connected_components,
+    make_gas_service,
+    pagerank,
+    sssp,
+)
+from database_spark.sparql.engine import SparqlEngine
+from database_spark.store import TripleStore
+from database_spark.terms import Term
+
+EX = "urn:ex:"
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # 1→2→3→4, 1→3, separate component 5→6
+    rows = [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0), (1, 3, 5.0), (5, 6, 1.0)]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def test_bfs(spark, edges):
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_sssp(spark, edges):
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds).collect()}
+    # path 1→2→3 (2.0) beats direct edge 1→3 (5.0)
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_cc(spark, edges):
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_pagerank(spark, edges):
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=30).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # 4 receives from 3 which receives from {1,2}: rank(4) > rank(2)
+    assert got[4] > got[2]
+    assert got[1] == pytest.approx(0.15, abs=1e-6)
+
+
+def test_gas_service_sparql(spark):
+    knows = Term.iri(EX + "knows")
+    trips = [
+        (Term.iri(EX + "a"), knows, Term.iri(EX + "b")),
+        (Term.iri(EX + "b"), knows, Term.iri(EX + "c")),
+        (Term.iri(EX + "c"), knows, Term.iri(EX + "d")),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    eng = SparqlEngine(store, services=make_gas_service())
+    res = eng.select(f"""
+        PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+        SELECT ?node ?depth WHERE {{
+          SERVICE gas:service {{
+            gas:program gas:gasClass "BFS" ;
+                        gas:linkType <{EX}knows> ;
+                        gas:in <{EX}a> ;
+                        gas:out ?node ; gas:out1 ?depth .
+          }}
+        }}""")
+    got = {r["node"]["lex"]: r["depth"]["lex"] for r in res.df.collect()}
+    assert got == {EX + "a": "0", EX + "b": "1", EX + "c": "2", EX + "d": "3"}
+
+
+def test_rdfs_closure(spark):
+    t = Term.iri
+    rdf_type = t(T.RDF + "type")
+    trips = [
+        # schema
+        (t(EX + "Student"), t(T.RDFS + "subClassOf"), t(EX + "Person")),
+        (t(EX + "Person"), t(T.RDFS + "subClassOf"), t(EX + "Agent")),
+        (t(EX + "enrolled"), t(T.RDFS + "domain"), t(EX + "Student")),
+        (t(EX + "enrolled"), t(T.RDFS + "range"), t(EX + "Course")),
+        (t(EX + "teaches"), t(T.OWL + "inverseOf"), t(EX + "taughtBy")),
+        (t(EX + "ancestor"), rdf_type, t(T.OWL + "TransitiveProperty")),
+        # data
+        (t(EX + "alice"), t(EX + "enrolled"), t(EX + "cs101")),
+        (t(EX + "prof"), t(EX + "teaches"), t(EX + "cs101")),
+        (t(EX + "a"), t(EX + "ancestor"), t(EX + "b")),
+        (t(EX + "b"), t(EX + "ancestor"), t(EX + "c")),
+        (t(EX + "c"), t(EX + "ancestor"), t(EX + "d")),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    closed = rdfs_closure(store)
+    eng = SparqlEngine(closed)
+
+    def ask(q):
+        return eng.ask(f"PREFIX ex: <{EX}> PREFIX rdfs: <{T.RDFS}> ASK {{ {q} }}")
+
+    assert ask("ex:alice a ex:Student")       # rdfs2 (domain)
+    assert ask("ex:alice a ex:Person")        # + rdfs9 via subclass
+    assert ask("ex:alice a ex:Agent")         # + rdfs11 transitivity
+    assert ask("ex:cs101 a ex:Course")        # rdfs3 (range)
+    assert ask("ex:cs101 ex:taughtBy ex:prof")  # owl:inverseOf
+    assert ask("ex:a ex:ancestor ex:d")       # owl:TransitiveProperty
+    assert not ask("ex:prof a ex:Student")
+    # explicit vs inferred flags preserved
+    n_explicit = closed.df.where(F.col("inferred") == 0).count()
+    assert n_explicit == len(trips)
+    assert closed.df.where(F.col("inferred") == 1).count() > 0
