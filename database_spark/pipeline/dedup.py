@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Training-data-pipeline extensions (no reference equivalent; designed
+for 100 TB corpora):
+
+* exact: one hash-aggregate, no shuffle beyond the groupBy.
+* n-gram Jaccard: exact pairwise similarity via shingle inverted index
+  (explode → self-join on shingle → count).  The join is on shingle
+  hashes (longs), heavy-hitter shingles are capped (`max_df`) exactly
+  like stop-shingle removal in production dedup pipelines — otherwise
+  one viral shingle produces a quadratic join output.
+* MinHash-LSH: the scale path — k permutations via `xxhash64(shingle,
+  seed_i)` min-aggregated, banded; candidate pairs only where a band
+  matches, then exact-verify.  O(n·k) + band-join instead of O(n²).
+* SimHash: 64-bit signature from token hashes; near-dup = Hamming ≤ r,
+  banded by 4×16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE, tokens
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical documents (by md5 of raw text).
+    Returns (hash, n_dups, keep_id) for groups with n>1."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    return (
+        df.select(h.alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of each identical-text group."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    keep = (
+        df.select(h.alias("__h"), F.col(id_col).alias("__id"))
+        .groupBy("__h")
+        .agg(F.min("__id").alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """n-gram (over tokens) shingle strings."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact all-pairs token-n-gram Jaccard ≥ threshold (a < b).
+
+    Inverted-index join on shingles; `max_df` drops shingles appearing
+    in more than that many docs (stop-shingles) — at 100 TB this is the
+    difference between a bounded join and a quadratic blowup.
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, i).  One explode + one groupBy; JVM-side only."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    mins = [F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH (+ optional exact
+    Jaccard verification of candidates).
+
+    bands=16 over 64 hashes (r=4) → P(candidate) = 1-(1-s^4)^16:
+    s=0.5 → 64%, s=0.8 → 99.98%.  Returns (id_a, id_b[, jaccard]).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    bands_df = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[i] for i in range(b * rows, (b + 1) * rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    l = bands_df.select(F.col("id").alias("id_a"), "band", "bh")
+    r = bands_df.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (
+        l.join(r, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    if not verify:
+        return cand
+    docs = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("shs"))
+    out = (
+        cand.join(docs.withColumnRenamed("id", "id_a").withColumnRenamed("shs", "sh_a"), "id_a")
+        .join(docs.withColumnRenamed("id", "id_b").withColumnRenamed("shs", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over tokens: per-bit majority vote of token
+    hashes.  Pure column expressions (aggregate over the token array)."""
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(bit_sum(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banded by pigeonhole: with n_chunks = max_hamming+1 equal bit
+    slices, any pair within the distance bound shares ≥1 exact chunk,
+    so the join is on chunk equality, not all-pairs.  max_hamming ≤ 7
+    keeps chunks ≥8 bits (selective); larger bounds fall back to wider
+    chunk counts with shorter chunks.  Returns (id_a, id_b, hamming).
+    """
+    n_chunks = min(max_hamming + 1, 16)
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), width * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("chunk", "cv"),
+    )
+    l = chunks.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "cv")
+    r = chunks.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "cv")
+    cand = (
+        l.join(r, ["chunk", "cv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

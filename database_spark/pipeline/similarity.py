@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline extension: approximate-nearest-neighbor over an
+embedding column.  Brute-force cosine is the exactness baseline; the
+scale paths are (a) random-hyperplane LSH bucketing and (b) IVF-style
+coarse clustering — both cut the candidate set from O(N) to O(N/b) per
+query at 100 TB while keeping the final ranking exact within the
+candidate pool.
+
+All dot products run as `F.zip_with` + `F.aggregate` column
+expressions (JVM codegen, sequential fold → bit-reproducible, so a
+DuckDB `list_dot_product` oracle matches after rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_similar_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+
+    Brute-force O(n²) cross join — correct baseline; use
+    `lsh_similar_pairs` at scale.  Returns (id_a, id_b, cos).
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def cosine_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force baseline).
+
+    Broadcast the query set (queries ≪ data); rank deterministically by
+    (cos desc, neighbor id) so ties are stable.  Returns
+    (query_id, neighbor_id, cos, rank).
+    """
+    q = F.broadcast(queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")))
+    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"))
+    scored = d.crossJoin(q).withColumn("cos", F.round(cosine(F.col("dv"), F.col("qv")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_i: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane via splitmix-style
+    integer mixing (no numpy state, reproducible everywhere)."""
+    out = []
+    for j in range(dim):
+        x = (plane_i * 1_000_003 + j * 10_007 + seed) & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        x = x ^ (x >> 31)
+        out.append((x / 2**64) * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern → int)."""
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i, seed)])
+        sign = F.when(_dot(vec, plane) >= 0, 1).otherwise(0)
+        bucket = bucket * 2 + sign
+    return bucket
+
+
+def lsh_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Scale path for near-dup pairs: candidates from any of `n_tables`
+    hyperplane-LSH bucketings, verified with exact cosine.
+
+    Join is per (table, bucket) — expected candidate set shrinks by
+    ~2^n_planes per table.  Returns (id_a, id_b, cos).
+    """
+    buckets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            F.array(*[lsh_bucket(F.col(vec_col), dim, n_planes, seed=1000 + t) for t in range(n_tables)])
+        ).alias("table", "bucket"),
+    )
+    l = buckets.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
+    r = buckets.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    cand = (
+        l.join(r, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize data vectors to `n_cells` cells
+    (here: LSH-sign cells — deterministic, trainless), probe the
+    `n_probe` nearest cells per query, exact-rank within candidates.
+
+    Trades recall for a ~n_cells/n_probe scan reduction; the cell
+    assignment is one pass, reusable across queries (persist it at
+    scale).  Returns (query_id, neighbor_id, cos, rank).
+    """
+    import math
+
+    n_planes = max(1, int(math.log2(n_cells)))
+    if dim is None:
+        dim = len(data.select(vec_col).head()[0])
+    cell = lsh_bucket(F.col(vec_col), dim, n_planes)
+    d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"), cell.alias("cell"))
+    # multi-probe: the query's own cell plus its Hamming-1 neighbors
+    # (sign flips of single planes) — same quantizer as the data side
+    qcell = lsh_bucket(F.col(qvec_col), dim, n_planes)
+    probes = [qcell] + [
+        qcell.bitwiseXOR(F.lit(1 << b)) for b in range(min(n_probe - 1, n_planes))
+    ]
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).alias("qv"),
+        F.explode(F.array_distinct(F.array(*probes))).alias("cell"),
+    )
+    scored = (
+        d.join(F.broadcast(q), "cell")
+        .withColumn("cos", F.round(cosine(F.col("dv"), F.col("qv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -30,6 +30,16 @@ def get_spark(
     only the pre-AQE ceiling.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Python workers unpickle our Pandas-UDF closures by reference, so
+    # the package root must be importable worker-side.  Local mode:
+    # PYTHONPATH env propagates to forked workers.  Real cluster: ship
+    # the package with --py-files/a wheel instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -1,0 +1,179 @@
+"""Pipeline operators: dedup / similarity / text / multimodal.
+
+Includes DuckDB cross-checks that mirror the driver's oracle harness
+(same parquet in, order-insensitive value comparison).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from database_spark.pipeline import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_vs_duckdb(docs):
+    kept = dedup.dedup_exact(docs, "doc_id", "text")
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT doc_id FROM read_parquet('{SF}/documents.parquet')
+                WHERE doc_id IN (
+                  SELECT min(doc_id) FROM read_parquet('{SF}/documents.parquet')
+                  GROUP BY md5(text))"""
+        ).fetchall()
+    )
+    assert got == want and len(got) <= docs.count()
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    # 7 shingles each, 6 shared (only the final shingle differs) → 6/8
+    assert got[(1, 2)] == pytest.approx(6 / 8, abs=1e-6)
+
+
+def test_minhash_lsh_recall(docs):
+    """LSH candidates (verified) must find the high-similarity pairs
+    that exact all-pairs Jaccard finds."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", 3, num_hashes=64, bands=16, threshold=0.8
+        ).collect()
+    }
+    assert lsh <= exact or exact == set()  # verify step guarantees precision
+    if exact:
+        assert len(lsh) >= 0.9 * len(exact)  # banded recall at s>=0.8
+
+
+def test_simhash_values_and_pairs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base),  # exact duplicate → hamming 0
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sh = {r["id"]: r["sh"] for r in df.select("id", dedup.simhash(F.col("text")).alias("sh")).collect()}
+    assert sh[1] == sh[2] != sh[3]
+    ham13 = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert ham13 > 3  # unrelated docs are far apart
+    pairs = dedup.simhash_near_pairs(df, "id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_cosine_pairs_vs_duckdb(embs):
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in similarity.cosine_similar_pairs(embs, "vec_id", "embedding", 0.95).collect()
+    }
+    want = {
+        (a, b): c
+        for a, b, c in duckdb.sql(
+            f"""SELECT * FROM (
+                  SELECT a.vec_id ia, b.vec_id ib,
+                     round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) c
+                  FROM read_parquet('{SF}/embeddings.parquet') a,
+                       read_parquet('{SF}/embeddings.parquet') b
+                  WHERE a.vec_id < b.vec_id) WHERE c >= 0.95"""
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+
+
+def test_cosine_topk(embs):
+    q = embs.limit(3)
+    res = similarity.cosine_topk(embs, q, "vec_id", "embedding", "vec_id", "embedding", k=5)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        # self is always rank 1 with cos 1.0
+        first = min(rs, key=lambda r: r["rank"])
+        assert first["neighbor_id"] == qid and first["cos"] == pytest.approx(1.0)
+
+
+def test_ivf_topk_recall(embs):
+    q = embs.limit(5)
+    exact = similarity.cosine_topk(embs, q, "vec_id", "embedding", "vec_id", "embedding", k=3)
+    approx = similarity.ivf_topk(
+        embs, q, "vec_id", "embedding", "vec_id", "embedding", k=3, n_cells=8, n_probe=4
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) >= 0.5 * len(e)  # recall floor for the approx path
+
+
+def test_text_metrics_vs_duckdb(docs):
+    out = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.lang_id(F.col("text")).alias("lang_guess"),
+        text.quality_score(F.col("text")).alias("quality"),
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    want = duckdb.sql(
+        f"""SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) n,
+               md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) fp
+            FROM read_parquet('{SF}/documents.parquet')"""
+    ).fetchall()
+    for doc_id, n, fp in want:
+        assert got[doc_id]["n_tokens"] == n
+        assert got[doc_id]["fp"] == fp
+    assert all(0.0 <= r["quality"] <= 1.0 for r in got.values())
+    langs = {r["lang_guess"] for r in got.values()}
+    assert "en" in langs
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        (1, b"\x89PNGfakebytes", ("image/png", 640, 480, None)),
+        (2, b"RIFFfakewav", ("audio/wav", None, None, 4500)),
+        (3, b"\x00\x00ftypmp4", ("video/mp4", 1920, 1080, 3200)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    imgs = multimodal.filter_by_meta(df, mime_prefix="image/", min_width=600)
+    assert [r["asset_id"] for r in imgs.collect()] == [1]
+    feats = multimodal.extract_features(df, dim=8, fake=True).collect()
+    assert len(feats) == 3 and all(len(r["feature"]) == 8 for r in feats)
+    # determinism of the stub
+    feats2 = multimodal.extract_features(df, dim=8, fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    frames = multimodal.sample_frames(df, every_ms=1000).collect()
+    got = {(r["asset_id"], r["frame_no"]) for r in frames}
+    assert got == {(2, 0), (2, 1), (2, 2), (2, 3), (3, 0), (3, 1), (3, 2)}
+    with pytest.raises(Exception, match="media decode requires"):
+        multimodal.extract_features(df, dim=8, fake=False).collect()
