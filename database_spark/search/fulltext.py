@@ -1,0 +1,150 @@
+"""Full-text search over literals — the `bds:search` magic service.
+
+Reference: value-centric full-text index on literals
+(`RDF/rdf/lexicon/BigdataValueCentricFullTextIndex.java`), surfaced in
+SPARQL as the magic predicates of `RDF/rdf/store/BDS.java:94-402`
+(search / relevance / minRelevance / matchAllTerms / maxRank), wired by
+`ast/eval/ASTSearchOptimizer.java`.
+
+Spark-native design: the "index" is a derived DataFrame
+``(token, lit_id)`` built by tokenizing every plain-literal object in
+the store — the inverted index as a relation.  A query tokenizes the
+same way, joins token-to-token (broadcast — a query has few tokens),
+and scores each literal by the fraction of query tokens it matched
+(cosine-free Jaccard-style relevance; the reference's default ranking
+is likewise token-overlap based).  At scale the token relation is what
+you'd persist + bucket by token; here it derives lazily and Catalyst
+prunes the literal scan to string columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import terms as T
+
+BDS_NS = "http://www.bigdata.com/rdf/search#"
+
+
+def tokenize(col):
+    """Lowercase word tokens; mirrors a simple analyzer (the reference
+    default is Lucene's StandardAnalyzer — alnum word splits)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: F.length(t) > 0
+    )
+
+
+def text_index(triples: DataFrame) -> DataFrame:
+    """Inverted index over plain-literal objects:
+    (token, lit (term struct), lit__id)."""
+    lits = (
+        triples.where(
+            (F.col("ot.kind") == T.KIND_LITERAL)
+            & F.col("ot.dt").isin(T.XSD_STRING, T.RDF_LANGSTRING)
+        )
+        .select(F.col("ot").alias("lit"), F.col("o").alias("lit__id"))
+        .dropDuplicates(["lit__id"])
+    )
+    return lits.select(
+        F.explode(F.array_distinct(tokenize(F.col("lit.lex")))).alias("token"),
+        "lit",
+        "lit__id",
+    )
+
+
+def search_literals(
+    triples: DataFrame,
+    query: str,
+    match_all: bool = False,
+    min_relevance: float = 0.0,
+    max_rank: int | None = None,
+) -> DataFrame:
+    """Literals matching `query` tokens with relevance = matched/total.
+
+    Returns (lit, lit__id, relevance, rank) — rank 1 = most relevant,
+    ties broken by lit__id for determinism.
+    """
+    from pyspark.sql import Window
+
+    q_tokens = sorted(
+        {t for t in __import__("re").split(r"[^\w]+", query.lower()) if t}
+    )
+    if not q_tokens:
+        raise ValueError("empty search query")
+    idx = text_index(triples)
+    qdf = idx.sparkSession.createDataFrame(
+        [(t,) for t in q_tokens], "token string"
+    )
+    hits = (
+        idx.join(F.broadcast(qdf), "token")
+        .groupBy("lit__id")
+        .agg(
+            F.first("lit").alias("lit"),
+            (F.countDistinct("token") / F.lit(len(q_tokens))).alias("relevance"),
+        )
+    )
+    if match_all:
+        hits = hits.where(F.col("relevance") >= 1.0)
+    if min_relevance > 0.0:
+        hits = hits.where(F.col("relevance") >= min_relevance)
+    w = Window.orderBy(F.col("relevance").desc(), F.col("lit__id").asc())
+    hits = hits.withColumn("rank", F.row_number().over(w))
+    if max_rank is not None:
+        hits = hits.where(F.col("rank") <= max_rank)
+    return hits.select("lit", "lit__id", "relevance", "rank")
+
+
+def make_search_service():
+    """SERVICE <http://www.bigdata.com/rdf/search#search> handler.
+
+    Usage (mirrors BDS.java magic predicates):
+        SERVICE <bds:search> {
+          ?lit bds:search "foo bar" ;
+               bds:relevance ?score ;
+               bds:matchAllTerms "true" ;
+               bds:minRelevance "0.5" ;
+               bds:maxRank "10" .
+        }
+    Binds ?lit to matching literals (join it against normal patterns).
+    """
+    from ..sparql import ast as A
+    from ..sparql.compiler import Sol
+    from ..sparql.functions import pack_double
+
+    def handler(compiler, sp, graph):
+        cfg: dict[str, object] = {}
+        subj = None
+        for el in sp.group.elements:
+            if isinstance(el, A.TriplePattern) and isinstance(el.p, A.Const):
+                key = el.p.term.lex.rsplit("#", 1)[-1]
+                cfg[key] = el.o
+                if key == "search":
+                    subj = el.s
+        if subj is None or not isinstance(subj, A.Var):
+            raise ValueError("bds:search needs '?var bds:search \"query\"'")
+        query = cfg["search"].term.lex
+        match_all = (
+            isinstance(cfg.get("matchAllTerms"), A.Const)
+            and cfg["matchAllTerms"].term.lex.lower() == "true"
+        )
+        min_rel = (
+            float(cfg["minRelevance"].term.lex) if "minRelevance" in cfg else 0.0
+        )
+        max_rank = int(cfg["maxRank"].term.lex) if "maxRank" in cfg else None
+        hits = search_literals(
+            compiler.triples, query, match_all, min_rel, max_rank
+        )
+        v = subj.name
+        cols = [F.col("lit").alias(v), F.col("lit__id").alias(v + "__id")]
+        vars_ = {v}
+        rel = cfg.get("relevance")
+        if isinstance(rel, A.Var):
+            cols.append(pack_double(F.col("relevance")).alias(rel.name))
+            vars_.add(rel.name)
+        out = hits.select(*cols)
+        if isinstance(rel, A.Var):
+            out = out.withColumn(rel.name + "__id", T.term_id(F.col(rel.name)))
+        return Sol(out, vars_, set())
+
+    return {BDS_NS: handler}

@@ -47,10 +47,27 @@ def term_value(col: Column, target: str = "lex") -> Column:
     raise ValueError(target)
 
 
+def default_services() -> dict:
+    """Built-in SERVICE registry: graph analytics (gas:), full-text
+    (bds:search), geospatial (geo:search) — the reference's built-in
+    services (`ServiceRegistry.java` defaults)."""
+    from ..operators.graph import make_gas_service
+    from ..search.fulltext import make_search_service
+    from ..search.geospatial import make_geo_service
+
+    out: dict = {}
+    out.update(make_gas_service())
+    out.update(make_search_service())
+    out.update(make_geo_service())
+    return out
+
+
 class SparqlEngine:
     def __init__(self, store: TripleStore, services: dict | None = None):
         self.store = store
-        self.services = services or {}
+        self.services = default_services()
+        if services:
+            self.services.update(services)
 
     # ------------------------------------------------------------ queries
     def _compiler(self) -> Compiler:

@@ -1,0 +1,125 @@
+"""Full-text (bds:search) + geospatial (geo:search) service tests
+(reference: BDS.java / GeoSpatial.java magic-predicate services)."""
+
+import pytest
+
+from database_spark import terms as T
+from database_spark.search.geospatial import LATLON_DT, make_point
+from database_spark.sparql.engine import SparqlEngine
+from database_spark.store import TripleStore
+from database_spark.terms import Term
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    label, loc = Term.iri(EX + "label"), Term.iri(EX + "loc")
+    trips = [
+        (Term.iri(EX + "a"), label, Term.literal("the quick brown fox")),
+        (Term.iri(EX + "b"), label, Term.literal("lazy brown dog")),
+        (Term.iri(EX + "c"), label, Term.literal("quick silver surfer")),
+        (Term.iri(EX + "d"), label, Term.literal("nothing relevant here")),
+        # points: Paris-ish, London-ish, Tokyo-ish
+        (Term.iri(EX + "paris"), loc, make_point(48.85, 2.35)),
+        (Term.iri(EX + "london"), loc, make_point(51.50, -0.12)),
+        (Term.iri(EX + "tokyo"), loc, make_point(35.68, 139.69)),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    return SparqlEngine(TripleStore(spark, store.df.localCheckpoint()))
+
+
+def lexes(res, var):
+    return sorted(
+        r[var]["lex"] for r in res.df.collect() if r[var] is not None
+    )
+
+
+def test_bds_search_any_term(engine):
+    res = engine.select(f"""
+        PREFIX ex: <{EX}>
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?s ?lit WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/search#search> {{
+            ?lit bds:search "quick brown" .
+          }}
+          ?s ex:label ?lit .
+        }}""")
+    assert lexes(res, "s") == [EX + "a", EX + "b", EX + "c"]
+
+
+def test_bds_search_match_all_and_relevance(engine):
+    res = engine.select(f"""
+        PREFIX ex: <{EX}>
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?s ?score WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/search#search> {{
+            ?lit bds:search "quick brown" ;
+                 bds:matchAllTerms "true" ;
+                 bds:relevance ?score .
+          }}
+          ?s ex:label ?lit .
+        }}""")
+    rows = res.df.collect()
+    assert lexes(res, "s") == [EX + "a"]
+    assert float(rows[0]["score"]["lex"]) == 1.0
+
+
+def test_bds_min_relevance_filters(engine):
+    res = engine.select(f"""
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?lit WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/search#search> {{
+            ?lit bds:search "quick brown fox" ; bds:minRelevance "0.6" .
+          }}
+        }}""")
+    assert lexes(res, "lit") == ["the quick brown fox"]
+
+
+def test_geo_rectangle(engine):
+    # box around western Europe: catches Paris + London, not Tokyo
+    res = engine.select(f"""
+        PREFIX ex: <{EX}>
+        PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        SELECT ?s WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/geospatial#search> {{
+            ?s geo:search "inRectangle" ;
+               geo:predicate ex:loc ;
+               geo:spatialRectangleSouthWest "40.0#-5.0" ;
+               geo:spatialRectangleNorthEast "55.0#10.0" .
+          }}
+        }}""")
+    assert lexes(res, "s") == [EX + "london", EX + "paris"]
+
+
+def test_geo_circle(engine):
+    # 500 km around Paris: London yes (~344 km), Tokyo no
+    res = engine.select(f"""
+        PREFIX ex: <{EX}>
+        PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        SELECT ?s ?where WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/geospatial#search> {{
+            ?s geo:search "inCircle" ;
+               geo:predicate ex:loc ;
+               geo:spatialCircleCenter "48.85#2.35" ;
+               geo:spatialCircleRadius "500.0" ;
+               geo:locationValue ?where .
+          }}
+        }}""")
+    assert lexes(res, "s") == [EX + "london", EX + "paris"]
+    assert len(lexes(res, "where")) == 2
+
+
+def test_geo_point_datatype_roundtrip():
+    p = make_point(10.5, -20.25)
+    assert p.dt == LATLON_DT and p.lex == "10.5#-20.25"
+
+
+def test_fulltext_index_shape(spark, engine):
+    from database_spark.search.fulltext import text_index
+
+    idx = text_index(engine.store.df)
+    toks = {r["token"] for r in idx.collect()}
+    assert {"quick", "brown", "fox", "lazy", "dog"} <= toks
+    # geo literals (typed, non-string) must NOT be tokenized
+    assert not any("#" in t for t in toks)
