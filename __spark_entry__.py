@@ -90,6 +90,16 @@ _MAPPINGS = {
         },
         TPCH + "Order",
     ),
+    "documents": RdfMapping(
+        "doc_id",
+        "urn:d:",
+        {
+            "text": TPCH + "text",
+            "lang": TPCH + "lang",
+            "source": TPCH + "source",
+        },
+        TPCH + "Document",
+    ),
 }
 
 
@@ -205,7 +215,7 @@ def q_sparql_optional(spark, sf_dir):
         SELECT ?n_name ?c_name WHERE {{
           ?n a t:Nation ; t:name ?n_name .
           OPTIONAL {{
-            ?c t:nation ?n ; t:name ?c_name ; t:acctbal ?bal .
+            ?c a t:Customer ; t:nation ?n ; t:name ?c_name ; t:acctbal ?bal .
             FILTER(?bal > 9900)
           }}
         }}""",
@@ -288,6 +298,226 @@ def q_sparql_distinct(spark, sf_dir):
         f"""{PREFIX}
         SELECT DISTINCT ?seg WHERE {{ ?c t:mktsegment ?seg }}""",
         {"c_mktsegment": ("seg", "lex")},
+    )
+
+
+def _geo_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
+    """Point-per-user graph with deterministic integer lat/lon derived
+    from event user ids (oracle can reproduce the arithmetic)."""
+    key = (sf_dir, "__geo__")
+    if key not in _GRAPH_CACHE:
+        from database_spark.search.geospatial import LATLON_DT
+
+        ev = _read(spark, sf_dir, "events")
+        pts = ev.select("user_id").dropDuplicates().select(
+            F.col("user_id"),
+            (((F.col("user_id") * 37) % 180) - 90).alias("lat"),
+            (((F.col("user_id") * 73) % 360) - 180).alias("lon"),
+        )
+        trips = pts.select(
+            T.iri_col(F.concat(F.lit("urn:u:"), F.col("user_id").cast("string"))).alias("st"),
+            T.lit_term(T.Term.iri(TPCH + "loc")).alias("pt"),
+            T.term_struct(
+                F.lit(T.KIND_LITERAL),
+                F.concat(F.col("lat").cast("string"), F.lit("#"), F.col("lon").cast("string")),
+                F.lit(LATLON_DT),
+                F.lit(None),
+            ).alias("ot"),
+        )
+        store = TripleStore.from_term_structs(spark, trips)
+        _GRAPH_CACHE[key] = SparqlEngine(TripleStore(spark, store.df.localCheckpoint()))
+    return _GRAPH_CACHE[key]
+
+
+def q_sparql_fts(spark, sf_dir):
+    """bds:search full-text service over document literals."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?d ?score WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/search#search> {{
+            ?lit bds:search "spark query join" ; bds:relevance ?score .
+          }}
+          ?d a t:Document ; t:text ?lit .
+        }}""",
+        {"doc": ("d", "lex"), "relevance": ("score", "double")},
+    )
+
+
+def q_sparql_geo_rect(spark, sf_dir):
+    """geo:search inRectangle over z-order point literals."""
+    e = _geo_graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        PREFIX geo: <http://www.bigdata.com/rdf/geospatial#>
+        SELECT ?s WHERE {{
+          SERVICE <http://www.bigdata.com/rdf/geospatial#search> {{
+            ?s geo:search "inRectangle" ;
+               geo:predicate t:loc ;
+               geo:spatialRectangleSouthWest "-45#-90" ;
+               geo:spatialRectangleNorthEast "45#90" .
+          }}
+        }}""",
+        {"node": ("s", "lex")},
+    )
+
+
+def q_rdfs_closure_types(spark, sf_dir):
+    """RDFS closure: segment classes subClassOf Customer; rdfs9 infers
+    the supertype for every instance."""
+    from database_spark.inference.rdfs import SUBCLASS, rdfs_closure
+
+    key = (sf_dir, "__closure__")
+    if key not in _GRAPH_CACHE:
+        c = _read(spark, sf_dir, "customer")
+        inst = c.select(
+            T.iri_col(F.concat(F.lit("urn:cc:"), F.col("c_custkey").cast("string"))).alias("st"),
+            T.lit_term(T.Term.iri(T.RDF + "type")).alias("pt"),
+            T.iri_col(F.concat(F.lit("urn:seg:"), F.col("c_mktsegment"))).alias("ot"),
+        )
+        onto = c.select("c_mktsegment").dropDuplicates().select(
+            T.iri_col(F.concat(F.lit("urn:seg:"), F.col("c_mktsegment"))).alias("st"),
+            T.lit_term(SUBCLASS).alias("pt"),
+            T.lit_term(T.Term.iri(TPCH + "Customer")).alias("ot"),
+        )
+        store = TripleStore.from_term_structs(spark, inst.unionByName(onto))
+        closed = rdfs_closure(store)
+        _GRAPH_CACHE[key] = SparqlEngine(
+            TripleStore(spark, closed.df.localCheckpoint())
+        )
+    e = _GRAPH_CACHE[key]
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?cls (COUNT(?s) AS ?n) WHERE {{ ?s a ?cls }} GROUP BY ?cls""",
+        {"cls": ("cls", "lex"), "n": ("n", "long")},
+    )
+
+
+def q_gas_bfs_depth(spark, sf_dir):
+    """BFS via the gas: SERVICE on the 16-node ring (+5 mod 16):
+    depth(x) == 13*x mod 16 (13 = 5^-1 mod 16)."""
+    e = _ring_graph(spark, sf_dir)
+    return _sel(
+        e,
+        """PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+        SELECT ?node ?depth WHERE {
+          SERVICE <http://www.bigdata.com/rdf/gas#service> {
+            gas:program gas:gasClass "BFS" ;
+                        gas:in <urn:g:0> ;
+                        gas:out ?node ;
+                        gas:out1 ?depth .
+          }
+        }""",
+        {"node": ("node", "lex"), "depth": ("depth", "long")},
+    )
+
+
+def _ring_edges(spark, sf_dir, step: int):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select((F.col("user_id") % 16).alias("src"))
+        .withColumn("dst", (F.col("src") + step) % 16)
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def q_gas_cc(spark, sf_dir):
+    """Connected components of u -> (u+2) mod 16: evens and odds.
+    Component re-labeled by its minimum numeric member for determinism."""
+    from database_spark.operators.graph import connected_components
+
+    comps = connected_components(
+        _ring_edges(spark, sf_dir, 2).select("src", "dst")
+    )
+    return (
+        comps.groupBy("component")
+        .agg(F.min("node").alias("comp"), F.count(F.lit(1)).alias("n_nodes"))
+        .select("comp", "n_nodes")
+    )
+
+
+def q_gas_pagerank(spark, sf_dir):
+    """PageRank on the 1-regular 16-cycle: every rank is exactly 1.0
+    ((1-d) + d*1.0 == 1.0 in IEEE), so the oracle is exact."""
+    from database_spark.operators.graph import pagerank
+
+    ranks = pagerank(_ring_edges(spark, sf_dir, 5), iters=5)
+    return ranks.select(
+        F.concat(F.lit("urn:g:"), F.col("node").cast("string")).alias("node"),
+        F.col("rank"),
+    )
+
+
+def q_stream_hourly(spark, sf_dir):
+    """The hourly rollup through REAL Structured Streaming (availableNow
+    over a staged copy of events, memory sink) — must equal the static
+    oracle."""
+    import tempfile
+
+    from database_spark.streaming.windows import hourly_event_stats, run_available_now
+
+    stage = tempfile.mkdtemp(prefix="dbspark-bench-stream-")
+    _read(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+        stage + "/events"
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(stage + "/events")
+    name = "q_stream_hourly"
+    q = run_available_now(hourly_event_stats(stream), name, stage + "/cp")
+    q.stop()
+    return spark.table(name)
+
+
+def q_stream_sessions(spark, sf_dir):
+    """session_window sessionization per user (30 min gap)."""
+    from database_spark.streaming.windows import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(ev, gap="30 minutes").select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (rows-only: LSH bucketing has no
+    SQL analog — hash family is engine-defined)."""
+    from database_spark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+
+
+def q_update_roundtrip(spark, sf_dir):
+    """SPARQL UPDATE verbs end-to-end (rows-only: stateful sequence has
+    no single SQL equivalent): INSERT DATA, DELETE/INSERT WHERE, count."""
+    from database_spark.sparql.engine import SparqlEngine as Eng
+
+    store = TripleStore.from_python_triples(
+        spark,
+        [
+            (T.Term.iri("urn:a"), T.Term.iri("urn:p"), T.Term.integer(1)),
+            (T.Term.iri("urn:b"), T.Term.iri("urn:p"), T.Term.integer(2)),
+        ],
+    )
+    eng = Eng(store)
+    eng.update('INSERT DATA { <urn:c> <urn:p> 3 . <urn:d> <urn:q> 4 . }')
+    eng.update(
+        'DELETE { ?s <urn:p> ?o } INSERT { ?s <urn:p2> ?o } '
+        'WHERE { ?s <urn:p> ?o . FILTER(?o >= 2) }'
+    )
+    res = eng.select(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p"
+    )
+    return res.df.select(
+        term_value(F.col("p"), "lex").alias("p"),
+        term_value(F.col("n"), "long").alias("n"),
     )
 
 
@@ -448,6 +678,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "similarity_topk": q_similarity_topk,
+    "sparql_fts": q_sparql_fts,
+    "sparql_geo_rect": q_sparql_geo_rect,
+    "rdfs_closure_types": q_rdfs_closure_types,
+    "gas_bfs_depth": q_gas_bfs_depth,
+    "gas_cc": q_gas_cc,
+    "gas_pagerank": q_gas_pagerank,
+    "stream_hourly": q_stream_hourly,
+    "stream_sessions": q_stream_sessions,
+    "minhash_pairs": q_minhash_pairs,
+    "update_roundtrip": q_update_roundtrip,
 }
 
 
@@ -581,6 +821,70 @@ ORACLES: dict[str, str] = {
           SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM scored) WHERE rank <= 5
+    """,
+    "sparql_fts": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                             x -> len(x) > 0) AS tk
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 (CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tk, 'query') THEN 1 ELSE 0 END
+                + CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END) AS hits
+          FROM toks
+        )
+        SELECT 'urn:d:' || CAST(doc_id AS VARCHAR) AS doc,
+               CAST(hits AS DOUBLE) / 3.0 AS relevance
+        FROM m WHERE hits > 0
+    """,
+    "sparql_geo_rect": """
+        SELECT DISTINCT 'urn:u:' || CAST(user_id AS VARCHAR) AS node
+        FROM events
+        WHERE ((user_id * 37) % 180) - 90 BETWEEN -45 AND 45
+          AND ((user_id * 73) % 360) - 180 BETWEEN -90 AND 90
+    """,
+    "rdfs_closure_types": """
+        SELECT 'urn:seg:' || c_mktsegment AS cls, count(*) AS n
+        FROM customer GROUP BY 1
+        UNION ALL
+        SELECT 'urn:tpch:Customer' AS cls, count(*) AS n FROM customer
+    """,
+    "gas_bfs_depth": """
+        SELECT 'urn:g:' || CAST(x AS VARCHAR) AS node, (x * 13) % 16 AS depth
+        FROM range(0, 16) t(x)
+    """,
+    "gas_cc": """
+        SELECT x % 2 AS comp, count(*) AS n_nodes
+        FROM range(0, 16) t(x) GROUP BY x % 2
+    """,
+    "gas_pagerank": """
+        SELECT 'urn:g:' || CAST(x AS VARCHAR) AS node, CAST(1.0 AS DOUBLE) AS rank
+        FROM range(0, 16) t(x)
+    """,
+    "stream_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_sessions": """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM g GROUP BY user_id, sid
     """,
 }
 

@@ -47,5 +47,7 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     finally:
         spark.conf.set(NANOS_CONF, prev)
     for c in nanos:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer div — epoch nanos overflow double's 53-bit mantissa,
+        # so float division here would be off by ±1 µs
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
