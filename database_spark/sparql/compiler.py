@@ -70,10 +70,20 @@ def _cols_for(vars_: set) -> list[str]:
 
 
 class Compiler:
-    def __init__(self, spark: SparkSession, triples: DataFrame, services: dict | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        services: dict | None = None,
+        p_buckets: int | None = None,
+    ):
         self.spark = spark
         self.triples = triples
         self.services = services or {}
+        # bucket count of a predicate-partitioned parquet layout (None
+        # when the store isn't partitioned) — enables partition pruning
+        # for bound-predicate scans
+        self.p_buckets = p_buckets if "p_bucket" in triples.columns else None
         self._fresh = itertools.count()
 
     # ------------------------------------------------------------- utils
@@ -123,7 +133,17 @@ class Compiler:
                 else:
                     binds[node.name] = pos
             elif isinstance(node, A.Const):
-                conds.append(F.col(pos) == T.term_id(T.lit_term(node.term)))
+                term_id = T.term_id(T.lit_term(node.term))
+                conds.append(F.col(pos) == term_id)
+                if pos == "p" and self.p_buckets:
+                    # predicate-partitioned layout (TripleStore.save
+                    # partition_by_predicate): the bucket equality is a
+                    # PARTITION filter — prunes whole directories, the
+                    # scan-side analog of choosing the POS index
+                    conds.append(
+                        F.col("p_bucket")
+                        == F.pmod(term_id, F.lit(self.p_buckets))
+                    )
             else:
                 raise SparqlCompileError(f"path node in scan: {node!r}")
         # graph context

@@ -71,7 +71,12 @@ class SparqlEngine:
 
     # ------------------------------------------------------------ queries
     def _compiler(self) -> Compiler:
-        return Compiler(self.store.spark, self.store.df, self.services)
+        return Compiler(
+            self.store.spark,
+            self.store.df,
+            self.services,
+            p_buckets=getattr(self.store, "p_buckets", None),
+        )
 
     def select(self, text: str) -> SelectResult:
         q = parse_query(text)

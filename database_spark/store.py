@@ -59,6 +59,10 @@ def _with_ids(df: DataFrame) -> DataFrame:
 class TripleStore:
     spark: SparkSession
     df: DataFrame  # columns: s p o g (long), st pt ot gt (TERM), inferred
+    #: bucket count of the predicate-partitioned layout this df was
+    #: loaded from (None = unpartitioned); lets the compiler add the
+    #: p_bucket partition filter for bound-predicate scans
+    p_buckets: int | None = None
 
     # ---------------------------------------------------------------- build
     @staticmethod
@@ -98,7 +102,7 @@ class TripleStore:
         100 TB, also sort within partitions by (p, s, o) so row-group
         min/max stats prune subject-bound scans.
         """
-        df = self.df
+        df = self._flat()
         if partition_by_predicate:
             df = df.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(buckets)))
             (
@@ -108,13 +112,56 @@ class TripleStore:
                 .partitionBy("p_bucket")
                 .parquet(path)
             )
+            self._write_meta(path, {"p_buckets": buckets})
         else:
             df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
+
+    def _write_meta(self, path: str, meta: dict) -> None:
+        """Sidecar layout metadata, written through the Hadoop FS API so
+        it works on any filesystem (underscore prefix → invisible to
+        parquet readers)."""
+        import json
+
+        jvm = self.spark._jvm
+        jsc = self.spark._jsc
+        conf = jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path + "/_dbspark_meta.json")
+        fs = p.getFileSystem(conf)
+        out = fs.create(p, True)
+        out.write(bytearray(json.dumps(meta).encode()))
+        out.close()
+
+    @staticmethod
+    def _read_meta(spark: SparkSession, path: str) -> dict:
+        import json
+
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path + "/_dbspark_meta.json")
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(p):
+                return {}
+            stream = fs.open(p)
+            data = bytearray()
+            b = stream.read()
+            while b >= 0:
+                data.append(b)
+                b = stream.read()
+            stream.close()
+            return json.loads(bytes(data).decode())
+        except Exception:  # noqa: BLE001 — metadata is best-effort
+            return {}
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "TripleStore":
         df = spark.read.parquet(path)
-        return TripleStore(spark, df.select("s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred"))
+        meta = TripleStore._read_meta(spark, path)
+        cols = ["s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred"]
+        if "p_bucket" in df.columns:
+            cols.append("p_bucket")  # keep: it is the partition column
+        return TripleStore(
+            spark, df.select(*cols), p_buckets=meta.get("p_buckets")
+        )
 
     # ------------------------------------------------------------- views
     def terms(self) -> DataFrame:
@@ -143,11 +190,16 @@ class TripleStore:
         return self.df.where(F.col("inferred") == EXPLICIT)
 
     # --------------------------------------------------------- mutation
+    def _flat(self) -> DataFrame:
+        """df without the layout-derived partition column (mutations
+        produce an in-memory store; re-save to re-bucket)."""
+        return self.df.drop("p_bucket") if "p_bucket" in self.df.columns else self.df
+
     def add(self, other: DataFrame) -> "TripleStore":
         """Union in new statements (InsertStatementsOp analog)."""
         return TripleStore(
             self.spark,
-            self.df.unionByName(_with_ids(other)).dropDuplicates(["s", "p", "o", "g"]),
+            self._flat().unionByName(_with_ids(other)).dropDuplicates(["s", "p", "o", "g"]),
         )
 
     def remove(self, other: DataFrame) -> "TripleStore":
@@ -168,7 +220,7 @@ class TripleStore:
             & (F.col("o") == F.col("__ko"))
             & F.col("g").eqNullSafe(F.col("__kg"))
         )
-        kept = self.df.join(keys, cond, "left_anti")
+        kept = self._flat().join(keys, cond, "left_anti")
         return TripleStore(self.spark, kept)
 
 
