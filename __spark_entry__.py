@@ -491,7 +491,7 @@ def q_minhash_pairs(spark, sf_dir):
     from database_spark.pipeline import dedup
 
     d = _read(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=8)
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=24, bands=6)
 
 
 def q_update_roundtrip(spark, sf_dir):

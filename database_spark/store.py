@@ -270,8 +270,9 @@ def rdfize(spark: SparkSession, table: DataFrame, mapping: RdfMapping) -> DataFr
     subj = T.iri_col(
         F.concat(F.lit(mapping.subject_prefix), F.col(mapping.subject_key).cast("string"))
     )
-    outs = []
-    base = table
+    # ONE scan per table: each row explodes into its (pt, ot) pairs —
+    # no per-column union (which would re-read the source N times)
+    pairs = []
     for col_name, pred in mapping.predicates.items():
         if "->" in pred:
             pred_iri, obj_prefix = pred.split("->", 1)
@@ -282,22 +283,21 @@ def rdfize(spark: SparkSession, table: DataFrame, mapping: RdfMapping) -> DataFr
         else:
             pred_iri = pred
             obj = _object_term(F.col(col_name), dtypes[col_name])
-        outs.append(
-            base.select(
-                subj.alias("st"),
+        pairs.append(
+            F.struct(
                 T.lit_term(T.Term.iri(pred_iri)).alias("pt"),
                 obj.alias("ot"),
-            ).where(F.col("ot").isNotNull())
+            )
         )
     if mapping.type_iri:
-        outs.append(
-            base.select(
-                subj.alias("st"),
+        pairs.append(
+            F.struct(
                 T.lit_term(T.Term.iri(T.RDF + "type")).alias("pt"),
                 T.lit_term(T.Term.iri(mapping.type_iri)).alias("ot"),
             )
         )
-    u = outs[0]
-    for o in outs[1:]:
-        u = u.unionAll(o)
-    return u
+    return (
+        table.select(subj.alias("st"), F.explode(F.array(*pairs)).alias("po"))
+        .select("st", F.col("po.pt").alias("pt"), F.col("po.ot").alias("ot"))
+        .where(F.col("ot").isNotNull())
+    )
