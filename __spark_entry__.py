@@ -521,6 +521,55 @@ def q_update_roundtrip(spark, sf_dir):
     )
 
 
+def q_sparql_construct(spark, sf_dir):
+    """CONSTRUCT: template instantiation over a BGP; result triples
+    project to plain columns for the oracle."""
+    e = _graph(spark, sf_dir)
+    g = e.construct(
+        f"""{PREFIX}
+        CONSTRUCT {{ ?c t:inRegion ?r }} WHERE {{
+          ?c a t:Customer ; t:nation ?n . ?n t:region ?r .
+        }}"""
+    )
+    return g.select(
+        F.col("st.lex").alias("s"), F.col("ot.lex").alias("o")
+    )
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE (symmetric one-step CBD; rows-only — enumerating every
+    property in SQL duplicates the mapping, not the operator)."""
+    e = _graph(spark, sf_dir)
+    g = e.describe("DESCRIBE <urn:n:5>")
+    return g.select(
+        F.col("st.lex").alias("s"), F.col("pt.lex").alias("p"), F.col("ot.lex").alias("o")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """Language-ID + quality heuristics + fingerprint — every component
+    mirrored exactly by the SQL oracle."""
+    from database_spark.pipeline import text as TX
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact token-trigram Jaccard over doc pairs (bounded subset —
+    the all-pairs oracle is quadratic)."""
+    from database_spark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
+
+
 # ------------------------------------------------- relational / pipeline
 
 
@@ -688,7 +737,69 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
     "update_roundtrip": q_update_roundtrip,
+    "sparql_construct": q_sparql_construct,
+    "sparql_describe": q_sparql_describe,
+    "text_quality": q_text_quality,
+    "ngram_jaccard": q_ngram_jaccard,
 }
+
+
+def _text_quality_oracle() -> str:
+    """SQL oracle generated from the SAME marker table the Spark
+    implementation uses (database_spark.pipeline.text.LANG_MARKERS) —
+    no drift possible."""
+    from database_spark.pipeline.text import LANG_MARKERS
+
+    hit_cols = ",\n".join(
+        f"    len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b')) AS h_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    gmax = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    lang_case = "CASE WHEN " + gmax + " = 0 THEN 'und'\n"
+    for lg in langs:
+        lang_case += f"         WHEN h_{lg} = {gmax} THEN '{lg}'\n"
+    lang_case += "         ELSE 'und' END"
+    en = "|".join(LANG_MARKERS["en"])
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+{hit_cols}
+          FROM documents
+        ), feat AS (
+          SELECT doc_id, tk,
+                 {lang_case} AS lang_guess,
+                 length(text) AS n_chars,
+                 len(tk) AS n_tokens,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+                 len(regexp_extract_all(lower(text), '\\b({en})\\b')) AS stop
+          FROM base
+        )
+        SELECT doc_id, lang_guess,
+               round((
+                   (CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+                         WHEN n_chars >= 50 THEN 0.5 ELSE 0.0 END)
+                 + (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END)
+                 + (CASE WHEN n_chars > 0
+                         THEN 1.0 - least(1.0, punct * 10.0 / n_chars)
+                         ELSE 0.0 END)
+                 + (CASE WHEN n_tokens > 0
+                              AND alpha / n_tokens BETWEEN 3.0 AND 10.0
+                         THEN 1.0 ELSE 0.5 END)
+                 + (CASE WHEN n_tokens > 0
+                         THEN least(1.0, stop * 4.0 / n_tokens)
+                         ELSE 0.0 END)
+               ) / 5.0, 6) AS quality,
+               md5(array_to_string(tk, ' ')) AS fp,
+               CAST(ceil((len(tk) + ceil(n_chars / 4.0)) / 2.0) AS BIGINT)
+                 AS bpe_tokens
+        FROM feat
+    """
+
+
+_TEXT_QUALITY_ORACLE = _text_quality_oracle()
 
 
 ORACLES: dict[str, str] = {
@@ -868,6 +979,31 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "sparql_construct": """
+        SELECT DISTINCT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
+                        'urn:r:' || CAST(n_regionkey AS VARCHAR) AS o
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "text_quality": _TEXT_QUALITY_ORACLE,
+    "ngram_jaccard": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents WHERE doc_id < 500)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                       / NULLIF(len(a.shs) + len(b.shs)
+                                - len(list_intersect(a.shs, b.shs)), 0),
+                       6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5
     """,
     "stream_sessions": """
         WITH o AS (
