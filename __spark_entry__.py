@@ -440,6 +440,46 @@ def q_gas_cc(spark, sf_dir):
     )
 
 
+def q_gas_sssp(spark, sf_dir):
+    """Weighted SSSP on the unit-weight 16-ring: dist == BFS depth."""
+    from database_spark.operators.graph import sssp
+
+    edges = _ring_edges(spark, sf_dir, 5).select(
+        "src", "dst", F.lit(1.0).alias("weight")
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return sssp(edges, seeds).select(
+        F.concat(F.lit("urn:g:"), F.col("node").cast("string")).alias("node"),
+        F.col("dist"),
+    )
+
+
+def q_fast_count(spark, sf_dir):
+    """COUNT(*) by table — FastRangeCountOp analog: via the V2 parquet
+    reader the COUNT is pushed into the scan (PushedAggregation:
+    [COUNT(*)] in the plan) and answered from row-group metadata, the
+    Spark equivalent of the reference's two-key-probe range count."""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = (
+            l.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("lineitem").alias("tbl"), "n")
+            .unionByName(
+                o.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("orders").alias("tbl"), "n")
+            )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+    return out
+
+
 def q_gas_pagerank(spark, sf_dir):
     """PageRank on the 1-regular 16-cycle: every rank is exactly 1.0
     ((1-d) + d*1.0 == 1.0 in IEEE), so the oracle is exact."""
@@ -732,6 +772,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rdfs_closure_types": q_rdfs_closure_types,
     "gas_bfs_depth": q_gas_bfs_depth,
     "gas_cc": q_gas_cc,
+    "gas_sssp": q_gas_sssp,
+    "fast_count": q_fast_count,
     "gas_pagerank": q_gas_pagerank,
     "stream_hourly": q_stream_hourly,
     "stream_sessions": q_stream_sessions,
@@ -969,6 +1011,16 @@ ORACLES: dict[str, str] = {
     "gas_cc": """
         SELECT x % 2 AS comp, count(*) AS n_nodes
         FROM range(0, 16) t(x) GROUP BY x % 2
+    """,
+    "gas_sssp": """
+        SELECT 'urn:g:' || CAST(x AS VARCHAR) AS node,
+               CAST((x * 13) % 16 AS DOUBLE) AS dist
+        FROM range(0, 16) t(x)
+    """,
+    "fast_count": """
+        SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+        UNION ALL
+        SELECT 'orders' AS tbl, count(*) AS n FROM orders
     """,
     "gas_pagerank": """
         SELECT 'urn:g:' || CAST(x AS VARCHAR) AS node, CAST(1.0 AS DOUBLE) AS rank
