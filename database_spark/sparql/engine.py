@@ -146,9 +146,15 @@ class SparqlEngine:
         u = u.dropDuplicates(["__sid", "__pid", "__oid"]).drop("__sid", "__pid", "__oid")
         return u
 
-    def describe(self, text: str) -> DataFrame:
-        """DESCRIBE via simple forward+backward statements about each
-        resource (DescribeModeEnum SYMMETRIC_ONE_STEP)."""
+    def describe(self, text: str, mode: str = "symmetric") -> DataFrame:
+        """DESCRIBE a set of resources (DescribeModeEnum.java:47-127).
+
+        mode='symmetric': forward+backward one step (SYMMETRIC_ONE_STEP,
+        the reference default).  mode='cbd': Concise Bounded Description
+        — forward statements, recursively expanded through blank-node
+        objects (a driver-side fixpoint; bnode chains are short in
+        practice, bounded at 16 hops).
+        """
         q = parse_query(text)
         if not isinstance(q, A.DescribeQuery):
             raise TypeError("not a DESCRIBE query")
@@ -179,9 +185,32 @@ class SparqlEngine:
             return self.store.df.select("st", "pt", "ot").limit(0)
         ids = ids.where(F.col("id").isNotNull()).dropDuplicates()
         trips = self.store.df
+        if mode == "cbd":
+            return self._cbd(trips, ids)
         fwd = trips.join(ids.withColumnRenamed("id", "s"), "s", "left_semi")
         bwd = trips.join(ids.withColumnRenamed("id", "o"), "o", "left_semi")
         return fwd.unionByName(bwd).dropDuplicates(["s", "p", "o", "g"]).select("st", "pt", "ot")
+
+    def _cbd(self, trips: DataFrame, ids: DataFrame, max_hops: int = 16) -> DataFrame:
+        """Concise Bounded Description fixpoint: follow bnode objects."""
+        seen = ids.localCheckpoint()
+        frontier = seen
+        out = None
+        for _ in range(max_hops):
+            stmts = trips.join(
+                frontier.withColumnRenamed("id", "s"), "s", "left_semi"
+            ).localCheckpoint()
+            out = stmts if out is None else out.unionByName(stmts)
+            bnode_objs = (
+                stmts.where(F.col("ot.kind") == T.KIND_BNODE)
+                .select(F.col("o").alias("id"))
+                .dropDuplicates()
+            )
+            frontier = bnode_objs.join(seen, "id", "left_anti").localCheckpoint()
+            if frontier.isEmpty():
+                break
+            seen = seen.unionByName(frontier).localCheckpoint()
+        return out.dropDuplicates(["s", "p", "o", "g"]).select("st", "pt", "ot")
 
     def query(self, text: str):
         q = parse_query(text)

@@ -115,3 +115,23 @@ def test_rdfs_closure(spark):
     n_explicit = closed.df.where(F.col("inferred") == 0).count()
     assert n_explicit == len(trips)
     assert closed.df.where(F.col("inferred") == 1).count() > 0
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from database_spark.operators.skew import key_histogram, salted_join
+
+    # skewed big side: 90% of rows share key 0
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = big.join(small, "k").select("k", "v", "w")
+    salted = salted_join(big, small, "k").select("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    left = salted_join(big, small, "k", how="left")
+    assert left.count() == big.count()  # left join preserves big side
+    hist = key_histogram(big, "k", top=1).collect()[0]
+    assert hist["k"] == 0 and hist["share"] > 0.8

@@ -80,3 +80,28 @@ def test_ntriples_roundtrip(spark, engine, tmp_path):
     assert any('"30"^^<http://www.w3.org/2001/XMLSchema#integer>' in ln for ln in lines)
     assert any('"salut"@fr' in ln for ln in lines)
     assert any(ln.startswith("_:") for ln in lines)
+
+
+def test_describe_cbd(spark):
+    """CBD follows bnode chains forward; symmetric does one step both ways."""
+    from database_spark.sparql.engine import SparqlEngine as Eng
+    from database_spark.store import TripleStore as TS
+
+    b1, b2 = Term.bnode("b1"), Term.bnode("b2")
+    p = Term.iri(EX + "p")
+    trips = [
+        (Term.iri(EX + "r"), p, b1),
+        (b1, p, b2),
+        (b2, p, Term.literal("deep")),
+        (Term.iri(EX + "other"), p, Term.iri(EX + "r")),  # backward stmt
+        (Term.iri(EX + "unrelated"), p, Term.literal("x")),
+    ]
+    eng = Eng(TS.from_python_triples(spark, trips))
+    cbd = eng.describe(f"DESCRIBE <{EX}r>", mode="cbd")
+    got = sorted((r["st"]["lex"], r["ot"]["lex"]) for r in cbd.collect())
+    # forward chain through both bnodes, NOT the backward statement
+    assert got == [("b1", "b2"), ("b2", "deep"), (EX + "r", "b1")]
+    sym = eng.describe(f"DESCRIBE <{EX}r>")
+    got_sym = sorted((r["st"]["lex"], r["ot"]["lex"]) for r in sym.collect())
+    assert (EX + "other", EX + "r") in got_sym  # backward included
+    assert ("b1", "b2") not in got_sym  # but no recursion
