@@ -267,3 +267,27 @@ def test_describe(engine):
     g = engine.describe(f"DESCRIBE <{EX}dave>")
     preds = sorted(r["pt"]["lex"] for r in g.collect())
     assert preds == sorted([T.RDF + "type", EX + "name"])
+
+
+def test_bottom_up_badly_designed_left_join(spark):
+    """SPARQL's trickiest corner (ASTBottomUpOptimizer, SURVEY §4.4):
+    a FILTER in a doubly-nested OPTIONAL referencing a variable bound
+    only at top level is out of scope there — evaluates as
+    error→false, so the inner optional never binds."""
+    trips = [
+        (iri("x1"), iri("p"), Term.integer(1)),
+        (iri("x2"), iri("p"), Term.integer(2)),
+        (iri("x3"), iri("q"), Term.integer(3)),
+        (iri("x3"), iri("q"), Term.integer(4)),
+    ]
+    from database_spark.store import TripleStore as TS
+
+    eng = SparqlEngine(TS.from_python_triples(spark, trips))
+    res = eng.select(f"""
+        PREFIX ex: <{EX}>
+        SELECT ?v ?w ?v2 WHERE {{
+          ex:x1 ex:p ?v .
+          OPTIONAL {{ ex:x3 ex:q ?w .
+                      OPTIONAL {{ ex:x2 ex:p ?v2 . FILTER(?v = 99) }} }}
+        }}""")
+    assert rows(res) == [("1", "3", None), ("1", "4", None)]
