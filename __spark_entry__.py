@@ -561,6 +561,37 @@ def q_update_roundtrip(spark, sf_dir):
     )
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery: top-5 customers by balance (deterministic
+    tiebreak on name), names resolved in the outer query."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?c_name ?bal WHERE {{
+          ?c t:name ?c_name .
+          {{ SELECT ?c ?bal WHERE {{ ?c a t:Customer ; t:acctbal ?bal ; t:name ?nm }}
+             ORDER BY DESC(?bal) ?nm LIMIT 5 }}
+        }}""",
+        {"c_name": ("c_name", "lex"), "c_acctbal": ("bal", "double")},
+    )
+
+
+def q_sparql_bind(spark, sf_dir):
+    """BIND arithmetic + filter on the bound variable."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?c_name ?fee WHERE {{
+          ?c a t:Customer ; t:name ?c_name ; t:acctbal ?bal .
+          BIND(?bal * 0.1 AS ?fee)
+          FILTER(?fee > 900)
+        }}""",
+        {"c_name": ("c_name", "lex"), "fee": ("fee", "double")},
+    )
+
+
 def q_sparql_construct(spark, sf_dir):
     """CONSTRUCT: template instantiation over a BGP; result triples
     project to plain columns for the oracle."""
@@ -779,6 +810,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
     "update_roundtrip": q_update_roundtrip,
+    "sparql_subquery": q_sparql_subquery,
+    "sparql_bind": q_sparql_bind,
     "sparql_construct": q_sparql_construct,
     "sparql_describe": q_sparql_describe,
     "text_quality": q_text_quality,
@@ -1031,6 +1064,14 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "sparql_subquery": """
+        SELECT c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_name ASC LIMIT 5
+    """,
+    "sparql_bind": """
+        SELECT c_name, c_acctbal * 0.1 AS fee
+        FROM customer WHERE c_acctbal * 0.1 > 900
     """,
     "sparql_construct": """
         SELECT DISTINCT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
