@@ -561,6 +561,16 @@ def q_update_roundtrip(spark, sf_dir):
     )
 
 
+def q_sparql_ask(spark, sf_dir):
+    """ASK form, surfaced as a 1-row boolean DataFrame."""
+    e = _graph(spark, sf_dir)
+    yes = e.ask(f"{PREFIX} ASK {{ ?c a t:Customer ; t:acctbal ?b . FILTER(?b > 9990) }}")
+    no = e.ask(f"{PREFIX} ASK {{ ?c a t:Customer ; t:acctbal ?b . FILTER(?b > 99999) }}")
+    return spark.createDataFrame(
+        [("gt_9990", yes), ("gt_99999", no)], "probe string, ask boolean"
+    )
+
+
 def q_sparql_subquery(spark, sf_dir):
     """SPARQL 1.1 subquery: top-5 customers by balance (deterministic
     tiebreak on name), names resolved in the outer query."""
@@ -810,6 +820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
     "update_roundtrip": q_update_roundtrip,
+    "sparql_ask": q_sparql_ask,
     "sparql_subquery": q_sparql_subquery,
     "sparql_bind": q_sparql_bind,
     "sparql_construct": q_sparql_construct,
@@ -1064,6 +1075,13 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "sparql_ask": """
+        SELECT 'gt_9990' AS probe,
+               EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9990) AS ask
+        UNION ALL
+        SELECT 'gt_99999' AS probe,
+               EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 99999) AS ask
     """,
     "sparql_subquery": """
         SELECT c_name, c_acctbal FROM customer
