@@ -291,3 +291,34 @@ def test_bottom_up_badly_designed_left_join(spark):
                       OPTIONAL {{ ex:x2 ex:p ?v2 . FILTER(?v = 99) }} }}
         }}""")
     assert rows(res) == [("1", "3", None), ("1", "4", None)]
+
+
+def test_min_max_cross_type_and_group_concat(spark):
+    """MIN/MAX use SPARQL value order across numeric datatypes
+    (IVComparator semantics), not per-type ordering; GROUP_CONCAT
+    honors SEPARATOR; REGEX honors the 'i' flag."""
+    from database_spark.store import TripleStore as TS
+
+    trips = [
+        (iri("a"), iri("v"), Term.integer(2)),
+        (iri("b"), iri("v"), Term.double(1.5)),
+        (iri("c"), iri("v"), Term.decimal("3.25")),
+        (iri("a"), iri("nm"), Term.literal("Apple")),
+        (iri("b"), iri("nm"), Term.literal("banana")),
+    ]
+    eng = SparqlEngine(TS.from_python_triples(spark, trips))
+    r = eng.select(f"""
+        PREFIX ex: <{EX}>
+        SELECT (MIN(?x) AS ?mn) (MAX(?x) AS ?mx) WHERE {{ ?s ex:v ?x }}
+    """).df.collect()[0]
+    assert r["mn"]["lex"] == "1.5" and r["mn"]["dt"] == T.XSD_DOUBLE
+    assert r["mx"]["lex"] == "3.25" and r["mx"]["dt"] == T.XSD_DECIMAL
+    r2 = eng.select(f"""
+        PREFIX ex: <{EX}>
+        SELECT ?n WHERE {{ ?s ex:nm ?n FILTER(REGEX(?n, "^a", "i")) }}""")
+    assert rows(r2) == [("Apple",)]
+    r3 = eng.select(f"""
+        PREFIX ex: <{EX}>
+        SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?g) WHERE {{ ?s ex:nm ?n }}
+    """).df.collect()[0]
+    assert sorted(r3["g"]["lex"].split("|")) == ["Apple", "banana"]
