@@ -480,6 +480,21 @@ def q_fast_count(spark, sf_dir):
     return out
 
 
+def q_gas_cc_derived(spark, sf_dir):
+    """Connected components on a non-trivial 150-node functional graph
+    u -> (7u+3) mod 150; oracle = recursive-CTE undirected closure with
+    min-label per node."""
+    from database_spark.operators.graph import connected_components
+
+    ev = _read(spark, sf_dir, "events")
+    edges = (
+        ev.select((F.col("user_id") % 150).alias("src"))
+        .withColumn("dst", (F.col("src") * 7 + 3) % 150)
+        .dropDuplicates(["src", "dst"])
+    )
+    return connected_components(edges).select("node", "component")
+
+
 def q_gas_pagerank(spark, sf_dir):
     """PageRank on the 1-regular 16-cycle: every rank is exactly 1.0
     ((1-d) + d*1.0 == 1.0 in IEEE), so the oracle is exact."""
@@ -815,6 +830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gas_cc": q_gas_cc,
     "gas_sssp": q_gas_sssp,
     "fast_count": q_fast_count,
+    "gas_cc_derived": q_gas_cc_derived,
     "gas_pagerank": q_gas_pagerank,
     "stream_hourly": q_stream_hourly,
     "stream_sessions": q_stream_sessions,
@@ -1065,6 +1081,22 @@ ORACLES: dict[str, str] = {
         SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
         UNION ALL
         SELECT 'orders' AS tbl, count(*) AS n FROM orders
+    """,
+    "gas_cc_derived": """
+        WITH RECURSIVE nodes AS (
+          SELECT DISTINCT user_id % 150 AS n FROM events
+        ), e AS (
+          SELECT DISTINCT user_id % 150 AS a, (user_id % 150 * 7 + 3) % 150 AS b
+          FROM events
+        ), sym AS (
+          SELECT a, b FROM e UNION SELECT b, a FROM e
+        ), reach(src, dst) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        )
+        SELECT src AS node, min(dst) AS component
+        FROM reach GROUP BY src
     """,
     "gas_pagerank": """
         SELECT 'urn:g:' || CAST(x AS VARCHAR) AS node, CAST(1.0 AS DOUBLE) AS rank
