@@ -103,23 +103,80 @@ _MAPPINGS = {
 }
 
 
+_STORE_LAYOUT_VERSION = 1  # bump when term encoding / bucketing changes
+
+
+def _tpch_fingerprint(sf_dir: str) -> str:
+    """Source-data fingerprint (mtime+size of each mapped parquet) used
+    to validate the on-disk bucketed store cache."""
+    parts = [f"v{_STORE_LAYOUT_VERSION}"]
+    for t in sorted(_MAPPINGS):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return ";".join(parts)
+
+
+def _build_tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
+    parts = [
+        rdfize(spark, _read(spark, sf_dir, t), _MAPPINGS[t]) for t in _MAPPINGS
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return TripleStore.from_term_structs(spark, u)
+
+
+def _tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
+    """Load the rdfized graph from the predicate-bucketed parquet cache
+    (ingest-once, query-many — the DataLoader/journal analog: Blazegraph
+    also loads into its B+Tree store before serving queries).  Bound-
+    predicate patterns then prune to one p_bucket directory at scan time
+    instead of re-deriving the graph per session.  Falls back to an
+    in-session build + localCheckpoint when the cache dir is unusable."""
+    cache_root = os.environ.get("SPARK_GRAFT_STORE_CACHE", "/tmp/spark_graft_store")
+    slug = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(cache_root, slug)
+    fp = _tpch_fingerprint(sf_dir)
+    try:
+        if os.path.isdir(path):
+            meta = TripleStore._read_meta(spark, path)
+            if meta.get("fingerprint") == fp:
+                return TripleStore.load(spark, path)
+    except Exception:  # noqa: BLE001 — stale/corrupt cache: rebuild below
+        pass
+    store = _build_tpch_store(spark, sf_dir)
+    try:
+        import shutil
+
+        tmp = path + ".build"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        store.save(
+            tmp,
+            partition_by_predicate=True,
+            buckets=64,
+            extra_meta={"fingerprint": fp},
+        )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        return TripleStore.load(spark, path)
+    except Exception:  # noqa: BLE001 — read-only cache root etc.
+        return TripleStore(spark, store.df.localCheckpoint())
+
+
 def _graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
-    """rdfize ALL mapped tables into one TripleStore per sf_dir; cached +
-    checkpointed so every SPARQL query reuses one materialized graph
-    (patterns prune by predicate, so the merged graph costs queries
-    nothing while the build cost amortizes across the whole suite)."""
+    """One TripleStore per sf_dir: on-disk bucketed cache via
+    ``_tpch_store`` (patterns prune by predicate, so the merged graph
+    costs queries nothing while the ingest cost amortizes across every
+    session that touches this sf_dir)."""
     key = (sf_dir, "__tpch__")
     if key not in _GRAPH_CACHE:
-        parts = [
-            rdfize(spark, _read(spark, sf_dir, t), _MAPPINGS[t])
-            for t in _MAPPINGS
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        store = TripleStore.from_term_structs(spark, u)
-        store = TripleStore(spark, store.df.localCheckpoint())
-        _GRAPH_CACHE[key] = SparqlEngine(store)
+        _GRAPH_CACHE[key] = SparqlEngine(_tpch_store(spark, sf_dir))
     return _GRAPH_CACHE[key]
 
 

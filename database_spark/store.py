@@ -93,7 +93,13 @@ class TripleStore:
         return TripleStore(spark, _with_ids(spark.createDataFrame(rows, schema)))
 
     # ------------------------------------------------------------ persist
-    def save(self, path: str, partition_by_predicate: bool = False, buckets: int = 64) -> None:
+    def save(
+        self,
+        path: str,
+        partition_by_predicate: bool = False,
+        buckets: int = 64,
+        extra_meta: dict | None = None,
+    ) -> None:
         """Write as parquet.
 
         ``partition_by_predicate`` adds a ``p_bucket`` dir column =
@@ -101,8 +107,12 @@ class TripleStore:
         bucket (the scan-side analog of choosing the POS index).  At
         100 TB, also sort within partitions by (p, s, o) so row-group
         min/max stats prune subject-bound scans.
+
+        ``extra_meta`` keys (e.g. a source-data fingerprint) are merged
+        into the sidecar so callers can validate a cached layout.
         """
         df = self._flat()
+        meta = dict(extra_meta or {})
         if partition_by_predicate:
             df = df.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(buckets)))
             (
@@ -112,9 +122,11 @@ class TripleStore:
                 .partitionBy("p_bucket")
                 .parquet(path)
             )
-            self._write_meta(path, {"p_buckets": buckets})
+            meta["p_buckets"] = buckets
         else:
             df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
+        if meta:
+            self._write_meta(path, meta)
 
     def _write_meta(self, path: str, meta: dict) -> None:
         """Sidecar layout metadata, written through the Hadoop FS API so
