@@ -75,8 +75,51 @@ def rdfs_closure(store: TripleStore, max_iter: int = 32) -> TripleStore:
     def head_df(df: DataFrame, cols: list) -> DataFrame:
         return df.select(*cols).select("s", "p", "o", "st", "pt", "ot")
 
+    # Evaluate the schema-term hash ids to plain longs once (the _pid
+    # expressions are Columns; the probe below needs literal values).
+    _names = (
+        ("subp", SUBPROP), ("subc", SUBCLASS), ("dom", DOMAIN),
+        ("rng", RANGE), ("inv", INVERSE), ("eqc", EQ_CLASS),
+        ("eqp", EQ_PROP), ("type", RDF_TYPE), ("sym", SYMMETRIC),
+        ("tr", TRANSITIVE),
+    )
+    ids = spark.range(1).select(
+        *[_pid(term).alias(name) for name, term in _names]
+    ).first().asDict()
+    type_id, sym_id, tr_id = ids["type"], ids["sym"], ids["tr"]
+    schema_ids = {
+        name: ids[name]
+        for name in ("subp", "subc", "dom", "rng", "inv", "eqc", "eqp")
+    }
+
     for _ in range(max_iter):
         t = total
+        # Rule activation probe (FastClosure-style rule pruning): one
+        # tiny job lists which schema predicates exist in the current
+        # closure; only rules whose schema frame is non-empty join this
+        # round.  Exact, not heuristic — the probe reruns per round, so
+        # a schema triple derived in round k activates its rules in
+        # round k+1, and the final (empty-delta) round still ran every
+        # active rule against the full closure.  Schema is small by
+        # definition, so the collect is O(#schema predicates).
+        probe = (
+            t.select("p", "o")
+            .where(
+                F.col("p").isin(*schema_ids.values())
+                | ((F.col("p") == type_id) & F.col("o").isin(sym_id, tr_id))
+            )
+            .distinct()
+            .collect()
+        )
+        present = {r["p"] for r in probe}
+        active = {name for name, pid in schema_ids.items() if pid in present}
+        if any(r["p"] == type_id and r["o"] == sym_id for r in probe):
+            active.add("sym")
+        if any(r["p"] == type_id and r["o"] == tr_id for r in probe):
+            active.add("trans")
+        if not active:
+            break
+
         # schema-level frames (small → broadcast by Catalyst/AQE)
         subp = t.where(F.col("p") == _pid(SUBPROP)).select(
             F.col("s").alias("sp_s"), F.col("o").alias("sp_o"),
@@ -113,69 +156,80 @@ def rdfs_closure(store: TripleStore, max_iter: int = 32) -> TripleStore:
         types = t.where(F.col("p") == _pid(RDF_TYPE))
 
         heads = []
-        # rdfs7: s p o & p subP q → s q o
-        heads.append(
-            t.join(subp, t["p"] == subp["sp_s"]).select(
-                "st", F.col("sp_ot").alias("pt"), "ot",
-                "s", F.col("sp_o").alias("p"), "o",
+        if "subp" in active:
+            # rdfs7: s p o & p subP q → s q o
+            heads.append(
+                t.join(subp, t["p"] == subp["sp_s"]).select(
+                    "st", F.col("sp_ot").alias("pt"), "ot",
+                    "s", F.col("sp_o").alias("p"), "o",
+                ).select("s", "p", "o", "st", "pt", "ot")
+            )
+            # rdfs5: subP transitivity
+            sp2 = subp.select(
+                F.col("sp_s").alias("a"), F.col("sp_o").alias("b"), F.col("sp_st").alias("at")
+            ).join(
+                subp.select(F.col("sp_s").alias("b"), F.col("sp_o").alias("c"), F.col("sp_ot").alias("ct")),
+                "b",
+            )
+            heads.append(head_df(sp2, _mk((F.col("at"), F.col("a")), SUBPROP, (F.col("ct"), F.col("c")))))
+        if "subc" in active:
+            # rdfs11: subC transitivity
+            sc2 = subc.select(
+                F.col("sc_s").alias("a"), F.col("sc_o").alias("b"), F.col("sc_st").alias("at")
+            ).join(
+                subc.select(F.col("sc_s").alias("b"), F.col("sc_o").alias("c"), F.col("sc_ot").alias("ct")),
+                "b",
+            )
+            heads.append(head_df(sc2, _mk((F.col("at"), F.col("a")), SUBCLASS, (F.col("ct"), F.col("c")))))
+        if "dom" in active:
+            # rdfs2: p dom c & s p o → s type c
+            d = t.join(dom, t["p"] == dom["d_p"])
+            heads.append(head_df(d, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("d_ct"), F.col("d_c")))))
+        if "rng" in active:
+            # rdfs3: p rng c & s p o (o resource) → o type c
+            r = t.join(rng, t["p"] == rng["r_p"]).where(F.col("ot").getField("kind") != T.KIND_LITERAL)
+            heads.append(head_df(r, _mk((F.col("ot"), F.col("o")), RDF_TYPE, (F.col("r_ct"), F.col("r_c")))))
+        if "subc" in active:
+            # rdfs9: s type c & c subC d → s type d
+            t9 = types.join(subc, types["o"] == subc["sc_s"])
+            heads.append(head_df(t9, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("sc_ot"), F.col("sc_o")))))
+        if "inv" in active:
+            # owl:inverseOf: s p o & p inv q → o q s (and reverse direction)
+            iv1 = t.join(inv, t["p"] == inv["i_p"]).select(
+                F.col("ot").alias("st"), F.col("i_qt").alias("pt"), F.col("st").alias("ot"),
+                F.col("o").alias("s"), F.col("i_q").alias("p"), F.col("s").alias("o"),
             ).select("s", "p", "o", "st", "pt", "ot")
-        )
-        # rdfs5: subP transitivity
-        sp2 = subp.select(
-            F.col("sp_s").alias("a"), F.col("sp_o").alias("b"), F.col("sp_st").alias("at")
-        ).join(
-            subp.select(F.col("sp_s").alias("b"), F.col("sp_o").alias("c"), F.col("sp_ot").alias("ct")),
-            "b",
-        )
-        heads.append(head_df(sp2, _mk((F.col("at"), F.col("a")), SUBPROP, (F.col("ct"), F.col("c")))))
-        # rdfs11: subC transitivity
-        sc2 = subc.select(
-            F.col("sc_s").alias("a"), F.col("sc_o").alias("b"), F.col("sc_st").alias("at")
-        ).join(
-            subc.select(F.col("sc_s").alias("b"), F.col("sc_o").alias("c"), F.col("sc_ot").alias("ct")),
-            "b",
-        )
-        heads.append(head_df(sc2, _mk((F.col("at"), F.col("a")), SUBCLASS, (F.col("ct"), F.col("c")))))
-        # rdfs2: p dom c & s p o → s type c
-        d = t.join(dom, t["p"] == dom["d_p"])
-        heads.append(head_df(d, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("d_ct"), F.col("d_c")))))
-        # rdfs3: p rng c & s p o (o resource) → o type c
-        r = t.join(rng, t["p"] == rng["r_p"]).where(F.col("ot").getField("kind") != T.KIND_LITERAL)
-        heads.append(head_df(r, _mk((F.col("ot"), F.col("o")), RDF_TYPE, (F.col("r_ct"), F.col("r_c")))))
-        # rdfs9: s type c & c subC d → s type d
-        t9 = types.join(subc, types["o"] == subc["sc_s"])
-        heads.append(head_df(t9, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("sc_ot"), F.col("sc_o")))))
-        # owl:inverseOf: s p o & p inv q → o q s (and reverse direction)
-        iv1 = t.join(inv, t["p"] == inv["i_p"]).select(
-            F.col("ot").alias("st"), F.col("i_qt").alias("pt"), F.col("st").alias("ot"),
-            F.col("o").alias("s"), F.col("i_q").alias("p"), F.col("s").alias("o"),
-        ).select("s", "p", "o", "st", "pt", "ot")
-        iv2 = t.join(inv, t["p"] == inv["i_q"]).select(
-            F.col("ot").alias("st"), F.col("i_pt").alias("pt"), F.col("st").alias("ot"),
-            F.col("o").alias("s"), F.col("i_p").alias("p"), F.col("s").alias("o"),
-        ).select("s", "p", "o", "st", "pt", "ot")
-        heads += [iv1, iv2]
-        # symmetric: s p o & p type Symmetric → o p s
-        sy = t.join(sym, t["p"] == sym["y_p"]).select(
-            F.col("ot").alias("st"), F.col("pt"), F.col("st").alias("ot"),
-            F.col("o").alias("s"), F.col("p"), F.col("s").alias("o"),
-        ).select("s", "p", "o", "st", "pt", "ot")
-        heads.append(sy)
-        # transitive: s p o & o p z & p type Transitive → s p z
-        tr_edges = t.join(trans, t["p"] == trans["tr_p"])
-        tr2 = tr_edges.alias("L").join(
-            tr_edges.alias("R"),
-            (F.col("L.o") == F.col("R.s")) & (F.col("L.p") == F.col("R.p")),
-        ).select(
-            F.col("L.s").alias("s"), F.col("L.p").alias("p"), F.col("R.o").alias("o"),
-            F.col("L.st").alias("st"), F.col("L.pt").alias("pt"), F.col("R.ot").alias("ot"),
-        )
-        heads.append(tr2)
-        # equivalentClass ↔ mutual subClassOf; equivalentProperty ↔ subP
-        heads.append(head_df(eqc, _mk((F.col("ec_st"), F.col("ec_s")), SUBCLASS, (F.col("ec_ot"), F.col("ec_o")))))
-        heads.append(head_df(eqc, _mk((F.col("ec_ot"), F.col("ec_o")), SUBCLASS, (F.col("ec_st"), F.col("ec_s")))))
-        heads.append(head_df(eqp, _mk((F.col("ep_st"), F.col("ep_s")), SUBPROP, (F.col("ep_ot"), F.col("ep_o")))))
-        heads.append(head_df(eqp, _mk((F.col("ep_ot"), F.col("ep_o")), SUBPROP, (F.col("ep_st"), F.col("ep_s")))))
+            iv2 = t.join(inv, t["p"] == inv["i_q"]).select(
+                F.col("ot").alias("st"), F.col("i_pt").alias("pt"), F.col("st").alias("ot"),
+                F.col("o").alias("s"), F.col("i_p").alias("p"), F.col("s").alias("o"),
+            ).select("s", "p", "o", "st", "pt", "ot")
+            heads += [iv1, iv2]
+        if "sym" in active:
+            # symmetric: s p o & p type Symmetric → o p s
+            sy = t.join(sym, t["p"] == sym["y_p"]).select(
+                F.col("ot").alias("st"), F.col("pt"), F.col("st").alias("ot"),
+                F.col("o").alias("s"), F.col("p"), F.col("s").alias("o"),
+            ).select("s", "p", "o", "st", "pt", "ot")
+            heads.append(sy)
+        if "trans" in active:
+            # transitive: s p o & o p z & p type Transitive → s p z
+            tr_edges = t.join(trans, t["p"] == trans["tr_p"])
+            tr2 = tr_edges.alias("L").join(
+                tr_edges.alias("R"),
+                (F.col("L.o") == F.col("R.s")) & (F.col("L.p") == F.col("R.p")),
+            ).select(
+                F.col("L.s").alias("s"), F.col("L.p").alias("p"), F.col("R.o").alias("o"),
+                F.col("L.st").alias("st"), F.col("L.pt").alias("pt"), F.col("R.ot").alias("ot"),
+            )
+            heads.append(tr2)
+        if "eqc" in active:
+            # equivalentClass ↔ mutual subClassOf
+            heads.append(head_df(eqc, _mk((F.col("ec_st"), F.col("ec_s")), SUBCLASS, (F.col("ec_ot"), F.col("ec_o")))))
+            heads.append(head_df(eqc, _mk((F.col("ec_ot"), F.col("ec_o")), SUBCLASS, (F.col("ec_st"), F.col("ec_s")))))
+        if "eqp" in active:
+            # equivalentProperty ↔ mutual subPropertyOf
+            heads.append(head_df(eqp, _mk((F.col("ep_st"), F.col("ep_s")), SUBPROP, (F.col("ep_ot"), F.col("ep_o")))))
+            heads.append(head_df(eqp, _mk((F.col("ep_ot"), F.col("ep_o")), SUBPROP, (F.col("ep_st"), F.col("ep_s")))))
 
         new = heads[0]
         for h in heads[1:]:
