@@ -33,8 +33,16 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFra
     reachable node (seed depth 0).
     """
     e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
-    visited = seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"]).localCheckpoint()
-    frontier = visited
+    frontier = (
+        seeds.select(F.col("node"), F.lit(0).alias("depth"))
+        .dropDuplicates(["node"])
+        .localCheckpoint()
+    )
+    # visited stays a lazy union over the checkpointed per-depth layers:
+    # every leaf is materialized, so lineage depth is constant and we
+    # never re-materialize the whole (growing) visited set each round —
+    # only the new frontier layer is checkpointed.
+    visited = frontier
     depth = 0
     while depth < max_iter:
         depth += 1
@@ -48,7 +56,7 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFra
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
