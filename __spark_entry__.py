@@ -516,25 +516,20 @@ def q_fast_count(spark, sf_dir):
     reader the COUNT is pushed into the scan (PushedAggregation:
     [COUNT(*)] in the plan) and answered from row-group metadata, the
     Spark equivalent of the reference's two-key-probe range count."""
-    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    try:
-        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-        out = (
-            l.agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit("lineitem").alias("tbl"), "n")
-            .unionByName(
-                o.agg(F.count(F.lit(1)).alias("n"))
-                .select(F.lit("orders").alias("tbl"), "n")
-            )
+    # isolated child session (shared context, own SQLConf): flipping to
+    # the V2 reader must not leak into concurrently-running queries
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    l = s2.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = s2.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        l.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("lineitem").alias("tbl"), "n")
+        .unionByName(
+            o.agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("orders").alias("tbl"), "n")
         )
-    finally:
-        if prev is None:
-            spark.conf.unset("spark.sql.sources.useV1SourceList")
-        else:
-            spark.conf.set("spark.sql.sources.useV1SourceList", prev)
-    return out
+    )
 
 
 def q_gas_cc_derived(spark, sf_dir):
@@ -598,17 +593,28 @@ def q_stream_sessions(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only: LSH bucketing has no
-    SQL analog — hash family is engine-defined)."""
+    """MinHash-LSH near-dup pairs, exact-verified: LSH generates the
+    candidates (banded signature join, never all-pairs), then each
+    candidate's exact shingle Jaccard is computed and thresholded.
+
+    The final answer is therefore a set-semantic quantity — "pairs with
+    trigram Jaccard ≥ 0.5" — which the DuckDB oracle computes
+    quadratically.  bands = num_hashes (r=1) makes candidate recall
+    effectively exact (a ≥0.5-similar pair escapes all 24 bands with
+    probability ≤ 0.5^24 ≈ 6e-8); production defaults keep r=4 where a
+    tiny recall loss buys a much smaller candidate join."""
     from database_spark.pipeline import dedup
 
-    d = _read(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, "doc_id", "text", num_hashes=24, bands=6)
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=24, bands=24, threshold=0.5
+    )
 
 
 def q_update_roundtrip(spark, sf_dir):
-    """SPARQL UPDATE verbs end-to-end (rows-only: stateful sequence has
-    no single SQL equivalent): INSERT DATA, DELETE/INSERT WHERE, count."""
+    """SPARQL UPDATE verbs end-to-end: INSERT DATA, DELETE/INSERT
+    WHERE, then a grouped count.  The oracle replays the same sequence
+    as a DuckDB CTE chain (each update = one derived relation)."""
     from database_spark.sparql.engine import SparqlEngine as Eng
 
     store = TripleStore.from_python_triples(
@@ -690,8 +696,9 @@ def q_sparql_construct(spark, sf_dir):
 
 
 def q_sparql_describe(spark, sf_dir):
-    """DESCRIBE (symmetric one-step CBD; rows-only — enumerating every
-    property in SQL duplicates the mapping, not the operator)."""
+    """DESCRIBE <urn:n:5> (symmetric one-step: forward statements of
+    the node plus statements pointing at it).  The oracle enumerates
+    the direct mapping's triples about nation 5 in SQL."""
     e = _graph(spark, sf_dir)
     g = e.describe("DESCRIBE <urn:n:5>")
     return g.select(
@@ -1204,6 +1211,63 @@ ORACLES: dict[str, str] = {
                        6) AS jaccard
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         WHERE jaccard >= 0.5
+    """,
+    # same semantic quantity as ngram_jaccard (exact trigram Jaccard
+    # ≥ 0.5, pairs a < b) — the Spark side reaches it via banded
+    # MinHash-LSH + exact verify, the oracle quadratically
+    "minhash_pairs": r"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents WHERE doc_id < 500)
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                       / NULLIF(len(a.shs) + len(b.shs)
+                                - len(list_intersect(a.shs, b.shs)), 0),
+                       6) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.5
+    """,
+    # replay of the UPDATE sequence as derived relations:
+    # base → INSERT DATA → DELETE/INSERT WHERE(o>=2) → grouped count
+    "update_roundtrip": """
+        WITH after_insert(s, p, o) AS (
+          VALUES ('urn:a','urn:p',1),('urn:b','urn:p',2),
+                 ('urn:c','urn:p',3),('urn:d','urn:q',4)
+        ), matched AS (
+          SELECT s, o FROM after_insert WHERE p = 'urn:p' AND o >= 2
+        ), final AS (
+          SELECT s, p, o FROM after_insert
+          WHERE NOT (p = 'urn:p' AND o >= 2)
+          UNION ALL
+          SELECT s, 'urn:p2', o FROM matched
+        )
+        SELECT p, count(s) AS n FROM final GROUP BY p
+    """,
+    # symmetric one-step description of urn:n:5 under the direct
+    # mapping: the node's own statements + statements pointing at it
+    "sparql_describe": """
+        SELECT 'urn:n:5' AS s,
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+               'urn:tpch:Nation' AS o
+        UNION ALL
+        SELECT 'urn:n:5', 'urn:tpch:name', n_name
+        FROM nation WHERE n_nationkey = 5
+        UNION ALL
+        SELECT 'urn:n:5', 'urn:tpch:region', 'urn:r:' || CAST(n_regionkey AS VARCHAR)
+        FROM nation WHERE n_nationkey = 5
+        UNION ALL
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR), 'urn:tpch:nation', 'urn:n:5'
+        FROM customer WHERE c_nationkey = 5
+        UNION ALL
+        SELECT 'urn:s:' || CAST(s_suppkey AS VARCHAR), 'urn:tpch:nation', 'urn:n:5'
+        FROM supplier WHERE s_nationkey = 5
     """,
     "stream_sessions": """
         WITH o AS (

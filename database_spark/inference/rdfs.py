@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import terms as T
+from ..operators.iterate import fixpoint_rounds
 from ..store import INFERRED, TripleStore
 
 RDF_TYPE = T.Term.iri(T.RDF + "type")
@@ -64,7 +65,7 @@ def _mk(s_cols, p_term: T.Term, o_cols) -> list:
     ]
 
 
-def rdfs_closure(store: TripleStore, max_iter: int = 32) -> TripleStore:
+def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore:
     """Compute the closure; returns a store whose df includes inferred
     statements (inferred=1).  Default graph only (g null), like the
     reference's per-namespace closure."""
@@ -92,7 +93,7 @@ def rdfs_closure(store: TripleStore, max_iter: int = 32) -> TripleStore:
         for name in ("subp", "subc", "dom", "rng", "inv", "eqc", "eqp")
     }
 
-    for _ in range(max_iter):
+    for _ in fixpoint_rounds(max_iter, "rdfs_closure"):
         t = total
         # Rule activation probe (FastClosure-style rule pruning): one
         # tiny job lists which schema predicates exist in the current

@@ -23,10 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MAX_ITER = 50
+from .iterate import fixpoint_rounds
 
 
-def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Breadth-first search (GAS/analytics/BFS.java).
 
     seeds: df with `node` column. Returns (node, depth) for every
@@ -44,7 +44,7 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFra
     # only the new frontier layer is checkpointed.
     visited = frontier
     depth = 0
-    while depth < max_iter:
+    for _ in fixpoint_rounds(max_iter, "bfs"):
         depth += 1
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -61,7 +61,7 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFra
     return visited
 
 
-def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Single-source shortest paths, weighted (GAS/analytics/SSSP.java).
 
     edges needs `weight`; returns (node, dist). Frontier-based
@@ -70,7 +70,7 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFr
     e = edges.select("src", "dst", "weight").localCheckpoint()
     dist = seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"]).localCheckpoint()
     frontier = dist
-    for _ in range(max_iter):
+    for _ in fixpoint_rounds(max_iter, "sssp"):
         cand = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("nd"))
@@ -92,7 +92,7 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int = MAX_ITER) -> DataFr
     return dist
 
 
-def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Undirected connected components by min-label propagation
     (GAS/analytics/CC.java). Returns (node, component=min node id)."""
     sym = edges.select("src", "dst").unionByName(
@@ -104,7 +104,7 @@ def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFram
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in fixpoint_rounds(max_iter, "connected_components"):
         nbr_min = (
             labels.join(sym, labels["node"] == sym["src"])
             .select(F.col("dst").alias("node"), F.col("component"))

@@ -23,8 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import terms as T
-
-MAX_ITER = 64
+from .iterate import fixpoint_rounds
 
 
 def _dedupe(df: DataFrame, a: str, b: str) -> DataFrame:
@@ -36,7 +35,7 @@ def transitive_closure(
     pairs: DataFrame,
     a: str,
     b: str,
-    max_iter: int = MAX_ITER,
+    max_iter: int | None = None,
     strategy: str = "doubling",
 ) -> DataFrame:
     """All-pairs transitive closure of the step relation `pairs`.
@@ -64,7 +63,7 @@ def transitive_closure(
     if strategy == "doubling":
         total = step
         size = total.count()
-        for _ in range(max_iter):
+        for _ in fixpoint_rounds(max_iter, "transitive_closure(doubling)"):
             right = total.select(
                 F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
             )
@@ -86,7 +85,7 @@ def transitive_closure(
     step_right = step.select(
         F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
     )
-    for _ in range(max_iter):
+    for _ in fixpoint_rounds(max_iter, "transitive_closure(seminaive)"):
         grown = (
             delta.select(F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid"))
             .join(step_right, "__mid")
@@ -108,7 +107,7 @@ def reachable_pairs(
     b: str,
     seed: Column,
     seed_side: str,
-    max_iter: int = MAX_ITER,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Directed closure from a bound endpoint: pairs (seed, x) with x
     reachable in ≥1 step (seed_side='a'), or (x, seed) (seed_side='b').
@@ -140,7 +139,7 @@ def reachable_pairs(
     step_fwd = step.select(
         F.col(a + "__id").alias("n__id"), F.col(b).alias("m"), F.col(b + "__id").alias("m__id")
     )
-    for _ in range(max_iter):
+    for _ in fixpoint_rounds(max_iter, "reachable_pairs"):
         if frontier.isEmpty():
             break
         grown = (

@@ -63,20 +63,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact all-pairs token-n-gram Jaccard ≥ threshold (a < b).
+    """All-pairs token-n-gram Jaccard ≥ threshold (a < b).
 
     Inverted-index join on shingles; `max_df` drops shingles appearing
     in more than that many docs (stop-shingles) — at 100 TB this is the
-    difference between a bounded join and a quadratic blowup.
-    Returns (id_a, id_b, jaccard).
+    difference between a bounded join and a quadratic blowup.  When
+    `max_df` fires, the Jaccard is over the *surviving* (non-stop)
+    shingle sets on both the numerator and the denominator — doc sizes
+    are counted after the filter, so the ratio stays consistent instead
+    of being biased low.  Returns (id_a, id_b, jaccard).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    # sizes AFTER the stop-shingle filter: numerator and denominator
+    # must use the same shingle universe
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
     common = (

@@ -164,7 +164,12 @@ def ivf_topk(
 
     n_planes = max(1, int(math.log2(n_cells)))
     if dim is None:
-        dim = len(data.select(vec_col).head()[0])
+        # derive from Arrow/Parquet field metadata when present; only
+        # fall back to a one-row probe job (surprise driver job at
+        # scale — callers should pass dim explicitly)
+        fld = data.schema[vec_col]
+        md_dim = (fld.metadata or {}).get("dim")
+        dim = int(md_dim) if md_dim else len(data.select(vec_col).head()[0])
     cell = lsh_bucket(F.col(vec_col), dim, n_planes)
     d = data.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("dv"), cell.alias("cell"))
     # multi-probe: the query's own cell plus its Hamming-1 neighbors

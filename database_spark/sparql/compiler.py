@@ -400,12 +400,26 @@ class Compiler:
                     rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
                 rdf = rdf.withColumn(mk, F.lit(True))
                 cond = None
+                maybe = False
                 for v in shared:
-                    c = F.col(v + "__id") == F.col(RPFX + v + "__id")
+                    li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
+                    if v in sol.maybe_unbound or v in inner.maybe_unbound:
+                        c = li.isNull() | ri.isNull() | (li == ri)
+                        maybe = True
+                    else:
+                        c = li == ri
                     cond = c if cond is None else cond & c
-                df = sol.df.join(rdf, cond, "left_outer").drop(
+                left = sol.df
+                uid = mk + "_uid"
+                if maybe:
+                    # null-compatible matches aren't 1:1 — tag rows so the
+                    # left_outer join can't multiply the solution multiset
+                    left = left.withColumn(uid, F.monotonically_increasing_id())
+                df = left.join(rdf, cond, "left_outer").drop(
                     *[RPFX + v + "__id" for v in shared]
                 )
+                if maybe:
+                    df = df.dropDuplicates([uid]).drop(uid)
                 df = df.withColumn(mk, F.coalesce(F.col(mk), F.lit(False)))
             sol = Sol(df, sol.vars, sol.maybe_unbound)
             val = F.col(mk)
@@ -711,15 +725,18 @@ class Compiler:
                 )
                 sol = Sol(df, sol.vars | {var.name}, sol.maybe_unbound | {var.name})
 
+        def _sort_cols(s: Sol):
+            cols = []
+            sec = ExprCompiler(self.resolver(s), agg_pairs=agg_repl)
+            for expr, asc in q.order_by:
+                t = sec.term(expr)
+                for k in T.sort_key(t):
+                    cols.append(k.asc_nulls_first() if asc else k.desc_nulls_last())
+            return cols
+
         # ORDER BY before projection (may reference non-projected vars)
         if q.order_by:
-            sort_cols = []
-            ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
-            for expr, asc in q.order_by:
-                t = ec.term(expr)
-                for k in T.sort_key(t):
-                    sort_cols.append(k.asc_nulls_first() if asc else k.desc_nulls_last())
-            df = sol.df.orderBy(*sort_cols)
+            df = sol.df.orderBy(*_sort_cols(sol))
             sol = Sol(df, sol.vars, sol.maybe_unbound)
 
         # projection
@@ -743,6 +760,12 @@ class Compiler:
                 sol.vars,
                 sol.maybe_unbound,
             )
+            if q.order_by:
+                # dropDuplicates is a hash aggregate and destroys row order;
+                # re-apply the sort. SPARQL restricts ORDER BY in a DISTINCT
+                # query to projected vars, so resolving over the projected
+                # solution is sufficient.
+                sol = Sol(sol.df.orderBy(*_sort_cols(sol)), sol.vars, sol.maybe_unbound)
         if q.offset:
             sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
         if q.limit is not None:

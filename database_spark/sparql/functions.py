@@ -203,6 +203,10 @@ def compare(a: Column, b: Column, op: str) -> Column:
         ident = term_equal(a, b)
         non_lit = (kind(a) != T.KIND_LITERAL) & (kind(b) != T.KIND_LITERAL)
         result = result.when(non_lit, ident if op == "=" else ~ident)
+        # RDFterm-equal: terms of different kinds (IRI vs literal vs bnode)
+        # are never equal — '=' is false, '!=' true. Only both-literal
+        # mismatches can remain a type error (values might still coincide).
+        result = result.when(kind(a) != kind(b), F.lit(op == "!="))
         # same unknown-datatype literals: identical term => equal;
         # different terms of unsupported types remain an error for '='
         result = result.when(

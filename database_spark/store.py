@@ -261,7 +261,9 @@ def _object_term(col: Column, dtype: str) -> Column:
     if d.startswith("decimal"):
         return T.literal_col(col.cast("string"), T.XSD_DECIMAL)
     if d == "boolean":
-        return T.literal_col(F.when(col, "true").otherwise("false"), T.XSD_BOOLEAN)
+        # NULL must stay NULL (cell skipped), not become "false"
+        lex = F.when(col.isNotNull(), F.when(col, "true").otherwise("false"))
+        return T.literal_col(lex, T.XSD_BOOLEAN)
     if d in ("timestamp", "timestamp_ntz"):
         lex = F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss")
         return T.literal_col(lex, T.XSD_DATETIME)

@@ -52,6 +52,26 @@ def test_ngram_jaccard_pairs(spark):
     assert got[(1, 2)] == pytest.approx(6 / 8, abs=1e-6)
 
 
+def test_ngram_jaccard_max_df_consistent(spark):
+    """When max_df drops a stop-shingle, sizes must be computed over the
+    surviving shingles too — Jaccard is over the non-stop universe
+    (ADVICE r1: sizes were counted pre-filter → biased low)."""
+    stop = "aa bb cc"  # one shared shingle across ALL docs → df=3 > max_df=2
+    rows = [
+        (1, f"{stop} xx yy zz ww"),
+        (2, f"{stop} xx yy zz vv"),
+        (3, f"{stop} q1 q2 q3 q4"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.5, max_df=2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # docs 1,2: 4 surviving shingles each ('aa bb cc' dropped), 3 common
+    # → 3/5 = 0.6.  With the old pre-filter sizes (5 each) this was
+    # 3/7 ≈ 0.43 < 0.5 → the pair was silently dropped.
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(3 / 5, abs=1e-6)
+
+
 def test_minhash_lsh_recall(docs):
     """LSH candidates (verified) must find the high-similarity pairs
     that exact all-pairs Jaccard finds."""
