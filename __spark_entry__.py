@@ -309,6 +309,125 @@ def q_sparql_not_exists(spark, sf_dir):
     )
 
 
+def q_sparql_minus(spark, sf_dir):
+    """MINUS with a shared variable (compiler.py MINUS shared-var rule;
+    reference: AST2BOp minus → JVMSolutionSetHashJoinOp anti-join)."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?c_name WHERE {{
+          ?c a t:Customer ; t:name ?c_name .
+          MINUS {{ ?c t:nation <urn:n:5> }}
+        }}""",
+        {"c_name": ("c_name", "lex")},
+    )
+
+
+def q_sparql_exists(spark, sf_dir):
+    """Positive FILTER EXISTS → left-semi join."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?c_name WHERE {{
+          ?c a t:Customer ; t:name ?c_name .
+          FILTER EXISTS {{
+            ?o t:customer ?c ; t:totalprice ?tp . FILTER(?tp > 300000)
+          }}
+        }}""",
+        {"c_name": ("c_name", "lex")},
+    )
+
+
+def q_sparql_path_zero(spark, sf_dir):
+    """Zero-or-one path `?` (ZeroLengthPathOp): each nation reaches
+    itself (length 0) and its region (length 1)."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?n_name ?x WHERE {{
+          ?n a t:Nation ; t:name ?n_name .
+          ?n t:region? ?x .
+        }}""",
+        {"n_name": ("n_name", "lex"), "x": ("x", "lex")},
+    )
+
+
+def q_sparql_nps(spark, sf_dir):
+    """Negated property set !(p1|p2): everything a nation states except
+    its name and type — leaves exactly the region edge."""
+    e = _graph(spark, sf_dir)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?s ?o WHERE {{
+          ?s a t:Nation .
+          ?s !(t:name|<{rdf_type}>) ?o .
+        }}""",
+        {"s": ("s", "lex"), "o": ("o", "lex")},
+    )
+
+
+def q_sparql_reduced(spark, sf_dir):
+    """SELECT REDUCED (we fully dedupe — a permitted REDUCED answer,
+    and the only deterministic one)."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT REDUCED ?seg WHERE {{ ?c a t:Customer ; t:mktsegment ?seg }}""",
+        {"seg": ("seg", "lex")},
+    )
+
+
+def q_sparql_federation(spark, sf_dir):
+    """SERVICE <http://…> federation through the vectored remote
+    handler (federation.py; reference ServiceCallJoin) with a hermetic
+    in-process endpoint — the HTTP fetcher is injectable, so the gate
+    exercises the render→fetch→parse→join path without a network."""
+    from database_spark.sparql.federation import make_remote_service
+
+    codes = [
+        ("AFRICA", "af"), ("AMERICA", "am"), ("ASIA", "as"),
+        ("EUROPE", "eu"), ("MIDDLE EAST", "me"),
+    ]
+
+    def fake_fetcher(endpoint, query):
+        return {
+            "head": {"vars": ["rn", "code"]},
+            "results": {
+                "bindings": [
+                    {
+                        "rn": {"type": "literal", "value": k},
+                        "code": {"type": "literal", "value": v},
+                    }
+                    for k, v in codes
+                ]
+            },
+        }
+
+    key = (sf_dir, "__fed__")
+    if key not in _GRAPH_CACHE:
+        store = _tpch_store(spark, sf_dir)
+        _GRAPH_CACHE[key] = SparqlEngine(
+            store, services=make_remote_service(fake_fetcher)
+        )
+    e = _GRAPH_CACHE[key]
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?n_name ?code WHERE {{
+          ?n a t:Nation ; t:name ?n_name ; t:region ?r .
+          ?r t:name ?rn .
+          SERVICE <http://example.org/sparql> {{ ?rn <urn:x:code> ?code }}
+        }}""",
+        {"n_name": ("n_name", "lex"), "code": ("code", "lex")},
+    )
+
+
 def q_sparql_path_seq(spark, sf_dir):
     e = _graph(spark, sf_dir)
     return _sel(
@@ -875,6 +994,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_optional": q_sparql_optional,
     "sparql_union": q_sparql_union,
     "sparql_not_exists": q_sparql_not_exists,
+    "sparql_minus": q_sparql_minus,
+    "sparql_exists": q_sparql_exists,
+    "sparql_path_zero": q_sparql_path_zero,
+    "sparql_nps": q_sparql_nps,
+    "sparql_reduced": q_sparql_reduced,
+    "sparql_federation": q_sparql_federation,
     "sparql_path_seq": q_sparql_path_seq,
     "sparql_path_plus": q_sparql_path_plus,
     "sparql_values": q_sparql_values,
@@ -998,6 +1123,36 @@ ORACLES: dict[str, str] = {
         WHERE NOT EXISTS (
           SELECT 1 FROM orders o
           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "sparql_minus": """
+        SELECT c_name FROM customer WHERE c_nationkey IS DISTINCT FROM 5
+    """,
+    "sparql_exists": """
+        SELECT c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    "sparql_path_zero": """
+        SELECT n_name, 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS x FROM nation
+        UNION ALL
+        SELECT n_name, 'urn:r:' || CAST(n_regionkey AS VARCHAR) AS x FROM nation
+    """,
+    "sparql_nps": """
+        SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS s,
+               'urn:r:' || CAST(n_regionkey AS VARCHAR) AS o
+        FROM nation
+    """,
+    "sparql_reduced": """
+        SELECT DISTINCT c_mktsegment AS seg FROM customer
+    """,
+    "sparql_federation": """
+        SELECT n_name, code
+        FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN (VALUES ('AFRICA','af'),('AMERICA','am'),('ASIA','as'),
+                     ('EUROPE','eu'),('MIDDLE EAST','me')) AS m(rn, code)
+          ON r_name = m.rn
     """,
     "sparql_path_seq": """
         SELECT c_name, r_name
