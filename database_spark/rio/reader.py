@@ -130,18 +130,20 @@ def read_ntriples(spark: SparkSession, path: str, distributed: bool = False) -> 
 _TTL_TOKEN = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
-  | (?P<PREFIX>@prefix|@base|PREFIX|BASE)
+  | (?P<PREFIX>@prefix|@base|PREFIX\b|BASE\b)
+  | (?P<GRAPH>GRAPH\b)
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<STRING_LONG>(?:'''(?:[^'\\]|\\.|'(?!''))*''')|(?:\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"))
   | (?P<STRING>'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
   | (?P<BLANK>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
-  | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)?)
+  | (?P<PNAME>(?:[A-Za-z][A-Za-z0-9_.-]*)?:(?:[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)?)
   | (?P<DOUBLE>[+-]?(?:\d+\.\d*[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+))
   | (?P<DECIMAL>[+-]?\d*\.\d+)
   | (?P<INTEGER>[+-]?\d+)
-  | (?P<BOOL>true|false)
-  | (?P<A>a)
+  | (?P<BOOL>true\b|false\b)
+  | (?P<A>a\b)
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<RDFSTAR><<|>>)
   | (?P<OP>\^\^|[\[\](){};,.])
     """,
     re.VERBOSE,
@@ -149,7 +151,12 @@ _TTL_TOKEN = re.compile(
 
 
 class TurtleParser:
-    """Minimal Turtle (covers the reference's .ttl test fixtures)."""
+    """Minimal Turtle + TriG (covers the reference's .ttl/.trig test
+    fixtures).  Emits quads; ``g`` is None in the default graph.
+    Supports collections ``( … )``, blank-node property lists, graph
+    blocks ``GRAPH <g> { … }`` / ``<g> { … }`` / ``{ … }``, and RDF*
+    embedded triples ``<< s p o >>`` (mapped to a statement-identifier
+    bnode per SURVEY §1.4 SID mapping)."""
 
     def __init__(self, text: str):
         self.toks = []
@@ -165,8 +172,13 @@ class TurtleParser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self.base = ""
-        self.triples: list = []
+        self.quads: list = []
+        self.graph: Term | None = None
         self._bn = 0
+
+    @property
+    def triples(self) -> list:
+        return [(s, p, o) for s, p, o, _ in self.quads]
 
     def peek(self):
         return self.toks[self.i]
@@ -175,6 +187,9 @@ class TurtleParser:
         t = self.toks[self.i]
         self.i += 1
         return t
+
+    def emit(self, s: Term, p: Term, o: Term):
+        self.quads.append((s, p, o, self.graph))
 
     def parse(self) -> list:
         while self.peek()[0] != "EOF":
@@ -190,10 +205,34 @@ class TurtleParser:
                 if self.peek() == ("OP", "."):
                     self.next()
                 continue
+            if k == "GRAPH":  # TriG: GRAPH <g> { ... }
+                self.next()
+                g = self.parse_node(subject=True)
+                self.parse_graph_block(g)
+                continue
+            if (k, v) == ("OP", "{"):  # TriG: anonymous default-graph block
+                self.parse_graph_block(None)
+                continue
             self.parse_statement()
             if self.peek() == ("OP", "."):
                 self.next()
-        return self.triples
+        return self.quads
+
+    def parse_graph_block(self, g: Term | None):
+        tk = self.next()
+        if tk != ("OP", "{"):
+            raise ValueError(f"expected {{ got {tk!r}")
+        prev, self.graph = self.graph, g
+        while self.peek() != ("OP", "}"):
+            if self.peek()[0] == "EOF":
+                raise ValueError("unterminated graph block")
+            self.parse_statement()
+            if self.peek() == ("OP", "."):
+                self.next()
+        self.next()  # }
+        self.graph = prev
+        if self.peek() == ("OP", "."):
+            self.next()
 
     def fresh_bnode(self) -> Term:
         self._bn += 1
@@ -201,6 +240,12 @@ class TurtleParser:
 
     def parse_statement(self):
         s = self.parse_node(subject=True)
+        if self.peek() == ("OP", "{"):  # TriG: <g> { ... }
+            self.parse_graph_block(s)
+            return
+        # a bare blank-node property list / collection may stand alone
+        if self.peek()[1] in (".", "}") or self.peek()[0] == "EOF":
+            return
         self.parse_polist(s)
 
     def parse_polist(self, s: Term):
@@ -213,7 +258,7 @@ class TurtleParser:
                 p = self.parse_node()
             while True:
                 o = self.parse_node()
-                self.triples.append((s, p, o))
+                self.emit(s, p, o)
                 if self.peek() == ("OP", ","):
                     self.next()
                     continue
@@ -268,20 +313,79 @@ class TurtleParser:
             if tk != ("OP", "]"):
                 raise ValueError(f"expected ] got {tk!r}")
             return bn
+        if (k, v) == ("OP", "("):  # collection → rdf:first/rest chain
+            items = []
+            while self.peek() != ("OP", ")"):
+                if self.peek()[0] == "EOF":
+                    raise ValueError("unterminated collection")
+                items.append(self.parse_node())
+            self.next()  # )
+            nil = Term.iri(T.RDF + "nil")
+            if not items:
+                return nil
+            first, rest = Term.iri(T.RDF + "first"), Term.iri(T.RDF + "rest")
+            head = self.fresh_bnode()
+            node = head
+            for i, item in enumerate(items):
+                self.emit(node, first, item)
+                nxt = self.fresh_bnode() if i + 1 < len(items) else nil
+                self.emit(node, rest, nxt)
+                node = nxt
+            return head
+        if (k, v) == ("RDFSTAR", "<<"):
+            # RDF* / SIDs: << s p o >> asserts the triple and yields its
+            # statement identifier (reference: RDF/rdf/spo/SPO.java SIDs
+            # mode, VTE.STATEMENT).  sid = deterministic bnode over n3.
+            es = self.parse_node(subject=True)
+            ep = self.parse_node()
+            eo = self.parse_node()
+            tk = self.next()
+            if tk != ("RDFSTAR", ">>"):
+                raise ValueError(f"expected >> got {tk!r}")
+            self.emit(es, ep, eo)
+            return statement_sid(es, ep, eo)
         raise ValueError(f"unexpected turtle token {k} {v!r}")
+
+
+def statement_sid(s: Term, p: Term, o: Term) -> Term:
+    """Deterministic statement identifier for RDF*/SIDs (SURVEY §1.4:
+    sid = hash(s,p,o); reference VTE.STATEMENT, RDF/rdf/spo/SPO.java)."""
+    import hashlib
+
+    h = hashlib.sha1(f"{s.n3()} {p.n3()} {o.n3()}".encode()).hexdigest()[:16]
+    return Term.bnode(f"sid-{h}")
+
+
+def _quads_df(spark: SparkSession, quads) -> DataFrame:
+    rows = [
+        (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
+        for s, p, o, g in quads
+    ]
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
 
 
 def read_turtle(spark: SparkSession, path: str) -> DataFrame:
     with open(path, encoding="utf-8") as f:
         text = f.read()
-    triples = TurtleParser(text).parse()
-    rows = [(s.as_row(), p.as_row(), o.as_row(), None) for s, p, o in triples]
-    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    return _quads_df(spark, TurtleParser(text).parse())
+
+
+def read_trig(spark: SparkSession, path: str) -> DataFrame:
+    """TriG = Turtle + graph blocks; the parser handles both."""
+    return read_turtle(spark, path)
 
 
 def read_rdf(spark: SparkSession, path: str, distributed: bool = False) -> DataFrame:
     if path.endswith((".nt", ".nq")):
         return read_ntriples(spark, path, distributed)
-    if path.endswith(".ttl"):
+    if path.endswith((".ttl", ".trig")):
         return read_turtle(spark, path)
+    if path.endswith((".rdf", ".xml", ".owl")):
+        from .rdfxml import read_rdfxml
+
+        return read_rdfxml(spark, path)
+    if path.endswith((".jsonld", ".json")):
+        from .jsonld import read_jsonld
+
+        return read_jsonld(spark, path)
     raise ValueError(f"unsupported RDF format: {path}")

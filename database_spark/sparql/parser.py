@@ -90,6 +90,10 @@ def tokenize(text: str) -> list[Token]:
         kind = m.lastgroup
         if kind == "PLOCAL":
             kind = "PNAME"
+        if kind is None and ":" in m.group(0):
+            # bare ":" or ":local" — empty prefix name; no named group
+            # fires, so lastgroup is None
+            kind = "PNAME"
         if kind != "WS":
             val = m.group(0)
             if kind == "NAME" and val.upper() in KEYWORDS | AGG_NAMES | BUILTINS:

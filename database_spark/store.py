@@ -66,9 +66,19 @@ class TripleStore:
 
     # ---------------------------------------------------------------- build
     @staticmethod
-    def from_term_structs(spark: SparkSession, df: DataFrame) -> "TripleStore":
-        """df must carry st/pt/ot (and optionally gt) TERM struct columns."""
-        return TripleStore(spark, _with_ids(df))
+    def from_term_structs(
+        spark: SparkSession, df: DataFrame, dedupe: bool = True
+    ) -> "TripleStore":
+        """df must carry st/pt/ot (and optionally gt) TERM struct columns.
+
+        An RDF graph is a *set* of statements (the reference's SPO
+        B+Tree index dedupes on insert); `dedupe=True` enforces that
+        with one hash-aggregate on the 64-bit (s,p,o,g) ids.
+        """
+        out = _with_ids(df)
+        if dedupe:
+            out = out.dropDuplicates(["s", "p", "o", "g"])
+        return TripleStore(spark, out)
 
     @staticmethod
     def from_python_triples(spark: SparkSession, triples: list) -> "TripleStore":

@@ -1,0 +1,158 @@
+"""Conformance harness over the reference's data-driven SPARQL corpus.
+
+The reference's correctness backbone is its data-driven test suite
+(``bigdata-rdf-test/.../sparql/ast/eval/`` — per-test ``X.rq`` query,
+``X.ttl``/``X.trig`` data, ``X.srx`` expected bindings; runner
+``AbstractDataDrivenSPARQLTestCase.java``).  This harness executes the
+same fixtures against our engine *in place* (read-only from the
+reference checkout — nothing is copied) and reports a pass rate.
+
+Usage:  python tools/run_tck.py [--families sparql11,union] [--report]
+
+Outcomes per stem:
+  pass   — bindings match (bnode-isomorphic multiset, value-based
+           numeric literal compare)
+  fail   — engine ran but produced different bindings
+  error  — parse/compile/execute raised
+  skip   — fixture uses a vendor extension we intentionally don't
+           support (reason recorded)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EVAL_DIR = Path(
+    os.environ.get(
+        "SPARK_GRAFT_TCK_DIR",
+        "/root/reference/bigdata-rdf-test/src/test/java/com/bigdata/rdf/sparql/ast/eval",
+    )
+)
+
+# vendor extensions / transports out of scope for the SPARQL core gate
+SKIP_PATTERNS = [
+    (re.compile(r"hint:"), "blazegraph query hints"),
+    (re.compile(r"bds:|<http://www\.bigdata\.com/rdf/search#"), "bds: full-text fixture (separate gate)"),
+    (re.compile(r"<http://www\.bigdata\.com/rdf/gas#"), "gas: fixture (separate gate)"),
+    (re.compile(r"fts:"), "external full-text SERVICE"),
+    (re.compile(r"geo:|geospatial"), "geospatial fixture (separate gate)"),
+    (re.compile(r"SERVICE\s+<http"), "remote SERVICE endpoint"),
+    (re.compile(r"sameTerm\s*\(\s*\?\w+\s*,\s*<<"), "RDF* in query position"),
+    (re.compile(r"<<"), "RDF* in query position"),
+    (re.compile(r"\bLET\b"), "LET extension"),
+]
+
+
+def discover(families: list[str] | None = None) -> list[str]:
+    stems = []
+    for rq in sorted(EVAL_DIR.glob("*.rq")):
+        stem = rq.stem
+        if not (EVAL_DIR / f"{stem}.srx").exists():
+            continue
+        if families and not any(stem.startswith(f) for f in families):
+            continue
+        stems.append(stem)
+    return stems
+
+
+def data_file(stem: str) -> Path | None:
+    for ext in ("ttl", "trig", "nt", "nq"):
+        p = EVAL_DIR / f"{stem}.{ext}"
+        if p.exists():
+            return p
+    return None
+
+
+def load_store(spark, path: Path | None):
+    from database_spark.rio.reader import TurtleParser, parse_nt_line
+    from database_spark.store import TripleStore
+
+    quads = []
+    if path is not None:
+        text = path.read_text(encoding="utf-8")
+        if path.suffix in (".ttl", ".trig"):
+            quads = TurtleParser(text).parse()
+        else:
+            for line in text.splitlines():
+                q = parse_nt_line(line)
+                if q:
+                    quads.append(q)
+    return TripleStore.from_python_triples(spark, quads)
+
+
+def run_one(spark, stem: str) -> tuple[str, str]:
+    """Returns (outcome, detail)."""
+    from database_spark.rio.srx import parse_srx, results_equal, rows_to_terms
+    from database_spark.sparql.engine import SparqlEngine
+
+    query = (EVAL_DIR / f"{stem}.rq").read_text(encoding="utf-8")
+    for pat, reason in SKIP_PATTERNS:
+        if pat.search(query):
+            return "skip", reason
+    expected = parse_srx((EVAL_DIR / f"{stem}.srx").read_text(encoding="utf-8"))
+    store = load_store(spark, data_file(stem))
+    engine = SparqlEngine(store)
+    try:
+        if expected["boolean"] is not None:
+            got = engine.ask(query)
+            if got == expected["boolean"]:
+                return "pass", ""
+            return "fail", f"ASK: expected {expected['boolean']}, got {got}"
+        res = engine.select(query)
+        got_rows = rows_to_terms(res.df.collect(), res.vars)
+        ordered = bool(re.search(r"\bORDER\s+BY\b", query, re.I))
+        if results_equal(expected["rows"], got_rows, ordered=ordered):
+            return "pass", ""
+        return (
+            "fail",
+            f"{len(expected['rows'])} expected vs {len(got_rows)} got rows",
+        )
+    except Exception as e:  # noqa: BLE001 — classified, not swallowed
+        return "error", f"{type(e).__name__}: {str(e)[:200]}"
+
+
+def main():
+    families = None
+    if "--families" in sys.argv:
+        families = sys.argv[sys.argv.index("--families") + 1].split(",")
+    if not EVAL_DIR.exists():
+        print(json.dumps({"error": f"missing {EVAL_DIR}"}))
+        return
+    from database_spark.session import get_spark
+
+    spark = get_spark("tck", shuffle_partitions=4)
+    stems = discover(families)
+    results: dict[str, dict] = {}
+    counts = {"pass": 0, "fail": 0, "error": 0, "skip": 0}
+    t0 = time.time()
+    for i, stem in enumerate(stems):
+        outcome, detail = run_one(spark, stem)
+        counts[outcome] += 1
+        results[stem] = {"outcome": outcome, "detail": detail}
+        if outcome != "pass":
+            print(f"[{i+1}/{len(stems)}] {stem}: {outcome} {detail}", flush=True)
+        elif (i + 1) % 25 == 0:
+            print(f"[{i+1}/{len(stems)}] ... ({counts})", flush=True)
+    wall = time.time() - t0
+    ran = counts["pass"] + counts["fail"] + counts["error"]
+    summary = {
+        "total": len(stems),
+        **counts,
+        "pass_rate_of_run": round(counts["pass"] / ran, 4) if ran else None,
+        "wall_sec": round(wall, 1),
+    }
+    print(json.dumps(summary))
+    out = Path(__file__).resolve().parent.parent / "TCK.json"
+    out.write_text(json.dumps({"summary": summary, "results": results}, indent=1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
