@@ -70,6 +70,24 @@ def _numeric_value(term: Term):
             return None
 
 
+_TEMPORAL_DTS = {T.XSD_DATETIME, T.XSD_DATE}
+
+
+def _temporal_value(term: Term):
+    if term.kind != T.KIND_LITERAL or term.dt not in _TEMPORAL_DTS:
+        return None
+    from datetime import datetime, timezone
+
+    lex = term.lex.strip().replace("Z", "+00:00")
+    try:
+        v = datetime.fromisoformat(lex)
+    except ValueError:
+        return None
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=timezone.utc)
+    return v
+
+
 def _term_eq(a: Term | None, b: Term | None, bij: dict, rev: dict) -> bool:
     """Equality under a (mutable) bnode bijection.  Numeric literals
     compare by value within the same promotion family (the reference's
@@ -91,6 +109,9 @@ def _term_eq(a: Term | None, b: Term | None, bij: dict, rev: dict) -> bool:
         if va is not None and vb is not None:
             same_family = _NUM_FAMILY.get(a.dt) == _NUM_FAMILY.get(b.dt)
             return same_family and va == vb
+        ta, tb = _temporal_value(a), _temporal_value(b)
+        if ta is not None and tb is not None:
+            return a.dt == b.dt and ta == tb
         return (
             a.lex == b.lex
             and a.dt == b.dt

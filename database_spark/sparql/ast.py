@@ -161,6 +161,14 @@ class SubSelect:
     query: "SelectQuery"
 
 
+@dataclass
+class NamedSubqueryInclude:
+    """INCLUDE %name — join a named solution set (blazegraph extension;
+    reference: NamedSubqueryInclude.java, HTreeNamedSubqueryOp.java)."""
+
+    name: str
+
+
 # ------------------------------------------------------------------ queries
 @dataclass
 class SelectQuery:
@@ -175,6 +183,7 @@ class SelectQuery:
     offset: int | None = None
     values: ValuesPattern | None = None
     dataset: list = field(default_factory=list)  # FROM / FROM NAMED
+    named_subqueries: list = field(default_factory=list)  # [(name, SelectQuery)]
 
 
 @dataclass

@@ -76,10 +76,24 @@ class Compiler:
         triples: DataFrame,
         services: dict | None = None,
         p_buckets: int | None = None,
+        named_sets: dict | None = None,
+        default_triples: DataFrame | None = None,
+        named_graph_ids: list | None = None,
     ):
         self.spark = spark
         self.triples = triples
+        # union-default-graph view for unscoped scans (falls back to the
+        # quads df itself for triples-only stores)
+        self.default_triples = default_triples if default_triples is not None else triples
+        # FROM NAMED restriction: list of graph Terms, or None = all;
+        # each folds to a constant-id equality Catalyst can push down
+        self.named_graphs = named_graph_ids
         self.services = services or {}
+        # named solution sets (blazegraph WITH … AS %name / INCLUDE):
+        # name → Sol, computed once and persisted, joined per INCLUDE
+        # (HTreeNamedSubqueryOp.java:77 builds the hash index once and
+        # SolutionSetHashJoinOp re-joins it; persist() is the Spark analog)
+        self.named_sets = dict(named_sets or {})
         # bucket count of a predicate-partitioned parquet layout (None
         # when the store isn't partitioned) — enables partition pruning
         # for bound-predicate scans
@@ -114,6 +128,17 @@ class Compiler:
 
         return resolve
 
+    def _named_graph_cond(self) -> Column:
+        """FROM NAMED restriction: g ∈ {ids of the listed graphs}."""
+        import functools
+        import operator
+
+        return functools.reduce(
+            operator.or_,
+            [F.col("g") == T.term_id(T.lit_term(t)) for t in self.named_graphs],
+            F.lit(False),
+        )
+
     # ------------------------------------------------------- BGP / scans
     def scan_pattern(self, tp: A.TriplePattern, graph) -> Sol:
         """One triple pattern → filtered/projected scan of `triples`.
@@ -123,7 +148,11 @@ class Compiler:
         positions become pushed-down long-equality filters (xxhash64 of
         a literal constant folds → `PushedFilters: [EqualTo(p, …)]`).
         """
-        df = self.triples
+        # default-graph scans read the union-default-graph view (quads
+        # mode: union of all contexts, distinct SPO — StripContextFilter
+        # semantics); GRAPH scans read the full quads
+        df = self.default_triples if graph is None else self.triples
+        bucketed = self.p_buckets and "p_bucket" in df.columns
         binds: dict[str, str] = {}  # var name -> first position bound
         conds: list[Column] = []
         for pos, node in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
@@ -135,7 +164,7 @@ class Compiler:
             elif isinstance(node, A.Const):
                 term_id = T.term_id(T.lit_term(node.term))
                 conds.append(F.col(pos) == term_id)
-                if pos == "p" and self.p_buckets:
+                if pos == "p" and bucketed:
                     # predicate-partitioned layout (TripleStore.save
                     # partition_by_predicate): the bucket equality is a
                     # PARTITION filter — prunes whole directories, the
@@ -151,12 +180,16 @@ class Compiler:
             conds.append(F.col("g").isNull())
         elif isinstance(graph, A.Var):
             conds.append(F.col("g").isNotNull())
+            if self.named_graphs is not None:
+                conds.append(self._named_graph_cond())
             if graph.name not in binds:
                 binds[graph.name] = "g"
             else:
                 conds.append(F.col("g") == F.col(binds[graph.name]))
         else:  # Term
             conds.append(F.col("g") == T.term_id(T.lit_term(graph)))
+            if self.named_graphs is not None:
+                conds.append(self._named_graph_cond())
         for c in conds:
             df = df.where(c)
         sel = []
@@ -360,16 +393,32 @@ class Compiler:
         cond = F.coalesce(ec.bool(expr), F.lit(False))
         return Sol(sol.df.where(cond), sol.vars, sol.maybe_unbound)
 
-    def _exists_join(self, sol: Sol, group: A.GroupPattern, graph, anti: bool) -> Sol:
-        inner = self.compile_group(group, graph)
-        shared = sorted(sol.vars & inner.vars)
-        if not shared:
-            nonempty = bool(inner.df.limit(1).count())
-            keep = (not nonempty) if anti else nonempty
-            return sol if keep else self.empty(sol.vars)
-        rdf = inner.df.select(*[v + "__id" for v in shared]).dropDuplicates()
-        for v in shared:
-            rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
+    def _exists_inner(self, sol: Sol, group: A.GroupPattern, graph):
+        """Compile an EXISTS pattern with correlation: top-level inner
+        FILTERs that reference outer-scope variables become join-time
+        conditions (SPARQL §8.1.1 substitution semantics — the outer
+        row's bindings are substituted into the pattern, so such
+        filters see the outer values).  Returns (inner_sol,
+        correlated_filter_exprs)."""
+        filters = [el.expr for el in group.elements if isinstance(el, A.FilterPattern)]
+        rest = A.GroupPattern(
+            [el for el in group.elements if not isinstance(el, A.FilterPattern)]
+        )
+        inner = self.compile_group(rest, graph)
+        local, corr = [], []
+        for fx in filters:
+            if _expr_vars(fx) <= inner.vars:
+                local.append(fx)
+            else:
+                corr.append(fx)
+        if local:
+            inner = self.apply_filters(inner, local, graph)
+        return inner, corr
+
+    def _exists_cond(self, sol: Sol, inner: Sol, corr: list, shared: list):
+        """Join condition for EXISTS: shared-var compatibility plus the
+        correlated filters evaluated over (outer cols, RPFX'd inner
+        cols).  Also returns the inner-side columns the join needs."""
         cond = None
         for v in shared:
             li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
@@ -378,6 +427,39 @@ class Compiler:
             else:
                 c = li == ri
             cond = c if cond is None else cond & c
+        need_terms: set = set()
+        for fx in corr:
+            need_terms |= _expr_vars(fx)
+
+        def resolve(name: str) -> Column:
+            # substitution: a bound outer var wins; unbound falls back
+            # to the inner binding (the var stayed free in the pattern)
+            if name in sol.vars and name in inner.vars:
+                return F.coalesce(F.col(name), F.col(RPFX + name))
+            if name in sol.vars:
+                return F.col(name)
+            if name in inner.vars:
+                return F.col(RPFX + name)
+            raise KeyError(name)
+
+        for fx in corr:
+            ec = ExprCompiler(resolve)
+            c = F.coalesce(ec.bool(fx), F.lit(False))
+            cond = c if cond is None else cond & c
+        inner_cols = [v + "__id" for v in shared] + sorted(need_terms & inner.vars)
+        return cond, inner_cols
+
+    def _exists_join(self, sol: Sol, group: A.GroupPattern, graph, anti: bool) -> Sol:
+        inner, corr = self._exists_inner(sol, group, graph)
+        shared = sorted(sol.vars & inner.vars)
+        if not shared and not corr:
+            nonempty = bool(inner.df.limit(1).count())
+            keep = (not nonempty) if anti else nonempty
+            return sol if keep else self.empty(sol.vars)
+        cond, inner_cols = self._exists_cond(sol, inner, corr, shared)
+        rdf = inner.df.select(*dict.fromkeys(inner_cols)).dropDuplicates()
+        for c in inner_cols:
+            rdf = rdf.withColumnRenamed(c, RPFX + c)
         how = "left_anti" if anti else "left_semi"
         return Sol(sol.df.join(rdf, cond, how), sol.vars, sol.maybe_unbound)
 
@@ -388,35 +470,29 @@ class Compiler:
         _walk_exists(expr, nodes)
         repl = {}
         for node in nodes:
-            inner = self.compile_group(node.group, graph)
+            inner, corr = self._exists_inner(sol, node.group, graph)
             shared = sorted(sol.vars & inner.vars)
             mk = self.fresh()
-            if not shared:
+            if not shared and not corr:
                 flag = F.lit(bool(inner.df.limit(1).count()))
                 df = sol.df.withColumn(mk, flag)
             else:
-                rdf = inner.df.select(*[v + "__id" for v in shared]).dropDuplicates()
-                for v in shared:
-                    rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
+                cond, inner_cols = self._exists_cond(sol, inner, corr, shared)
+                rdf = inner.df.select(*dict.fromkeys(inner_cols)).dropDuplicates()
+                for c in inner_cols:
+                    rdf = rdf.withColumnRenamed(c, RPFX + c)
                 rdf = rdf.withColumn(mk, F.lit(True))
-                cond = None
-                maybe = False
-                for v in shared:
-                    li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
-                    if v in sol.maybe_unbound or v in inner.maybe_unbound:
-                        c = li.isNull() | ri.isNull() | (li == ri)
-                        maybe = True
-                    else:
-                        c = li == ri
-                    cond = c if cond is None else cond & c
+                maybe = bool(corr) or any(
+                    v in sol.maybe_unbound or v in inner.maybe_unbound for v in shared
+                )
                 left = sol.df
                 uid = mk + "_uid"
                 if maybe:
-                    # null-compatible matches aren't 1:1 — tag rows so the
+                    # non-equi matches aren't 1:1 — tag rows so the
                     # left_outer join can't multiply the solution multiset
                     left = left.withColumn(uid, F.monotonically_increasing_id())
                 df = left.join(rdf, cond, "left_outer").drop(
-                    *[RPFX + v + "__id" for v in shared]
+                    *[RPFX + c for c in inner_cols]
                 )
                 if maybe:
                     df = df.dropDuplicates([uid]).drop(uid)
@@ -481,6 +557,11 @@ class Compiler:
             elif isinstance(el, A.SubSelect):
                 flush_bgp()
                 sol = self.join(sol, self.compile_select(el.query))
+            elif isinstance(el, A.NamedSubqueryInclude):
+                flush_bgp()
+                if el.name not in self.named_sets:
+                    raise SparqlCompileError(f"unknown solution set %{el.name}")
+                sol = self.join(sol, self.named_sets[el.name])
             elif isinstance(el, A.ServicePattern):
                 flush_bgp()
                 sol = self.join(sol, self.service(el, graph))
@@ -697,6 +778,14 @@ class Compiler:
 
     # ----------------------------------------------------------- SELECT
     def compile_select(self, q: A.SelectQuery) -> Sol:
+        for name, sub in q.named_subqueries:
+            subsol = self.compile_select(sub)
+            # compute once, reuse across every INCLUDE: persist() gives
+            # all INCLUDE joins the same materialized scan instead of
+            # re-evaluating the subplan per reference
+            self.named_sets[name] = Sol(
+                subsol.df.persist(), subsol.vars, subsol.maybe_unbound
+            )
         sol = self.compile_group(q.where)
         if q.values is not None:
             sol = self.join(sol, self.values_sol(q.values))
@@ -878,6 +967,39 @@ def _avg_distinct(v: Column) -> Column:
 
 def _has_path(tp: A.TriplePattern) -> bool:
     return not isinstance(tp.p, (A.Var, A.Const))
+
+
+def _expr_vars(e) -> set:
+    """Free variables of an expression (EXISTS groups contribute the
+    pattern's mentioned vars — any of them may correlate outward)."""
+    out: set = set()
+
+    def walk(x):
+        if isinstance(x, A.Var):
+            out.add(x.name)
+        elif isinstance(x, A.Op):
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, A.FuncCall):
+            for a in x.args:
+                walk(a)
+        elif isinstance(x, A.InExpr):
+            walk(x.expr)
+            for a in x.options:
+                walk(a)
+        elif isinstance(x, A.AggExpr):
+            if getattr(x, "expr", None) is not None:
+                walk(x.expr)
+        elif isinstance(x, A.ExistsExpr):
+            for el in x.group.elements:
+                if isinstance(el, A.TriplePattern):
+                    for node in (el.s, el.p, el.o):
+                        walk(node)
+                elif isinstance(el, A.FilterPattern):
+                    walk(el.expr)
+
+    walk(e)
+    return out
 
 
 def _walk_exists(e, out: list) -> None:

@@ -70,22 +70,79 @@ class SparqlEngine:
             self.services.update(services)
 
     # ------------------------------------------------------------ queries
-    def _compiler(self) -> Compiler:
+    def _compiler(
+        self, named_sets: dict | None = None, dataset: list | None = None
+    ) -> Compiler:
+        """dataset: [("default"|"named", Term)] from FROM / FROM NAMED.
+
+        FROM graphs form the query's default graph (union + distinct
+        SPO); FROM NAMED restricts which graphs GRAPH patterns see
+        (reference: DataSetSummary / the dataset node on the AST).
+        With no dataset clause the store-wide union default graph is
+        used (quads-mode default).
+        """
+        default_df = None
+        named_graphs = None
+        if dataset:
+            import functools
+            import operator
+
+            from_terms = [t.term if isinstance(t, A.Const) else t for k, t in dataset if k == "default"]
+            named_terms = [t.term if isinstance(t, A.Const) else t for k, t in dataset if k == "named"]
+            flat = self.store.df
+            if "p_bucket" in flat.columns:
+                flat = flat.drop("p_bucket")
+            if from_terms:
+                cond = functools.reduce(
+                    operator.or_,
+                    [F.col("g") == T.term_id(T.lit_term(t)) for t in from_terms],
+                    F.lit(False),
+                )
+                default_df = (
+                    flat.where(cond)
+                    .withColumn("g", F.lit(None).cast("long"))
+                    .withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
+                    .dropDuplicates(["s", "p", "o"])
+                )
+            else:
+                # FROM NAMED only: the default graph is empty
+                default_df = flat.where(F.lit(False))
+            named_graphs = named_terms if named_terms else None
         return Compiler(
             self.store.spark,
             self.store.df,
             self.services,
             p_buckets=getattr(self.store, "p_buckets", None),
+            named_sets=named_sets,
+            default_triples=(
+                default_df if default_df is not None else self.store.default_graph()
+            ),
+            named_graph_ids=named_graphs,
         )
 
-    def select(self, text: str) -> SelectResult:
+    def solution_set(self, df: DataFrame) -> Sol:
+        """Wrap a DataFrame of term-struct columns as a named solution
+        set usable via INCLUDE %name (reference: ISolutionSetManager —
+        pre-computed solution sets installed by the caller)."""
+        vars_ = {c for c in df.columns if not c.endswith("__id")}
+        for v in sorted(vars_):
+            if v + "__id" not in df.columns:
+                df = df.withColumn(
+                    v + "__id", F.when(F.col(v).isNotNull(), T.term_id(F.col(v)))
+                )
+        return Sol(df, vars_, set(vars_))
+
+    def select(self, text: str, named_sets: dict | None = None) -> SelectResult:
         q = parse_query(text)
         if not isinstance(q, A.SelectQuery):
             raise TypeError("not a SELECT query")
-        return self._select(q)
+        return self._select(q, named_sets)
 
-    def _select(self, q: A.SelectQuery) -> SelectResult:
-        c = self._compiler()
+    def _select(self, q: A.SelectQuery, named_sets: dict | None = None) -> SelectResult:
+        c = self._compiler(
+            {k: self.solution_set(v) for k, v in (named_sets or {}).items()},
+            dataset=q.dataset,
+        )
         sol = c.compile_select(q)
         order = getattr(sol, "projected_order", sorted(sol.vars))
         return SelectResult(sol.df.select(*order), order)
@@ -94,7 +151,7 @@ class SparqlEngine:
         q = parse_query(text)
         if not isinstance(q, A.AskQuery):
             raise TypeError("not an ASK query")
-        c = self._compiler()
+        c = self._compiler(dataset=q.dataset)
         sol = c.compile_group(q.where)
         return bool(sol.df.limit(1).count())
 
@@ -102,7 +159,7 @@ class SparqlEngine:
         q = parse_query(text)
         if not isinstance(q, A.ConstructQuery):
             raise TypeError("not a CONSTRUCT query")
-        c = self._compiler()
+        c = self._compiler(dataset=q.dataset)
         sol = c.compile_group(q.where)
         if q.offset:
             sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)

@@ -38,6 +38,7 @@ _TOKEN_RE = re.compile(
   | (?P<DECIMAL>[+-]?\d*\.\d+)
   | (?P<INTEGER>[+-]?\d+)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<NAMEDSET>%[A-Za-z_][A-Za-z0-9_]*)
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<OP>\^\^|\|\||&&|!=|<=|>=|[=<>!+\-*/|^?(){}\[\].,;])
     """,
@@ -52,6 +53,7 @@ KEYWORDS = {
     "EXISTS", "NOT", "IN", "A", "TRUE", "FALSE",
     "INSERT", "DELETE", "DATA", "LOAD", "INTO", "CLEAR", "CREATE", "DROP",
     "COPY", "MOVE", "ADD", "TO", "WITH", "USING", "DEFAULT", "ALL",
+    "INCLUDE", "BINDINGS",
 }
 
 AGG_NAMES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
@@ -319,15 +321,52 @@ class Parser:
                 else:
                     break
         dataset = self.parse_dataset_clauses()
+        # blazegraph named subqueries: WITH { SELECT ... } AS %name
+        # (NamedSubqueryRoot in the reference AST)
+        named_subqueries = []
+        while self.at_kw("WITH"):
+            self.next()
+            self.eat_op("{")
+            sub = self.parse_select()
+            self.eat_op("}")
+            self.eat_kw("AS")
+            tok = self.next()
+            if tok.kind != "NAMEDSET":
+                raise SparqlSyntaxError(f"expected %name at {tok!r}")
+            named_subqueries.append((tok.value[1:], sub))
         if self.at_kw("WHERE"):
             self.next()
         where = self.parse_group_graph_pattern()
         q = A.SelectQuery(projections=projections, where=where, distinct=distinct,
-                          reduced=reduced, dataset=dataset)
+                          reduced=reduced, dataset=dataset,
+                          named_subqueries=named_subqueries)
         self.parse_solution_modifiers(q)
         if self.at_kw("VALUES"):
             self.next()
             q.values = self.parse_values_body()
+        elif self.at_kw("BINDINGS"):
+            # SPARQL 1.1 draft syntax kept by the reference's fixtures:
+            # BINDINGS ?x ?y { (v1 v2) ... } — vars unparenthesized.
+            # Unlike final-spec VALUES (joined after the WHERE clause),
+            # the reference evaluates BINDINGS as *initial* bindings
+            # pushed into the WHERE group (solutions-in semantics of
+            # the federation draft), so OPTIONALs left-join onto them —
+            # prepend to the group to reproduce that.
+            self.next()
+            vars_ = []
+            while self.peek().kind == "VAR":
+                vars_.append(A.Var(self.next().value[1:]))
+            self.eat_op("{")
+            rows = []
+            while self.at_op("("):
+                self.next()
+                row = []
+                while not self.at_op(")"):
+                    row.append(self._parse_data_value())
+                self.next()
+                rows.append(tuple(row))
+            self.eat_op("}")
+            q.where.elements.insert(0, A.ValuesPattern(vars_, rows))
         return q
 
     def parse_dataset_clauses(self) -> list:
@@ -461,6 +500,13 @@ class Parser:
         while not self.at_op("}"):
             if self.at_kw("SELECT"):
                 group.elements.append(A.SubSelect(self.parse_select()))
+            elif self.at_kw("INCLUDE"):
+                self.next()
+                tok = self.next()
+                if tok.kind != "NAMEDSET":
+                    raise SparqlSyntaxError(f"expected %name at {tok!r}")
+                group.elements.append(A.NamedSubqueryInclude(tok.value[1:]))
+                self.try_op(".")
             elif self.at_op("{"):
                 inner = self.parse_group_graph_pattern()
                 if self.at_kw("UNION"):
@@ -732,10 +778,20 @@ class Parser:
 
     def parse_additive(self):
         e = self.parse_multiplicative()
-        while self.peek().kind == "OP" and self.peek().value in ("+", "-"):
-            op = self.next().value
-            e = A.Op(op, (e, self.parse_multiplicative()))
-        return e
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value in ("+", "-"):
+                op = self.next().value
+                e = A.Op(op, (e, self.parse_multiplicative()))
+            elif t.kind in ("INTEGER", "DECIMAL", "DOUBLE") and t.value[0] in "+-":
+                # "?x+5" lexes the sign into the numeric literal
+                # (SPARQL grammar quirk); re-split it as addition
+                tok = self.next()
+                dt = {"INTEGER": "integer", "DECIMAL": "decimal", "DOUBLE": "double"}
+                lit = A.Const(Term.literal(tok.value[1:], XSD + dt[tok.kind]))
+                e = A.Op(tok.value[0], (e, lit))
+            else:
+                return e
 
     def parse_multiplicative(self):
         e = self.parse_unary()

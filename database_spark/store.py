@@ -186,6 +186,33 @@ class TripleStore:
         )
 
     # ------------------------------------------------------------- views
+    def default_graph(self) -> DataFrame:
+        """The query default graph: union of the null context and all
+        named graphs, with distinct-(s,p,o) set semantics.
+
+        Reference behavior (quads mode): an unscoped triple pattern
+        reads the union of all contexts through a default-graph access
+        path that strips the context and filters duplicate SPOs
+        (StripContextFilter + the DISTINCT SPO default-graph access
+        paths in ``AST2BOpUtility``).  When the store holds no named
+        graphs the df is returned as-is — no extra shuffle on the
+        triples-only fast path (checked once, cached).
+        """
+        if getattr(self, "_default_df", None) is None:
+            has_named = (
+                self.df.select("g").where(F.col("g").isNotNull()).limit(1).count() > 0
+            )
+            if has_named:
+                flat = self._flat()
+                self._default_df = (
+                    flat.withColumn("g", F.lit(None).cast("long"))
+                    .withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
+                    .dropDuplicates(["s", "p", "o"])
+                )
+            else:
+                self._default_df = self.df
+        return self._default_df
+
     def terms(self) -> DataFrame:
         """Derived dictionary view (TERM2ID analog): distinct terms + ids."""
         parts = [

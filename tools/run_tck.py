@@ -50,6 +50,13 @@ SKIP_PATTERNS = [
 ]
 
 
+# fixtures whose harness installs state outside the query/data files
+STEM_SKIPS = {
+    "include_01": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
+    "include_02": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
+}
+
+
 def discover(families: list[str] | None = None) -> list[str]:
     stems = []
     for rq in sorted(EVAL_DIR.glob("*.rq")):
@@ -63,10 +70,17 @@ def discover(families: list[str] | None = None) -> list[str]:
 
 
 def data_file(stem: str) -> Path | None:
-    for ext in ("ttl", "trig", "nt", "nq"):
-        p = EVAL_DIR / f"{stem}.{ext}"
-        if p.exists():
-            return p
+    # variant fixtures share a data file under the un-suffixed stem
+    # (exists-988a.rq → exists-988.trig)
+    candidates = [stem]
+    base = re.sub(r"[a-z]$", "", stem)
+    if base != stem:
+        candidates.append(base)
+    for cand in candidates:
+        for ext in ("ttl", "trig", "nt", "nq"):
+            p = EVAL_DIR / f"{cand}.{ext}"
+            if p.exists():
+                return p
     return None
 
 
@@ -93,13 +107,15 @@ def run_one(spark, stem: str) -> tuple[str, str]:
     from database_spark.sparql.engine import SparqlEngine
 
     query = (EVAL_DIR / f"{stem}.rq").read_text(encoding="utf-8")
+    if stem in STEM_SKIPS:
+        return "skip", STEM_SKIPS[stem]
     for pat, reason in SKIP_PATTERNS:
         if pat.search(query):
             return "skip", reason
-    expected = parse_srx((EVAL_DIR / f"{stem}.srx").read_text(encoding="utf-8"))
-    store = load_store(spark, data_file(stem))
-    engine = SparqlEngine(store)
     try:
+        expected = parse_srx((EVAL_DIR / f"{stem}.srx").read_text(encoding="utf-8"))
+        store = load_store(spark, data_file(stem))
+        engine = SparqlEngine(store)
         if expected["boolean"] is not None:
             got = engine.ask(query)
             if got == expected["boolean"]:
