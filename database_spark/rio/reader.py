@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructField, StructType
 
 from .. import terms as T
-from ..terms import Term
+from ..terms import Term, statement_sid  # noqa: F401 — statement_sid re-exported
 
 TRIPLE_SCHEMA = StructType(
     [
@@ -347,13 +347,6 @@ class TurtleParser:
         raise ValueError(f"unexpected turtle token {k} {v!r}")
 
 
-def statement_sid(s: Term, p: Term, o: Term) -> Term:
-    """Deterministic statement identifier for RDF*/SIDs (SURVEY §1.4:
-    sid = hash(s,p,o); reference VTE.STATEMENT, RDF/rdf/spo/SPO.java)."""
-    import hashlib
-
-    h = hashlib.sha1(f"{s.n3()} {p.n3()} {o.n3()}".encode()).hexdigest()[:16]
-    return Term.bnode(f"sid-{h}")
 
 
 def _quads_df(spark: SparkSession, quads) -> DataFrame:

@@ -44,6 +44,17 @@ class FuncCall:
 
 
 @dataclass(frozen=True)
+class SidExpr:
+    """Statement identifier of an (asserted) triple — the value of an
+    RDF* embedded pattern << s p o >> (reference: SIDs mode,
+    RDF/rdf/spo/SPO.java statement identifiers)."""
+
+    s: object
+    p: object
+    o: object
+
+
+@dataclass(frozen=True)
 class ExistsExpr:
     group: "GroupPattern"
     negated: bool

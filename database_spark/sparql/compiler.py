@@ -939,7 +939,12 @@ class Compiler:
                     pack_string(F.array_join(F.sort_array(lst), agg.separator)).alias(name)
                 )
             else:
-                raise SparqlCompileError(f"aggregate {agg.name}")
+                from .functions import CUSTOM_AGGREGATES
+
+                fn = CUSTOM_AGGREGATES.get(agg.name)
+                if fn is None:
+                    raise SparqlCompileError(f"aggregate {agg.name}")
+                agg_cols_for.append(fn(in_t, agg.distinct).alias(name))
             agg_cols += agg_cols_for
             repl.append((agg, F.col(name)))
 

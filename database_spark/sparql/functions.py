@@ -35,6 +35,26 @@ class SparqlCompileError(Exception):
     pass
 
 
+# -------------------------------------------------------- custom aggregates
+#: IRI → fn(input: term-struct Column, distinct: bool) -> aggregate
+#: term-struct Column.  The reference's IAggregate extension point
+#: (CORE/bop/aggregate/IAggregate.java): user code registers an
+#: aggregate under an IRI and uses it like a builtin in GROUP BY
+#: queries.  Implementations should return a TERM struct (use the
+#: pack_* helpers) so results flow through projection/ORDER BY like
+#: any other value.  Prefer built-in Spark aggregate expressions
+#: (JVM-side, partial+final); a pandas_udf GROUPED_AGG also works.
+CUSTOM_AGGREGATES: dict = {}
+
+
+def register_aggregate(iri: str, fn) -> None:
+    CUSTOM_AGGREGATES[iri] = fn
+
+
+def unregister_aggregate(iri: str) -> None:
+    CUSTOM_AGGREGATES.pop(iri, None)
+
+
 # ---------------------------------------------------------------- packing
 def pack_string(col: Column) -> Column:
     return F.when(col.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), col, F.lit(T.XSD_STRING), F.lit(None)))
@@ -260,6 +280,10 @@ class ExprCompiler:
             return self._func(e)
         if isinstance(e, A.InExpr):
             return pack_bool(self.bool(e))
+        if isinstance(e, A.SidExpr):
+            return T.sid_col(
+                self.term(e.s), self.term(e.p), self.term(e.o)
+            )
         if isinstance(e, A.ExistsExpr):
             raise SparqlCompileError("EXISTS must be pre-bound by the pattern compiler")
         raise SparqlCompileError(f"cannot compile expression {e!r}")

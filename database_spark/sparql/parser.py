@@ -610,10 +610,40 @@ class Parser:
             raise SparqlSyntaxError("VALUES rows must be constants or UNDEF")
         return v.term
 
+    def _at_embedded(self) -> bool:
+        return (
+            self.at_op("<")
+            and self.peek(1).kind == "OP"
+            and self.peek(1).value == "<"
+        )
+
+    def _parse_embedded(self, triples: list):
+        """RDF* embedded pattern << s p o >> (SIDs semantics: asserts
+        the inner pattern and denotes its statement identifier).
+        Constants fold to a concrete sid term; otherwise a fresh var is
+        bound to sid(s,p,o) after the inner pattern joins."""
+        from ..terms import statement_sid
+
+        self.eat_op("<")
+        self.eat_op("<")
+        s = self._parse_embedded(triples) if self._at_embedded() else self.parse_term_or_var()
+        p = self.parse_term_or_var()
+        o = self._parse_embedded(triples) if self._at_embedded() else self.parse_term_or_var()
+        self.eat_op(">")
+        self.eat_op(">")
+        triples.append(A.TriplePattern(s, p, o))
+        if all(isinstance(x, A.Const) for x in (s, p, o)):
+            return A.Const(statement_sid(s.term, p.term, o.term))
+        v = self.fresh_var()
+        triples.append(A.BindPattern(A.SidExpr(s, p, o), v))
+        return v
+
     def parse_triples_same_subject(self) -> list:
         triples = []
         if self.at_op("["):
             s = self._parse_bnode_props(triples)
+        elif self._at_embedded():
+            s = self._parse_embedded(triples)
         else:
             s = self.parse_term_or_var()
         # predicate-object list
@@ -633,6 +663,8 @@ class Parser:
     def _parse_object(self, triples: list):
         if self.at_op("["):
             return self._parse_bnode_props(triples)
+        if self._at_embedded():
+            return self._parse_embedded(triples)
         return self.parse_term_or_var()
 
     def _parse_bnode_props(self, triples: list):
@@ -837,6 +869,19 @@ class Parser:
             # function call with IRI name (e.g. xsd:integer(?x)) or plain IRI
             iri = self.parse_iri()
             if self.at_op("("):
+                from .functions import CUSTOM_AGGREGATES
+
+                if iri.lex in CUSTOM_AGGREGATES:
+                    # registered custom aggregate (IAggregate analog):
+                    # parse with the aggregate-call shape (DISTINCT ok)
+                    self.next()
+                    distinct = False
+                    if self.at_kw("DISTINCT"):
+                        self.next()
+                        distinct = True
+                    expr = self.parse_expression()
+                    self.eat_op(")")
+                    return A.AggExpr(iri.lex, expr, distinct)
                 return A.FuncCall(iri.lex, tuple(self._parse_expression_list()))
             return A.Const(iri)
         v = self.parse_term_or_var()

@@ -141,6 +141,16 @@ class Term:
         return (self.kind, self.lex, self.dt, self.lang)
 
 
+def statement_sid(s: "Term", p: "Term", o: "Term") -> "Term":
+    """Deterministic statement identifier for RDF*/SIDs (SURVEY §1.4:
+    sid = hash(s,p,o); reference VTE.STATEMENT, RDF/rdf/spo/SPO.java).
+    Column-side twin: ``sid_col``."""
+    import hashlib
+
+    h = hashlib.sha1(f"{s.n3()} {p.n3()} {o.n3()}".encode()).hexdigest()[:16]
+    return Term(KIND_BNODE, f"sid-{h}")
+
+
 def term_struct(kind: Column, lex: Column, dt: Column, lang: Column) -> Column:
     """Assemble a TERM struct column from parts."""
     return F.struct(
@@ -178,6 +188,42 @@ def term_id(term: Column) -> Column:
         term.getField("lex"),
         F.coalesce(term.getField("dt"), F.lit("")),
         F.coalesce(term.getField("lang"), F.lit("")),
+    )
+
+
+def n3_col(term: Column) -> Column:
+    """Column-side N3 rendering, byte-identical to ``Term.n3()`` (the
+    SID hash below must agree between reader and query engine)."""
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(term.getField("lex"), r"\\", r"\\\\"), '"', r'\\"'
+        ),
+        "\n",
+        r"\\n",
+    )
+    quoted = F.concat(F.lit('"'), esc, F.lit('"'))
+    return (
+        F.when(term.getField("kind") == KIND_IRI,
+               F.concat(F.lit("<"), term.getField("lex"), F.lit(">")))
+        .when(term.getField("kind") == KIND_BNODE,
+              F.concat(F.lit("_:"), term.getField("lex")))
+        .when(term.getField("dt") == RDF_LANGSTRING,
+              F.concat(quoted, F.lit("@"), term.getField("lang")))
+        .when(term.getField("dt").isNotNull() & (term.getField("dt") != XSD_STRING),
+              F.concat(quoted, F.lit("^^<"), term.getField("dt"), F.lit(">")))
+        .otherwise(quoted)
+    )
+
+
+def sid_col(st: Column, pt: Column, ot: Column) -> Column:
+    """Statement-identifier term for RDF*/SIDs: a deterministic bnode
+    over sha1 of the statement's N3 (matches rio.reader.statement_sid;
+    reference: VTE.STATEMENT / SPO.java statement identifiers)."""
+    h = F.sha1(
+        F.concat(n3_col(st), F.lit(" "), n3_col(pt), F.lit(" "), n3_col(ot))
+    ).substr(1, 16)
+    return term_struct(
+        F.lit(KIND_BNODE), F.concat(F.lit("sid-"), h), F.lit(None), F.lit(None)
     )
 
 
