@@ -571,10 +571,34 @@ class Compiler:
         return self.apply_filters(sol, filters, graph)
 
     def extend(self, sol: Sol, name: str, expr, graph) -> Sol:
-        """BIND: errors → var stays unbound (ConditionalBind.java:25)."""
+        """BIND: errors → var stays unbound (ConditionalBind.java:25).
+
+        BIND onto an already-bound variable is unification, not
+        overwrite (ConditionalBind's projectIfBound contract, exercised
+        by the bindingsWithSubquery fixtures): rows where the existing
+        value differs from the expression are dropped; unbound cells
+        take the new value.
+        """
         sol, repl = self._bind_exists_markers(sol, expr, graph)
         ec = ExprCompiler(self.resolver(sol), repl)
         t = ec.term(expr)
+        if name in sol.vars:
+            existing = F.col(name)
+            new = F.coalesce(existing, t)
+            keep = (
+                existing.isNull()
+                | t.isNull()
+                | (T.term_id(existing) == T.term_id(t))
+            )
+            df = (
+                sol.df.where(keep)
+                .withColumn(name, new)
+                .withColumn(
+                    name + "__id",
+                    F.when(new.isNotNull(), T.term_id(new)),
+                )
+            )
+            return Sol(df, sol.vars, sol.maybe_unbound)
         df = sol.df.withColumn(name, t).withColumn(
             name + "__id", F.when(F.col(name).isNotNull(), T.term_id(F.col(name)))
         )

@@ -107,7 +107,10 @@ class SparqlEngine:
             else:
                 # FROM NAMED only: the default graph is empty
                 default_df = flat.where(F.lit(False))
-            named_graphs = named_terms if named_terms else None
+            # a dataset clause fully REPLACES the store's dataset: with
+            # no FROM NAMED the named-graph section is empty, so GRAPH
+            # patterns match nothing (named-graphs-01b fixture)
+            named_graphs = named_terms
         return Compiler(
             self.store.spark,
             self.store.df,

@@ -46,6 +46,11 @@ class SparqlCompileError(Exception):
 #: (JVM-side, partial+final); a pandas_udf GROUPED_AGG also works.
 CUSTOM_AGGREGATES: dict = {}
 
+#: IRI → fn(*term_struct_columns) -> term-struct Column.  The
+#: reference's FunctionRegistry.add() extension point for scalar
+#: functions: register once, call by IRI from any expression.
+CUSTOM_FUNCTIONS: dict = {}
+
 
 def register_aggregate(iri: str, fn) -> None:
     CUSTOM_AGGREGATES[iri] = fn
@@ -53,6 +58,14 @@ def register_aggregate(iri: str, fn) -> None:
 
 def unregister_aggregate(iri: str) -> None:
     CUSTOM_AGGREGATES.pop(iri, None)
+
+
+def register_function(iri: str, fn) -> None:
+    CUSTOM_FUNCTIONS[iri] = fn
+
+
+def unregister_function(iri: str) -> None:
+    CUSTOM_FUNCTIONS.pop(iri, None)
 
 
 # ---------------------------------------------------------------- packing
@@ -379,6 +392,8 @@ class ExprCompiler:
     # ---- general builtins
     def _func(self, e: A.FuncCall) -> Column:
         n = e.name
+        if n in CUSTOM_FUNCTIONS:
+            return CUSTOM_FUNCTIONS[n](*[self.term(a) for a in e.args])
         if n in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "BOUND",
                  "SAMETERM", "LANGMATCHES", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS"):
             return pack_bool(self._bool_func(e))

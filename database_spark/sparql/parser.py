@@ -137,11 +137,29 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+# pre-declared prefixes, matching the reference's PrefixDeclProcessor
+# defaults (queries in its test corpus rely on them without declaring)
+DEFAULT_PREFIXES = {
+    "rdf": RDF,
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": XSD,
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "fn": "http://www.w3.org/2005/xpath-functions#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "bds": "http://www.bigdata.com/rdf/search#",
+    "gas": "http://www.bigdata.com/rdf/gas#",
+    "geo": "http://www.bigdata.com/rdf/geospatial#",
+    "bd": "http://www.bigdata.com/rdf#",
+    "hint": "http://www.bigdata.com/queryHints#",
+}
+
+
 class Parser:
     def __init__(self, text: str):
         self.tokens = tokenize(text)
         self.i = 0
-        self.prefixes: dict[str, str] = {}
+        self.prefixes: dict[str, str] = dict(DEFAULT_PREFIXES)
         self.base = ""
         self._bnode_n = 0
 
@@ -342,8 +360,13 @@ class Parser:
                           named_subqueries=named_subqueries)
         self.parse_solution_modifiers(q)
         if self.at_kw("VALUES"):
+            # the reference evaluates the query-level VALUES clause as
+            # *initial* bindings pushed into the WHERE group (solutions
+            # flow in, OPTIONALs left-join onto them) rather than a
+            # post-WHERE join — observable with a top-level OPTIONAL
+            # (bindingsAndBottomUp01a fixture); mirror that
             self.next()
-            q.values = self.parse_values_body()
+            q.where.elements.insert(0, self.parse_values_body())
         elif self.at_kw("BINDINGS"):
             # SPARQL 1.1 draft syntax kept by the reference's fixtures:
             # BINDINGS ?x ?y { (v1 v2) ... } — vars unparenthesized.

@@ -47,6 +47,7 @@ SKIP_PATTERNS = [
     (re.compile(r"sameTerm\s*\(\s*\?\w+\s*,\s*<<"), "RDF* in query position"),
     (re.compile(r"<<"), "RDF* in query position"),
     (re.compile(r"\bLET\b"), "LET extension"),
+    (re.compile(r"myFunction"), "custom function registered by the Java harness (registry covered in tests/test_custom_aggregate.py)"),
 ]
 
 
@@ -55,6 +56,37 @@ STEM_SKIPS = {
     "include_01": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
     "include_02": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
 }
+
+_DATA_MAP: dict | None = None
+
+
+def harness_data_map() -> dict:
+    """stem → [data files], extracted from the reference's own Java
+    test classes (TestHelper("name", "X.rq", "Y.trig", "Z.srx")
+    invocations declare the authoritative query→data mapping; several
+    fixtures share one data file under a different name)."""
+    global _DATA_MAP
+    if _DATA_MAP is not None:
+        return _DATA_MAP
+    mapping: dict = {}
+    call_re = re.compile(r"TestHelper\s*\(", re.S)
+    rq_re = re.compile(r'"([\w./-]+)\.rq"')
+    data_re = re.compile(r'"([\w./-]+\.(?:ttl|trig|nt|nq|rdf|owl))"')
+    for java in EVAL_DIR.glob("*.java"):
+        src = java.read_text(encoding="utf-8", errors="replace")
+        for m in call_re.finditer(src):
+            block = src[m.end() : m.end() + 600]
+            # stop at the statement end to avoid bleeding into the next call
+            stmt = block.split(";", 1)[0]
+            rq = rq_re.search(stmt)
+            if not rq:
+                continue
+            stem = rq.group(1).split("/")[-1]
+            files = [d for d in data_re.findall(stmt)]
+            if files and stem not in mapping:
+                mapping[stem] = files
+    _DATA_MAP = mapping
+    return mapping
 
 
 def discover(families: list[str] | None = None) -> list[str]:
@@ -69,9 +101,16 @@ def discover(families: list[str] | None = None) -> list[str]:
     return stems
 
 
-def data_file(stem: str) -> Path | None:
-    # variant fixtures share a data file under the un-suffixed stem
-    # (exists-988a.rq → exists-988.trig)
+def data_files(stem: str) -> list[Path] | None:
+    """Data files for a stem: the Java harness mapping first, then the
+    same-stem / suffix-stripped conventions.  None = no data anywhere
+    (the Java test builds its statements in code)."""
+    mapped = harness_data_map().get(stem)
+    if mapped:
+        found = [EVAL_DIR / f.split("/")[-1] for f in mapped]
+        found = [p for p in found if p.exists()]
+        if found:
+            return found
     candidates = [stem]
     base = re.sub(r"[a-z]$", "", stem)
     if base != stem:
@@ -80,19 +119,22 @@ def data_file(stem: str) -> Path | None:
         for ext in ("ttl", "trig", "nt", "nq"):
             p = EVAL_DIR / f"{cand}.{ext}"
             if p.exists():
-                return p
+                return [p]
     return None
 
 
-def load_store(spark, path: Path | None):
+def load_store(spark, paths: list[Path] | None):
+    from database_spark.rio.rdfxml import parse_rdfxml
     from database_spark.rio.reader import TurtleParser, parse_nt_line
     from database_spark.store import TripleStore
 
     quads = []
-    if path is not None:
+    for path in paths or []:
         text = path.read_text(encoding="utf-8")
         if path.suffix in (".ttl", ".trig"):
-            quads = TurtleParser(text).parse()
+            quads += TurtleParser(text).parse()
+        elif path.suffix in (".rdf", ".owl", ".xml"):
+            quads += [(s, p, o, None) for s, p, o in parse_rdfxml(text)]
         else:
             for line in text.splitlines():
                 q = parse_nt_line(line)
@@ -112,9 +154,17 @@ def run_one(spark, stem: str) -> tuple[str, str]:
     for pat, reason in SKIP_PATTERNS:
         if pat.search(query):
             return "skip", reason
+    paths = data_files(stem)
+    if paths is None and stem not in harness_data_map():
+        # query+result exist but no data file and no TestHelper mapping:
+        # the Java test materializes its statements in code (e.g. the
+        # fastRangeCount/distinctTermScan optimizer suites) or the
+        # fixture is orphaned (lubm-q*, which would need LUBM-U1 +
+        # entailment)
+        return "skip", "data constructed in the Java harness (no data file)"
     try:
         expected = parse_srx((EVAL_DIR / f"{stem}.srx").read_text(encoding="utf-8"))
-        store = load_store(spark, data_file(stem))
+        store = load_store(spark, paths)
         engine = SparqlEngine(store)
         if expected["boolean"] is not None:
             got = engine.ask(query)
