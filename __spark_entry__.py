@@ -127,7 +127,10 @@ def _build_tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return TripleStore.from_term_structs(spark, u)
+    # dedupe=False: direct-mapping output is duplicate-free by
+    # construction (one triple per table cell, per-table subject
+    # prefixes) — skips a full (s,p,o,g) shuffle of the ingest
+    return TripleStore.from_term_structs(spark, u, dedupe=False)
 
 
 def _tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
@@ -166,7 +169,13 @@ def _tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
         os.rename(tmp, path)
         return TripleStore.load(spark, path)
     except Exception:  # noqa: BLE001 — read-only cache root etc.
-        return TripleStore(spark, store.df.localCheckpoint())
+        from database_spark.operators import lifecycle as L
+
+        return TripleStore(
+            spark,
+            L.protected_checkpoint(store.df),
+            has_named=store.has_named,
+        )
 
 
 def _graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
@@ -196,8 +205,12 @@ def _ring_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
             T.lit_term(T.Term.iri(TPCH + "next")).alias("pt"),
             T.iri_col(F.concat(F.lit("urn:g:"), F.col("dst").cast("string"))).alias("ot"),
         )
-        store = TripleStore.from_term_structs(spark, trips)
-        store = TripleStore(spark, store.df.localCheckpoint())
+        from database_spark.operators import lifecycle as L
+
+        store = TripleStore.from_term_structs(spark, trips, dedupe=False)
+        store = TripleStore(
+            spark, L.protected_checkpoint(store.df), has_named=False
+        )
         _GRAPH_CACHE[key] = SparqlEngine(store)
     return _GRAPH_CACHE[key]
 
@@ -411,7 +424,9 @@ def q_sparql_federation(spark, sf_dir):
 
     key = (sf_dir, "__fed__")
     if key not in _GRAPH_CACHE:
-        store = _tpch_store(spark, sf_dir)
+        # share the cached TPC-H store (and its settled has_named /
+        # default-graph state) — only the service registry differs
+        store = _graph(spark, sf_dir).store
         _GRAPH_CACHE[key] = SparqlEngine(
             store, services=make_remote_service(fake_fetcher)
         )
@@ -500,8 +515,12 @@ def _geo_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
                 F.lit(None),
             ).alias("ot"),
         )
-        store = TripleStore.from_term_structs(spark, trips)
-        _GRAPH_CACHE[key] = SparqlEngine(TripleStore(spark, store.df.localCheckpoint()))
+        from database_spark.operators import lifecycle as L
+
+        store = TripleStore.from_term_structs(spark, trips, dedupe=False)
+        _GRAPH_CACHE[key] = SparqlEngine(
+            TripleStore(spark, L.protected_checkpoint(store.df), has_named=False)
+        )
     return _GRAPH_CACHE[key]
 
 
@@ -559,10 +578,14 @@ def q_rdfs_closure_types(spark, sf_dir):
             T.lit_term(SUBCLASS).alias("pt"),
             T.lit_term(T.Term.iri(TPCH + "Customer")).alias("ot"),
         )
-        store = TripleStore.from_term_structs(spark, inst.unionByName(onto))
+        from database_spark.operators import lifecycle as L
+
+        store = TripleStore.from_term_structs(
+            spark, inst.unionByName(onto), dedupe=False
+        )
         closed = rdfs_closure(store)
         _GRAPH_CACHE[key] = SparqlEngine(
-            TripleStore(spark, closed.df.localCheckpoint())
+            TripleStore(spark, L.protected_checkpoint(closed.df), has_named=False)
         )
     e = _GRAPH_CACHE[key]
     return _sel(
@@ -636,9 +659,14 @@ def q_fast_count(spark, sf_dir):
     [COUNT(*)] in the plan) and answered from row-group metadata, the
     Spark equivalent of the reference's two-key-probe range count."""
     # isolated child session (shared context, own SQLConf): flipping to
-    # the V2 reader must not leak into concurrently-running queries
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    # the V2 reader must not leak into concurrently-running queries.
+    # Cached — newSession() per call cost ~3x on this 1.3s query (r2)
+    key = (id(spark), "__v2session__")
+    if key not in _GRAPH_CACHE:
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        _GRAPH_CACHE[key] = s2
+    s2 = _GRAPH_CACHE[key]
     l = s2.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = s2.read.parquet(f"{sf_dir}/orders.parquet")
     return (

@@ -27,11 +27,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
 
+    from database_spark.operators import lifecycle as L
+
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # free this query's non-protected checkpoint blocks so block-
+        # manager pressure can't accumulate across the session (the r2
+        # GAS-family 4-5x regression); cached stores are protected
+        L.sweep(spark)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import terms as T
+from ..operators import lifecycle as L
 from ..operators.iterate import fixpoint_rounds
 from ..store import INFERRED, TripleStore
 
@@ -71,7 +72,7 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
     reference's per-namespace closure."""
     spark = store.spark
     base = store.df.where(F.col("g").isNull()).select("s", "p", "o", "st", "pt", "ot")
-    total = base.localCheckpoint()
+    total = L.checkpoint(base)
 
     def head_df(df: DataFrame, cols: list) -> DataFrame:
         return df.select(*cols).select("s", "p", "o", "st", "pt", "ot")
@@ -235,12 +236,17 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
         new = heads[0]
         for h in heads[1:]:
             new = new.unionByName(h)
-        new = new.dropDuplicates(["s", "p", "o"]).join(
-            total.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
-        ).localCheckpoint()
+        new = L.checkpoint(
+            new.dropDuplicates(["s", "p", "o"]).join(
+                total.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
+            )
+        )
         if new.isEmpty():
+            L.free(new)
             break
-        total = total.unionByName(new).localCheckpoint()
+        new_total = L.checkpoint(total.unionByName(new))
+        L.free(total, new)
+        total = new_total
 
     inferred = total.join(
         store.df.where(F.col("g").isNull()).select("s", "p", "o"),

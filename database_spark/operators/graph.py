@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import lifecycle as L
 from .iterate import fixpoint_rounds
 
 
@@ -31,33 +32,38 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Data
 
     seeds: df with `node` column. Returns (node, depth) for every
     reachable node (seed depth 0).
+
+    Checkpoint rotation: at most 4 block sets live at any moment
+    (edges, current visited, current frontier, this round's layer) —
+    constant storage per query regardless of round count, so a long
+    session never accumulates dead checkpoint blocks.
     """
-    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
-    frontier = (
-        seeds.select(F.col("node"), F.lit(0).alias("depth"))
-        .dropDuplicates(["node"])
-        .localCheckpoint()
+    e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    frontier = L.checkpoint(
+        seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
     )
-    # visited stays a lazy union over the checkpointed per-depth layers:
-    # every leaf is materialized, so lineage depth is constant and we
-    # never re-materialize the whole (growing) visited set each round —
-    # only the new frontier layer is checkpointed.
     visited = frontier
     depth = 0
     for _ in fixpoint_rounds(max_iter, "bfs"):
         depth += 1
-        nxt = (
+        nxt = L.checkpoint(
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"))
             .dropDuplicates()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(depth))
-            .localCheckpoint()
         )
         if nxt.isEmpty():
+            L.free(nxt)
             break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+        new_visited = L.checkpoint(visited.unionByName(nxt))
+        L.free(visited)  # frontier's blocks merged into new_visited
+        if frontier is not visited:
+            L.free(frontier)
+        visited, frontier = new_visited, nxt
+    L.free(e)
+    if frontier is not visited:
+        L.free(frontier)
     return visited
 
 
@@ -67,8 +73,10 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
     edges needs `weight`; returns (node, dist). Frontier-based
     Bellman-Ford: only improved nodes scatter next round.
     """
-    e = edges.select("src", "dst", "weight").localCheckpoint()
-    dist = seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"]).localCheckpoint()
+    e = L.checkpoint(edges.select("src", "dst", "weight"))
+    dist = L.checkpoint(
+        seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
+    )
     frontier = dist
     for _ in fixpoint_rounds(max_iter, "sssp"):
         cand = (
@@ -78,31 +86,39 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
             .agg(F.min("nd").alias("nd"))
         )
         joined = cand.join(dist, "node", "left_outer")
-        improved = joined.where(F.col("dist").isNull() | (F.col("nd") < F.col("dist"))).select(
-            "node", F.col("nd").alias("dist")
-        ).localCheckpoint()
-        if improved.isEmpty():
-            break
-        dist = (
-            dist.join(improved.select("node"), "node", "left_anti")
-            .unionByName(improved)
-            .localCheckpoint()
+        improved = L.checkpoint(
+            joined.where(F.col("dist").isNull() | (F.col("nd") < F.col("dist"))).select(
+                "node", F.col("nd").alias("dist")
+            )
         )
-        frontier = improved
+        if improved.isEmpty():
+            L.free(improved)
+            break
+        new_dist = L.checkpoint(
+            dist.join(improved.select("node"), "node", "left_anti").unionByName(improved)
+        )
+        L.free(dist)
+        if frontier is not dist:
+            L.free(frontier)
+        dist, frontier = new_dist, improved
+    L.free(e)
+    if frontier is not dist:
+        L.free(frontier)
     return dist
 
 
 def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Undirected connected components by min-label propagation
     (GAS/analytics/CC.java). Returns (node, component=min node id)."""
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates().localCheckpoint()
-    labels = (
+    sym = L.checkpoint(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates()
+    )
+    labels = L.checkpoint(
         sym.select(F.col("src").alias("node"))
         .dropDuplicates()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in fixpoint_rounds(max_iter, "connected_components"):
         nbr_min = (
@@ -111,18 +127,23 @@ def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataF
             .groupBy("node")
             .agg(F.min("component").alias("nc"))
         )
+        # carry a per-row changed flag so convergence is read off the
+        # checkpointed result (one scan) instead of re-running the join
         merged = labels.join(nbr_min, "node", "left_outer").select(
             "node",
             F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
-                "new_component"
+                "component"
             ),
-            "component",
+            F.coalesce(F.col("nc") < F.col("component"), F.lit(False)).alias("__changed"),
         )
-        changed = merged.where(F.col("new_component") < F.col("component"))
-        labels = merged.select("node", F.col("new_component").alias("component")).localCheckpoint()
-        if changed.isEmpty():
+        new_labels = L.checkpoint(merged)
+        converged = new_labels.where(F.col("__changed")).isEmpty()
+        L.free(labels)
+        labels = new_labels
+        if converged:
             break
-    return labels
+    L.free(sym)
+    return labels.select("node", "component")
 
 
 def pagerank(
@@ -135,14 +156,13 @@ def pagerank(
     Power iteration with dangling-mass redistribution; rank mass sums
     to N like the classic formulation (1-d) + d*sum.
     """
-    e = edges.select("src", "dst").dropDuplicates().localCheckpoint()
-    nodes = (
+    e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    nodes = L.checkpoint(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .dropDuplicates()
-        .localCheckpoint()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = L.checkpoint(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(iters):
         contribs = (
@@ -152,14 +172,15 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left_outer")
-            .select(
+        new_ranks = L.checkpoint(
+            nodes.join(contribs, "node", "left_outer").select(
                 "node",
                 (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint()
         )
+        L.free(ranks)  # no-op on the first (un-checkpointed) ranks
+        ranks = new_ranks
+    L.free(e, nodes, outdeg)
     return ranks
 
 

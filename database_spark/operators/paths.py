@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import terms as T
+from . import lifecycle as L
 from .iterate import fixpoint_rounds
 
 
@@ -59,7 +60,7 @@ def transitive_closure(
     extra rounds cost.
     """
     cols = [a, a + "__id", b, b + "__id"]
-    step = _dedupe(pairs.select(*cols), a, b).localCheckpoint()
+    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b))
     if strategy == "doubling":
         total = step
         size = total.count()
@@ -74,8 +75,10 @@ def transitive_closure(
                 .join(right, "__mid")
                 .select(*cols)
             )
-            total = _dedupe(total.unionByName(grown), a, b).localCheckpoint()
-            new_size = total.count()
+            new_total = L.checkpoint(_dedupe(total.unionByName(grown), a, b))
+            new_size = new_total.count()
+            L.free(total)  # round k's pairs are a subset of round k+1's
+            total = new_total
             if new_size == size:
                 break
             size = new_size
@@ -91,12 +94,24 @@ def transitive_closure(
             .join(step_right, "__mid")
             .select(*cols)
         )
-        delta = _dedupe(grown, a, b).join(
-            total.select(a + "__id", b + "__id"), [a + "__id", b + "__id"], "left_anti"
-        ).localCheckpoint()
-        if delta.isEmpty():
+        new_delta = L.checkpoint(
+            _dedupe(grown, a, b).join(
+                total.select(a + "__id", b + "__id"), [a + "__id", b + "__id"], "left_anti"
+            )
+        )
+        if new_delta.isEmpty():
+            L.free(new_delta)
+            if delta is not total and delta is not step:
+                L.free(delta)
             break
-        total = total.unionByName(delta).localCheckpoint()
+        new_total = L.checkpoint(total.unionByName(new_delta))
+        if total is not step:
+            L.free(total)
+        if delta is not step and delta is not total:
+            L.free(delta)
+        total, delta = new_total, new_delta
+    if step is not total:
+        L.free(step)  # step pairs are contained in the returned closure
     return total
 
 
@@ -127,13 +142,12 @@ def reachable_pairs(
             F.col(a).alias(b), F.col(a + "__id").alias(b + "__id"),
         ).select(*cols)
 
-    step = _dedupe(pairs.select(*cols), a, b).localCheckpoint()
+    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b))
     seed_id = T.term_id(seed)
-    frontier = (
+    frontier = L.checkpoint(
         step.where(F.col(a + "__id") == seed_id)
         .select(F.col(b).alias("n"), F.col(b + "__id").alias("n__id"))
         .dropDuplicates(["n__id"])
-        .localCheckpoint()
     )
     reached = frontier
     step_fwd = step.select(
@@ -148,10 +162,20 @@ def reachable_pairs(
             .select(F.col("m").alias("n"), F.col("m__id").alias("n__id"))
             .dropDuplicates(["n__id"])
         )
-        frontier = grown.join(reached.select("n__id"), "n__id", "left_anti").localCheckpoint()
-        if frontier.isEmpty():
+        new_frontier = L.checkpoint(
+            grown.join(reached.select("n__id"), "n__id", "left_anti")
+        )
+        if new_frontier.isEmpty():
+            L.free(new_frontier)
             break
-        reached = reached.unionByName(frontier).localCheckpoint()
+        new_reached = L.checkpoint(reached.unionByName(new_frontier))
+        L.free(reached)
+        if frontier is not reached:
+            L.free(frontier)
+        reached, frontier = new_reached, new_frontier
+    L.free(step)
+    if frontier is not reached:
+        L.free(frontier)
     return reached.select(
         seed.alias(a),
         T.term_id(seed).alias(a + "__id"),

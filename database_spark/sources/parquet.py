@@ -33,11 +33,23 @@ def _nanos_columns(path: str) -> list[str]:
     return out
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """TIMESTAMP without UTC-adjustment metadata (isAdjustedToUTC=false,
+    e.g. pandas/pyarrow `timestamp[us]`) loads as TimestampNTZType; the
+    engine's SQL semantics (and every oracle comparison) use the
+    session-local TimestampType, so normalize — the wall-clock fields
+    are preserved verbatim."""
+    for name, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """`spark.read.parquet` that tolerates nanosecond timestamps."""
     nanos = _nanos_columns(path)
     if not nanos:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     prev = spark.conf.get(NANOS_CONF, "false")
     spark.conf.set(NANOS_CONF, "true")
     try:
@@ -50,4 +62,4 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         # integer div — epoch nanos overflow double's 53-bit mantissa,
         # so float division here would be off by ±1 µs
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return _normalize_ntz(df)

@@ -253,23 +253,38 @@ class SparqlEngine:
 
     def _cbd(self, trips: DataFrame, ids: DataFrame, max_hops: int = 16) -> DataFrame:
         """Concise Bounded Description fixpoint: follow bnode objects."""
-        seen = ids.localCheckpoint()
+        from ..operators import lifecycle as L
+
+        seen = L.checkpoint(ids)
         frontier = seen
         out = None
         for _ in range(max_hops):
-            stmts = trips.join(
-                frontier.withColumnRenamed("id", "s"), "s", "left_semi"
-            ).localCheckpoint()
-            out = stmts if out is None else out.unionByName(stmts)
+            stmts = L.checkpoint(
+                trips.join(frontier.withColumnRenamed("id", "s"), "s", "left_semi")
+            )
+            new_out = L.checkpoint(
+                stmts if out is None else out.unionByName(stmts)
+            )
+            L.free(out, stmts)
+            out = new_out
             bnode_objs = (
-                stmts.where(F.col("ot.kind") == T.KIND_BNODE)
+                out.where(F.col("ot.kind") == T.KIND_BNODE)
                 .select(F.col("o").alias("id"))
                 .dropDuplicates()
             )
-            frontier = bnode_objs.join(seen, "id", "left_anti").localCheckpoint()
+            new_frontier = L.checkpoint(bnode_objs.join(seen, "id", "left_anti"))
+            if frontier is not seen:
+                L.free(frontier)
+            frontier = new_frontier
             if frontier.isEmpty():
+                L.free(frontier)
                 break
-            seen = seen.unionByName(frontier).localCheckpoint()
+            new_seen = L.checkpoint(seen.unionByName(frontier))
+            L.free(seen)
+            seen = new_seen
+        L.free(seen)
+        if frontier is not seen:
+            L.free(frontier)
         return out.dropDuplicates(["s", "p", "o", "g"]).select("st", "pt", "ot")
 
     def query(self, text: str):
@@ -295,7 +310,10 @@ class SparqlEngine:
     def _update_one(self, op) -> None:
         spark = self.store.spark
         if isinstance(op, A.InsertData):
-            self.store = self.store.add(self._quads_df(op.triples))
+            self.store = self.store.add(
+                self._quads_df(op.triples),
+                other_has_named=any(q[3] is not None for q in op.triples),
+            )
         elif isinstance(op, A.DeleteData):
             self.store = self.store.remove(self._quads_df(op.triples))
         elif isinstance(op, A.Modify):
@@ -308,7 +326,7 @@ class SparqlEngine:
                 self.store = self.store.remove(dels)
             if op.insert_templates:
                 ins = self._instantiate(sol, op.insert_templates, g)
-                self.store = self.store.add(ins)
+                self.store = self.store.add(ins, other_has_named=g is not None)
         elif isinstance(op, A.LoadUpdate):
             from ..rio.reader import read_rdf
 

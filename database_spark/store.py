@@ -63,6 +63,13 @@ class TripleStore:
     #: loaded from (None = unpartitioned); lets the compiler add the
     #: p_bucket partition filter for bound-predicate scans
     p_buckets: int | None = None
+    #: whether the store contains named-graph statements; tri-state:
+    #: False = triples-only (default_graph() is the identity, no scan),
+    #: True = quads present, None = unknown (probe lazily on demand).
+    #: Persisted in the _dbspark_meta.json sidecar so a loaded store
+    #: never pays a discovery scan (r2 verdict: the blind limit-1 probe
+    #: was a full-table pass on triples-only stores).
+    has_named: bool | None = None
 
     # ---------------------------------------------------------------- build
     @staticmethod
@@ -73,12 +80,17 @@ class TripleStore:
 
         An RDF graph is a *set* of statements (the reference's SPO
         B+Tree index dedupes on insert); `dedupe=True` enforces that
-        with one hash-aggregate on the 64-bit (s,p,o,g) ids.
+        with one hash-aggregate on the 64-bit (s,p,o,g) ids.  Pass
+        ``dedupe=False`` when the source is provably duplicate-free
+        (e.g. direct-mapping output: one triple per table cell) — at
+        scale the skipped (s,p,o,g) shuffle is a full pass over the
+        data.
         """
+        no_gt = "gt" not in df.columns
         out = _with_ids(df)
         if dedupe:
             out = out.dropDuplicates(["s", "p", "o", "g"])
-        return TripleStore(spark, out)
+        return TripleStore(spark, out, has_named=False if no_gt else None)
 
     @staticmethod
     def from_python_triples(spark: SparkSession, triples: list) -> "TripleStore":
@@ -100,7 +112,11 @@ class TripleStore:
                 StructField("gt", T.TERM_TYPE, True),
             ]
         )
-        return TripleStore(spark, _with_ids(spark.createDataFrame(rows, schema)))
+        return TripleStore(
+            spark,
+            _with_ids(spark.createDataFrame(rows, schema)),
+            has_named=any(r[3] is not None for r in rows),
+        )
 
     # ------------------------------------------------------------ persist
     def save(
@@ -135,8 +151,17 @@ class TripleStore:
             meta["p_buckets"] = buckets
         else:
             df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
-        if meta:
-            self._write_meta(path, meta)
+        if self.has_named is None:
+            # settle it now, against the just-written parquet: the
+            # g-IS-NOT-NULL probe prunes on row-group null-count stats,
+            # so it's metadata-mostly — vs a full recompute of the
+            # (possibly unsaved) lineage at first query time
+            written = self.spark.read.parquet(path)
+            self.has_named = bool(
+                written.where(F.col("g").isNotNull()).limit(1).count()
+            )
+        meta["has_named"] = self.has_named
+        self._write_meta(path, meta)
 
     def _write_meta(self, path: str, meta: dict) -> None:
         """Sidecar layout metadata, written through the Hadoop FS API so
@@ -182,7 +207,10 @@ class TripleStore:
         if "p_bucket" in df.columns:
             cols.append("p_bucket")  # keep: it is the partition column
         return TripleStore(
-            spark, df.select(*cols), p_buckets=meta.get("p_buckets")
+            spark,
+            df.select(*cols),
+            p_buckets=meta.get("p_buckets"),
+            has_named=meta.get("has_named"),
         )
 
     # ------------------------------------------------------------- views
@@ -199,10 +227,15 @@ class TripleStore:
         triples-only fast path (checked once, cached).
         """
         if getattr(self, "_default_df", None) is None:
-            has_named = (
-                self.df.select("g").where(F.col("g").isNotNull()).limit(1).count() > 0
-            )
-            if has_named:
+            if self.has_named is None:
+                # unknown provenance (e.g. raw TripleStore(...) ctor):
+                # settle once; parquet-backed stores prune this via
+                # row-group null stats, in-memory ones pay it once
+                self.has_named = (
+                    self.df.select("g").where(F.col("g").isNotNull()).limit(1).count()
+                    > 0
+                )
+            if self.has_named:
                 flat = self._flat()
                 self._default_df = (
                     flat.withColumn("g", F.lit(None).cast("long"))
@@ -244,11 +277,26 @@ class TripleStore:
         produce an in-memory store; re-save to re-bucket)."""
         return self.df.drop("p_bucket") if "p_bucket" in self.df.columns else self.df
 
-    def add(self, other: DataFrame) -> "TripleStore":
-        """Union in new statements (InsertStatementsOp analog)."""
+    def add(self, other: DataFrame, other_has_named: bool | None = None) -> "TripleStore":
+        """Union in new statements (InsertStatementsOp analog).
+
+        ``other_has_named``: pass False/True when the caller knows
+        whether `other` carries named-graph statements (e.g. INSERT
+        DATA quads are enumerable driver-side) to keep the merged
+        store's flag settled without a scan.
+        """
+        if other_has_named is None and "gt" not in other.columns:
+            other_has_named = False
+        if self.has_named or other_has_named:
+            merged_named = True
+        elif self.has_named is False and other_has_named is False:
+            merged_named = False
+        else:
+            merged_named = None  # would need a scan; settle lazily
         return TripleStore(
             self.spark,
             self._flat().unionByName(_with_ids(other)).dropDuplicates(["s", "p", "o", "g"]),
+            has_named=merged_named,
         )
 
     def remove(self, other: DataFrame) -> "TripleStore":
@@ -270,7 +318,10 @@ class TripleStore:
             & F.col("g").eqNullSafe(F.col("__kg"))
         )
         kept = self._flat().join(keys, cond, "left_anti")
-        return TripleStore(self.spark, kept)
+        # has_named=True stays True (a stale True only costs an
+        # unnecessary-but-correct dedupe in default_graph); False stays
+        # False (removal can't add named statements)
+        return TripleStore(self.spark, kept, has_named=self.has_named)
 
 
 # -------------------------------------------------------------- rdfize

@@ -261,21 +261,31 @@ def boolean_value(term: Column) -> Column:
 
 
 def sort_key(term: Column) -> list[Column]:
-    """SPARQL total-order sort key (reference: ``IVComparator.java:68``).
+    """SPARQL total-order sort key (reference: ``IVComparator.java:68``,
+    itself Sesame's ValueComparator over IVs).
 
-    Order classes: unbound < blank nodes < IRIs < literals; within
-    literals: booleans, numbers (by value, cross-type), datetimes, then
-    strings/other by (lexical, datatype, lang).  Returns the column list
-    to feed ``orderBy`` — ascending with nulls first reproduces the
-    'unbound first' rule.
+    Order classes: unbound < blank nodes < IRIs < literals.  Within
+    literals the reference's fallback ordering (ValueComparator
+    ``compareLiterals``/``compareDatatypes``) is: plain literals (simple
+    + language-tagged — null datatype in the Sesame model; our RDF 1.1
+    encoding folds simple into xsd:string, which we keep in this class
+    so that TCK expectations over simple literals hold) < numeric
+    datatypes (by VALUE, cross-type) < calendar datatypes (by value) <
+    other datatypes ordered by datatype IRI.  Within the plain class:
+    no-language first, then language tag, then label (the 'sort by
+    language tags before labels' rule).  Booleans carry no special
+    class — their lexical forms ("false" < "true") agree with value
+    order.  Returns the column list to feed ``orderBy`` — ascending
+    with nulls first reproduces the 'unbound first' rule.
     """
     kind = term.getField("kind")
     dt = term.getField("dt")
+    plain = dt.isNull() | (dt == XSD_STRING) | (dt == RDF_LANGSTRING)
     rank = (
         F.when(term.isNull(), F.lit(0))
         .when(kind == KIND_BNODE, F.lit(1))
         .when(kind == KIND_IRI, F.lit(2))
-        .when(dt == XSD_BOOLEAN, F.lit(3))
+        .when(plain, F.lit(3))
         .when(is_numeric_dt(dt), F.lit(4))
         .when(dt.isin(XSD_DATETIME, XSD_DATE), F.lit(5))
         .otherwise(F.lit(6))
@@ -284,8 +294,9 @@ def sort_key(term: Column) -> list[Column]:
         rank,
         numeric_value(term),
         datetime_value(term),
-        boolean_value(term).cast("int"),
-        term.getField("lex"),
-        dt,
+        # datatype IRI orders the 'other' class; inside the plain class
+        # language-then-label decides instead (dt masked out)
+        F.when(~plain, dt),
         term.getField("lang"),
+        term.getField("lex"),
     ]
