@@ -27,8 +27,11 @@ from . import lifecycle as L
 from .iterate import fixpoint_rounds
 
 
-def _dedupe(df: DataFrame, a: str, b: str) -> DataFrame:
-    return df.dropDuplicates([a + "__id", b + "__id"])
+def _dedupe(df: DataFrame, a: str, b: str, gcol: str | None = None) -> DataFrame:
+    keys = [a + "__id", b + "__id"]
+    if gcol:
+        keys.append(gcol + "__id")
+    return df.dropDuplicates(keys)
 
 
 def transitive_closure(
@@ -38,10 +41,18 @@ def transitive_closure(
     b: str,
     max_iter: int | None = None,
     strategy: str = "doubling",
+    gcol: str | None = None,
 ) -> DataFrame:
     """All-pairs transitive closure of the step relation `pairs`.
 
     `pairs` columns: a, a__id, b, b__id (term struct + id per endpoint).
+
+    ``gcol``: optional partition column (graph context for paths under
+    GRAPH ?var — reference ``ArbitraryLengthPathOp`` runs inside any
+    graph scope): `pairs` additionally carries gcol + gcol__id and the
+    closure is computed independently per gcol value — the step join is
+    keyed on (gcol__id, node), so one Spark job still closes every
+    graph at once (no per-graph driver loop).
 
     ``strategy="doubling"`` (default): path doubling — after round k the
     result holds every pair connected by a path of ≤ 2^k edges, so a
@@ -59,23 +70,27 @@ def transitive_closure(
     re-joining total⋈total would shuffle more bytes per round than the
     extra rounds cost.
     """
-    cols = [a, a + "__id", b, b + "__id"]
-    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b))
+    gcols = [gcol, gcol + "__id"] if gcol else []
+    cols = [a, a + "__id", b, b + "__id"] + gcols
+    join_keys = ["__mid"] + ([gcol + "__id"] if gcol else [])
+    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b, gcol))
     if strategy == "doubling":
         total = step
         size = total.count()
         for _ in fixpoint_rounds(max_iter, "transitive_closure(doubling)"):
-            right = total.select(
+            right_cols = [
                 F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
-            )
+            ] + ([F.col(gcol + "__id")] if gcol else [])
+            right = total.select(*right_cols)
+            left_cols = [
+                F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
+            ] + [F.col(c) for c in gcols]
             grown = (
-                total.select(
-                    F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
-                )
-                .join(right, "__mid")
+                total.select(*left_cols)
+                .join(right, join_keys)
                 .select(*cols)
             )
-            new_total = L.checkpoint(_dedupe(total.unionByName(grown), a, b))
+            new_total = L.checkpoint(_dedupe(total.unionByName(grown), a, b, gcol))
             new_size = new_total.count()
             L.free(total)  # round k's pairs are a subset of round k+1's
             total = new_total
@@ -85,18 +100,23 @@ def transitive_closure(
         return total
     total = step
     delta = step
-    step_right = step.select(
+    step_right_cols = [
         F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
-    )
+    ] + ([F.col(gcol + "__id")] if gcol else [])
+    step_right = step.select(*step_right_cols)
+    anti_keys = [a + "__id", b + "__id"] + ([gcol + "__id"] if gcol else [])
     for _ in fixpoint_rounds(max_iter, "transitive_closure(seminaive)"):
+        delta_cols = [
+            F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
+        ] + [F.col(c) for c in gcols]
         grown = (
-            delta.select(F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid"))
-            .join(step_right, "__mid")
+            delta.select(*delta_cols)
+            .join(step_right, join_keys)
             .select(*cols)
         )
         new_delta = L.checkpoint(
-            _dedupe(grown, a, b).join(
-                total.select(a + "__id", b + "__id"), [a + "__id", b + "__id"], "left_anti"
+            _dedupe(grown, a, b, gcol).join(
+                total.select(*anti_keys), anti_keys, "left_anti"
             )
         )
         if new_delta.isEmpty():
@@ -123,47 +143,61 @@ def reachable_pairs(
     seed: Column,
     seed_side: str,
     max_iter: int | None = None,
+    gcol: str | None = None,
 ) -> DataFrame:
     """Directed closure from a bound endpoint: pairs (seed, x) with x
     reachable in ≥1 step (seed_side='a'), or (x, seed) (seed_side='b').
 
     Frontier is a NODE set (not pair set): O(V) state instead of O(V²).
+    With ``gcol`` the frontier is a (graph, node) set and each graph's
+    BFS proceeds independently inside the same jobs.
     """
-    cols = [a, a + "__id", b, b + "__id"]
+    gcols = [gcol, gcol + "__id"] if gcol else []
+    cols = [a, a + "__id", b, b + "__id"] + gcols
     if seed_side == "b":
         # reverse edges and recurse, then swap back
         rev = pairs.select(
             F.col(b).alias(a), F.col(b + "__id").alias(a + "__id"),
             F.col(a).alias(b), F.col(a + "__id").alias(b + "__id"),
+            *[F.col(c) for c in gcols],
         )
-        out = reachable_pairs(spark, rev, a, b, seed, "a", max_iter)
+        out = reachable_pairs(spark, rev, a, b, seed, "a", max_iter, gcol)
         return out.select(
             F.col(b).alias(a), F.col(b + "__id").alias(a + "__id"),
             F.col(a).alias(b), F.col(a + "__id").alias(b + "__id"),
+            *[F.col(c) for c in gcols],
         ).select(*cols)
 
-    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b))
+    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b, gcol))
     seed_id = T.term_id(seed)
+    fkeys = ["n__id"] + ([gcol + "__id"] if gcol else [])
     frontier = L.checkpoint(
         step.where(F.col(a + "__id") == seed_id)
-        .select(F.col(b).alias("n"), F.col(b + "__id").alias("n__id"))
-        .dropDuplicates(["n__id"])
+        .select(
+            F.col(b).alias("n"), F.col(b + "__id").alias("n__id"),
+            *[F.col(c) for c in gcols],
+        )
+        .dropDuplicates(fkeys)
     )
     reached = frontier
     step_fwd = step.select(
-        F.col(a + "__id").alias("n__id"), F.col(b).alias("m"), F.col(b + "__id").alias("m__id")
+        F.col(a + "__id").alias("n__id"), F.col(b).alias("m"), F.col(b + "__id").alias("m__id"),
+        *([F.col(gcol + "__id")] if gcol else []),
     )
     for _ in fixpoint_rounds(max_iter, "reachable_pairs"):
         if frontier.isEmpty():
             break
         grown = (
-            frontier.select("n__id")
-            .join(step_fwd, "n__id")
-            .select(F.col("m").alias("n"), F.col("m__id").alias("n__id"))
-            .dropDuplicates(["n__id"])
+            frontier.select(*fkeys, *([gcol] if gcol else []))
+            .join(step_fwd, fkeys)
+            .select(
+                F.col("m").alias("n"), F.col("m__id").alias("n__id"),
+                *[F.col(c) for c in gcols],
+            )
+            .dropDuplicates(fkeys)
         )
         new_frontier = L.checkpoint(
-            grown.join(reached.select("n__id"), "n__id", "left_anti")
+            grown.join(reached.select(*fkeys), fkeys, "left_anti")
         )
         if new_frontier.isEmpty():
             L.free(new_frontier)
@@ -181,4 +215,5 @@ def reachable_pairs(
         T.term_id(seed).alias(a + "__id"),
         F.col("n").alias(b),
         F.col("n__id").alias(b + "__id"),
+        *[F.col(c) for c in gcols],
     )

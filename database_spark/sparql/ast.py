@@ -165,6 +165,12 @@ class BindPattern:
 class ValuesPattern:
     vars: list
     rows: list  # list of tuples of Term|None (None = UNDEF)
+    #: True for the query-level (trailing) VALUES / BINDINGS clause.
+    #: The reference feeds those in as *exogenous* initial solutions:
+    #: joins see them, but FILTER/BIND expressions must not (the
+    #: ASTBottomUpOptimizer renames such vars to anonymous ones —
+    #: "they are joined in last, so they're not visible in any scope").
+    exogenous: bool = False
 
 
 @dataclass
@@ -237,6 +243,12 @@ class Modify:
     insert_templates: list
     where: GroupPattern
     with_graph: Term | None = None
+    #: USING / USING NAMED dataset for the WHERE clause:
+    #: list of ("default"|"named", Term); None = no USING clause.
+    #: When present it REPLACES the WITH graph for pattern matching
+    #: (SPARQL 1.1 Update §3.1.3; reference: dataset node handling in
+    #: AST2BOpUpdate.convertDeleteInsert).
+    using: list | None = None
 
 
 @dataclass

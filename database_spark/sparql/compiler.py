@@ -120,13 +120,66 @@ class Compiler:
         )
         return Sol(df, set(vars_), set(vars_))
 
-    def resolver(self, sol: Sol):
+    def resolver(self, sol: Sol, visible: set | None = None):
+        """Variable resolver for expression compilation.
+
+        ``visible`` (when given) restricts resolution to that set: a
+        variable bound in `sol` but not visible in the current scope
+        (e.g. an exogenous VALUES binding, or an outer-group var under
+        bottom-up semantics) compiles as unbound — the column-side
+        analog of ASTBottomUpOptimizer renaming provably-out-of-scope
+        variables in FILTERs/BINDs to anonymous never-bound vars.
+        """
+
         def resolve(name: str) -> Column:
-            if name in sol.vars:
+            if name in sol.vars and (visible is None or name in visible):
                 return F.col(name)
             raise KeyError(name)
 
         return resolve
+
+    # ---------------------------------------------- static scope analysis
+    def _produced_vars(self, el) -> set:
+        """Vars maybe-produced by a group element's joins (reference:
+        StaticAnalysis.getMaybeProducedBindings, recursive) — excludes
+        exogenous VALUES (joined last, never in scope) and MINUS (its
+        bindings never flow out)."""
+        out: set = set()
+        if isinstance(el, A.TriplePattern):
+            for node in (el.s, el.p, el.o):
+                if isinstance(node, A.Var):
+                    out.add(node.name)
+        elif isinstance(el, (A.GroupPattern,)):
+            for e in el.elements:
+                out |= self._produced_vars(e)
+        elif isinstance(el, A.OptionalPattern):
+            out |= self._produced_vars(el.group)
+        elif isinstance(el, A.UnionPattern):
+            for g in el.groups:
+                out |= self._produced_vars(g)
+        elif isinstance(el, A.GraphPattern):
+            out |= self._produced_vars(el.group)
+            if isinstance(el.graph, A.Var):
+                out.add(el.graph.name)
+        elif isinstance(el, A.BindPattern):
+            out.add(el.var.name)
+        elif isinstance(el, A.ValuesPattern):
+            if not el.exogenous:
+                out |= {v.name for v in el.vars}
+        elif isinstance(el, A.SubSelect):
+            q = el.query
+            if q.projections:
+                out |= {v.name for v, _ in q.projections}
+            else:
+                out |= self._produced_vars(q.where)
+        elif isinstance(el, A.NamedSubqueryInclude):
+            ns = self.named_sets.get(el.name)
+            if ns is not None:
+                out |= set(ns.vars)
+        elif isinstance(el, A.ServicePattern):
+            out |= self._produced_vars(el.group)
+        # FilterPattern / MinusPattern produce nothing
+        return out
 
     def _named_graph_cond(self) -> Column:
         """FROM NAMED restriction: g ∈ {ids of the listed graphs}."""
@@ -372,12 +425,12 @@ class Compiler:
         )
 
     # ----------------------------------------------------------- filters
-    def apply_filters(self, sol: Sol, exprs: list, graph) -> Sol:
+    def apply_filters(self, sol: Sol, exprs: list, graph, visible: set | None = None) -> Sol:
         for e in exprs:
-            sol = self.apply_filter(sol, e, graph)
+            sol = self.apply_filter(sol, e, graph, visible)
         return sol
 
-    def apply_filter(self, sol: Sol, expr, graph) -> Sol:
+    def apply_filter(self, sol: Sol, expr, graph, visible: set | None = None) -> Sol:
         # fast paths: FILTER EXISTS / FILTER NOT EXISTS → semi/anti join
         if isinstance(expr, A.ExistsExpr):
             return self._exists_join(sol, expr.group, graph, anti=expr.negated)
@@ -389,7 +442,7 @@ class Compiler:
             inner = expr.args[0]
             return self._exists_join(sol, inner.group, graph, anti=not inner.negated)
         sol, repl = self._bind_exists_markers(sol, expr, graph)
-        ec = ExprCompiler(self.resolver(sol), repl)
+        ec = ExprCompiler(self.resolver(sol, visible), repl)
         cond = F.coalesce(ec.bool(expr), F.lit(False))
         return Sol(sol.df.where(cond), sol.vars, sol.maybe_unbound)
 
@@ -506,13 +559,43 @@ class Compiler:
 
     # ------------------------------------------------------------ groups
     def compile_group(self, group: A.GroupPattern, graph=None) -> Sol:
-        """Group graph pattern → algebra per SPARQL §18.2: BGP-join
-        accumulation, OPTIONAL → LeftJoin (with inner filters in the
-        join condition), UNION, MINUS, BIND/Extend, VALUES join;
-        group-level FILTERs apply to the whole group at the end."""
+        """Group graph pattern → algebra: BGP-join accumulation,
+        OPTIONAL → LeftJoin (with inner filters in the join condition),
+        UNION, MINUS, BIND/Extend, VALUES join; group-level FILTERs
+        apply to the whole group at the end.
+
+        Evaluation order follows the reference, not a literal §18.2
+        fold (ASTJoinOrderByTypeOptimizer ordering + ASTBottomUpOptimizer
+        variable renaming — the bindingsAndBottomUp* fixtures):
+
+        * constant-expression BINDs evaluate at their textual position
+          (they convey bindings INTO later joins — 'assignments for a
+          constant' run early in the reference's join-group order);
+        * all other BINDs are deferred until after every join in the
+          group ('add the LET assignments to the pipeline' after the
+          joins), so BIND(5*?x AS ?y) sees an ?x bound by a LATER
+          sibling subgroup (bindingsAndBottomUp05a/b);
+        * a BIND whose target was already used by a preceding join
+          element is spec-illegal (§10.1); we keep the reference's
+          ConditionalBind unification semantics (existing != value →
+          solution dropped; bindingsWithSubquery03b/05).  Known
+          divergence: bindingsWithSubquery03a expects the combination
+          of a deduplicated subquery-include join AND a kept-existing
+          (non-unifying) BIND — mutually inconsistent with 03b's
+          expectation under any single semantics we could find in
+          ConditionalBind.java, so 03a is left unmatched;
+        * FILTER/BIND expressions resolve only group-produced vars:
+          exogenous (query-level VALUES) bindings join in last and are
+          never visible to them (bindingsAndBottomUp03b).
+        """
         sol = self.unit()
         filters = []
         bgp: list[A.TriplePattern] = []
+        deferred_binds: list[A.BindPattern] = []
+        produced_before: set = set()  # join-produced vars, textually so far
+        visible = self._produced_vars(group)
+        if isinstance(graph, A.Var):
+            visible = visible | {graph.name}
 
         def flush_bgp():
             nonlocal sol, bgp
@@ -523,9 +606,11 @@ class Compiler:
         for el in group.elements:
             if isinstance(el, A.TriplePattern):
                 bgp.append(el)
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.GroupPattern):
                 flush_bgp()
                 sol = self.join(sol, self.compile_group(el, graph))
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.OptionalPattern):
                 flush_bgp()
                 inner_filters = [
@@ -536,9 +621,11 @@ class Compiler:
                 )
                 right = self.compile_group(inner_rest, graph)
                 sol = self.leftjoin(sol, right, inner_filters, graph)
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.UnionPattern):
                 flush_bgp()
                 sol = self.join(sol, self.union([self.compile_group(g, graph) for g in el.groups]))
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.MinusPattern):
                 flush_bgp()
                 sol = self.minus(sol, self.compile_group(el.group, graph))
@@ -546,31 +633,43 @@ class Compiler:
                 flush_bgp()
                 g = el.graph.term if isinstance(el.graph, A.Const) else el.graph
                 sol = self.join(sol, self.compile_group(el.group, g))
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.FilterPattern):
                 filters.append(el.expr)
             elif isinstance(el, A.BindPattern):
-                flush_bgp()
-                sol = self.extend(sol, el.var.name, el.expr, graph)
+                produced_before.add(el.var.name)
+                if isinstance(el.expr, A.Const):
+                    flush_bgp()
+                    sol = self.extend(sol, el.var.name, el.expr, graph, visible)
+                else:
+                    deferred_binds.append(el)
             elif isinstance(el, A.ValuesPattern):
                 flush_bgp()
                 sol = self.join(sol, self.values_sol(el))
+                if not el.exogenous:
+                    produced_before |= {v.name for v in el.vars}
             elif isinstance(el, A.SubSelect):
                 flush_bgp()
                 sol = self.join(sol, self.compile_select(el.query))
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.NamedSubqueryInclude):
                 flush_bgp()
                 if el.name not in self.named_sets:
                     raise SparqlCompileError(f"unknown solution set %{el.name}")
                 sol = self.join(sol, self.named_sets[el.name])
+                produced_before |= self._produced_vars(el)
             elif isinstance(el, A.ServicePattern):
                 flush_bgp()
                 sol = self.join(sol, self.service(el, graph))
+                produced_before |= self._produced_vars(el)
             else:
                 raise SparqlCompileError(f"unsupported pattern {el!r}")
         flush_bgp()
-        return self.apply_filters(sol, filters, graph)
+        for el in deferred_binds:
+            sol = self.extend(sol, el.var.name, el.expr, graph, visible)
+        return self.apply_filters(sol, filters, graph, visible)
 
-    def extend(self, sol: Sol, name: str, expr, graph) -> Sol:
+    def extend(self, sol: Sol, name: str, expr, graph, visible: set | None = None) -> Sol:
         """BIND: errors → var stays unbound (ConditionalBind.java:25).
 
         BIND onto an already-bound variable is unification, not
@@ -580,7 +679,7 @@ class Compiler:
         take the new value.
         """
         sol, repl = self._bind_exists_markers(sol, expr, graph)
-        ec = ExprCompiler(self.resolver(sol), repl)
+        ec = ExprCompiler(self.resolver(sol, visible), repl)
         t = ec.term(expr)
         if name in sol.vars:
             existing = F.col(name)
@@ -708,17 +807,17 @@ class Compiler:
     def _path_mod(self, s, path: A.PathMod, o, graph) -> Sol:
         av, bv = A.Var(self.fresh()), A.Var(self.fresh())
         step = self.compile_path(av, path.path, bv, graph)
-        gv = graph.name if isinstance(graph, A.Var) else None
-        if gv and gv in step.vars:
-            raise SparqlCompileError(
-                "arbitrary-length paths under GRAPH ?var are not supported yet"
-            )
+        # under GRAPH ?var the step relation carries the graph var and
+        # the fixpoint runs per graph partition — closure keyed on
+        # (g, a, b), one job for all graphs (ArbitraryLengthPathOp
+        # evaluates inside any graph scope; reference java:48)
+        gv = graph.name if isinstance(graph, A.Var) and graph.name in step.vars else None
         step_df = step.df
         a, b = av.name, bv.name
         s_const = s.term if isinstance(s, A.Const) else None
         o_const = o.term if isinstance(o, A.Const) else None
         if path.mod == "?":
-            pairs = self._with_zero_length(step_df, a, b, graph, s_const, o_const, only_zero_union=True)
+            pairs = self._with_zero_length(step_df, a, b, graph, s_const, o_const, gv, only_zero_union=True)
         else:
             seed = None
             seed_side = None
@@ -729,12 +828,12 @@ class Compiler:
                 seed = T.lit_term(o_const)
                 seed_side = "b"
             closed = (
-                reachable_pairs(self.spark, step_df, a, b, seed, seed_side)
+                reachable_pairs(self.spark, step_df, a, b, seed, seed_side, gcol=gv)
                 if seed is not None
-                else transitive_closure(self.spark, step_df, a, b)
+                else transitive_closure(self.spark, step_df, a, b, gcol=gv)
             )
             if path.mod == "*":
-                pairs = self._with_zero_length(closed, a, b, graph, s_const, o_const)
+                pairs = self._with_zero_length(closed, a, b, graph, s_const, o_const, gv)
             else:
                 pairs = closed
         # now bind s/o against pairs
@@ -751,33 +850,50 @@ class Compiler:
             vars_.add(o.name)
         else:
             df = df.where(F.col(b + "__id") == T.term_id(T.lit_term(o.term)))
-        if gv and gv in step.vars:
+        if gv:
             sel += [F.col(gv), F.col(gv + "__id")]
             vars_.add(gv)
         if not sel:
             sel = [F.lit(1).alias("__one")]
         return Sol(df.select(*sel).dropDuplicates(), vars_, set())
 
-    def _graph_nodes(self, graph) -> DataFrame:
+    def _graph_nodes(self, graph, gv: str | None = None) -> DataFrame:
         """All terms used as subject or object in the active graph
-        (ZeroLengthPathOp.java:53 domain)."""
+        (ZeroLengthPathOp.java:53 domain).  With ``gv`` (GRAPH ?var)
+        nodes are keyed per graph: (gv, gv__id, n, n__id)."""
         df = self.triples
         if graph is None:
             df = df.where(F.col("g").isNull())
         elif isinstance(graph, A.Var):
             df = df.where(F.col("g").isNotNull())
+            if self.named_graphs is not None:
+                df = df.where(self._named_graph_cond())
         else:
             df = df.where(F.col("g") == T.term_id(T.lit_term(graph)))
-        subs = df.select(F.col("st").alias("n"), F.col("s").alias("n__id"))
-        objs = df.select(F.col("ot").alias("n"), F.col("o").alias("n__id"))
-        return subs.unionAll(objs).dropDuplicates(["n__id"])
+        gsel = (
+            [F.col("gt").alias(gv), F.col("g").alias(gv + "__id")] if gv else []
+        )
+        subs = df.select(F.col("st").alias("n"), F.col("s").alias("n__id"), *gsel)
+        objs = df.select(F.col("ot").alias("n"), F.col("o").alias("n__id"), *gsel)
+        keys = ["n__id"] + ([gv + "__id"] if gv else [])
+        return subs.unionAll(objs).dropDuplicates(keys)
 
     def _with_zero_length(
-        self, pairs: DataFrame, a: str, b: str, graph, s_const, o_const, only_zero_union: bool = False
+        self,
+        pairs: DataFrame,
+        a: str,
+        b: str,
+        graph,
+        s_const,
+        o_const,
+        gv: str | None = None,
+        only_zero_union: bool = False,
     ) -> DataFrame:
         """Add zero-length (x,x) pairs: for bound endpoints just the
-        endpoint; otherwise every node in the graph."""
-        if s_const is not None or o_const is not None:
+        endpoint; otherwise every node in the graph (per graph under
+        GRAPH ?var — a zero-length match of a constant exists in every
+        graph where the node occurs)."""
+        if (s_const is not None or o_const is not None) and not gv:
             t = T.lit_term(s_const if s_const is not None else o_const)
             zero = self.spark.range(1).select(
                 t.alias(a),
@@ -786,15 +902,21 @@ class Compiler:
                 T.term_id(t).alias(b + "__id"),
             )
         else:
-            nodes = self._graph_nodes(graph)
+            nodes = self._graph_nodes(graph, gv)
+            if s_const is not None or o_const is not None:
+                t = T.lit_term(s_const if s_const is not None else o_const)
+                nodes = nodes.where(F.col("n__id") == T.term_id(t))
+            gpass = [F.col(gv), F.col(gv + "__id")] if gv else []
             zero = nodes.select(
                 F.col("n").alias(a),
                 F.col("n__id").alias(a + "__id"),
                 F.col("n").alias(b),
                 F.col("n__id").alias(b + "__id"),
+                *gpass,
             )
-        cols = [a, a + "__id", b, b + "__id"]
-        return pairs.select(*cols).unionAll(zero.select(*cols)).dropDuplicates([a + "__id", b + "__id"])
+        cols = [a, a + "__id", b, b + "__id"] + ([gv, gv + "__id"] if gv else [])
+        keys = [a + "__id", b + "__id"] + ([gv + "__id"] if gv else [])
+        return pairs.select(*cols).unionAll(zero.select(*cols)).dropDuplicates(keys)
 
     def project_sol(self, sol: Sol, keep: set) -> Sol:
         keep = set(keep) & sol.vars

@@ -317,9 +317,17 @@ class SparqlEngine:
         elif isinstance(op, A.DeleteData):
             self.store = self.store.remove(self._quads_df(op.triples))
         elif isinstance(op, A.Modify):
-            c = self._compiler()
             g = op.with_graph
-            sol = c.compile_group(op.where, graph=g)
+            if op.using:
+                # USING/USING NAMED replaces WITH for pattern matching
+                # (templates still instantiate into the WITH graph) —
+                # SPARQL 1.1 Update §3.1.3; reuses the FROM/FROM NAMED
+                # dataset machinery
+                c = self._compiler(dataset=op.using)
+                sol = c.compile_group(op.where)
+            else:
+                c = self._compiler()
+                sol = c.compile_group(op.where, graph=g)
             sol = Sol(sol.df.localCheckpoint(), sol.vars, sol.maybe_unbound)
             if op.delete_templates:
                 dels = self._instantiate(sol, op.delete_templates, g)

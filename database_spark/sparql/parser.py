@@ -366,7 +366,9 @@ class Parser:
             # post-WHERE join — observable with a top-level OPTIONAL
             # (bindingsAndBottomUp01a fixture); mirror that
             self.next()
-            q.where.elements.insert(0, self.parse_values_body())
+            vp = self.parse_values_body()
+            vp.exogenous = True
+            q.where.elements.insert(0, vp)
         elif self.at_kw("BINDINGS"):
             # SPARQL 1.1 draft syntax kept by the reference's fixtures:
             # BINDINGS ?x ?y { (v1 v2) ... } — vars unparenthesized.
@@ -389,7 +391,7 @@ class Parser:
                 self.next()
                 rows.append(tuple(row))
             self.eat_op("}")
-            q.where.elements.insert(0, A.ValuesPattern(vars_, rows))
+            q.where.elements.insert(0, A.ValuesPattern(vars_, rows, exogenous=True))
         return q
 
     def parse_dataset_clauses(self) -> list:
@@ -986,14 +988,18 @@ class Parser:
         if self.at_kw("INSERT"):
             self.next()
             insert_templates = self.parse_triples_template()
-        while self.at_kw("USING"):  # parsed, dataset restriction NYI
+        using: list | None = None
+        while self.at_kw("USING"):
             self.next()
+            using = using or []
             if self.at_kw("NAMED"):
                 self.next()
-            self.parse_iri()
+                using.append(("named", self.parse_iri()))
+            else:
+                using.append(("default", self.parse_iri()))
         self.eat_kw("WHERE")
         where = self.parse_group_graph_pattern()
-        return A.Modify(delete_templates, insert_templates, where, with_graph)
+        return A.Modify(delete_templates, insert_templates, where, with_graph, using)
 
     def _eat_silent(self) -> bool:
         if self.at_kw("SILENT"):

@@ -62,3 +62,45 @@ def test_copy_move(engine):
     engine.update(f"PREFIX ex: <{EX}> MOVE ex:g2 TO ex:g3")
     assert engine.ask(f"PREFIX ex: <{EX}> ASK {{ GRAPH ex:g2 {{ ?s ?p ?o }} }}") is False
     assert engine.ask(f"PREFIX ex: <{EX}> ASK {{ GRAPH ex:g3 {{ ?s ?p ?o }} }}") is True
+
+
+def test_modify_using(spark):
+    """USING restricts the WHERE dataset to the named graph's contents
+    read as the default graph (SPARQL 1.1 Update §3.1.3; reference:
+    AST2BOpUpdate dataset handling)."""
+    g1, g2 = Term.iri(EX + "g1"), Term.iri(EX + "g2")
+    store = TripleStore.from_python_triples(
+        spark,
+        [
+            (Term.iri(EX + "a"), Term.iri(EX + "p"), Term.integer(1), g1),
+            (Term.iri(EX + "b"), Term.iri(EX + "p"), Term.integer(2), g2),
+        ],
+    )
+    eng = SparqlEngine(store)
+    # only g1's statements are visible to the WHERE: b is untouched
+    eng.update(
+        f"""PREFIX ex: <{EX}>
+        INSERT {{ ?s ex:marked true }} USING ex:g1 WHERE {{ ?s ex:p ?v }}"""
+    )
+    assert eng.ask(f"PREFIX ex: <{EX}> ASK {{ ex:a ex:marked true }}") is True
+    assert eng.ask(f"PREFIX ex: <{EX}> ASK {{ ex:b ex:marked true }}") is False
+
+
+def test_modify_using_named(spark):
+    """USING NAMED scopes which graphs GRAPH patterns may match."""
+    g1, g2 = Term.iri(EX + "g1"), Term.iri(EX + "g2")
+    store = TripleStore.from_python_triples(
+        spark,
+        [
+            (Term.iri(EX + "a"), Term.iri(EX + "p"), Term.integer(1), g1),
+            (Term.iri(EX + "b"), Term.iri(EX + "p"), Term.integer(2), g2),
+        ],
+    )
+    eng = SparqlEngine(store)
+    eng.update(
+        f"""PREFIX ex: <{EX}>
+        INSERT {{ ?s ex:seen ?g }} USING NAMED ex:g2
+        WHERE {{ GRAPH ?g {{ ?s ex:p ?v }} }}"""
+    )
+    assert eng.ask(f"PREFIX ex: <{EX}> ASK {{ ex:b ex:seen ex:g2 }}") is True
+    assert eng.ask(f"PREFIX ex: <{EX}> ASK {{ ex:a ex:seen ?g }}") is False

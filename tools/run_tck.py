@@ -198,8 +198,11 @@ def main():
     results: dict[str, dict] = {}
     counts = {"pass": 0, "fail": 0, "error": 0, "skip": 0}
     t0 = time.time()
+    from database_spark.operators import lifecycle as L
+
     for i, stem in enumerate(stems):
         outcome, detail = run_one(spark, stem)
+        L.sweep(spark)  # free any fixture-scoped checkpoint blocks
         counts[outcome] += 1
         results[stem] = {"outcome": outcome, "detail": detail}
         if outcome != "pass":
