@@ -877,6 +877,81 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.5)
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars → positive long in both engines
+# tight bound: the synthetic docs share so much vocabulary that even
+# hamming<=2 yields ~1.3k pairs over the 500-doc slice (incl. planted
+# exact dups at hamming 0) — a loose bound degenerates to all-pairs
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over a portable md5-derived token hash —
+    the DuckDB oracle re-derives the identical 60-bit signatures from
+    md5 nibbles, so the banded Hamming join is exact-verified
+    cross-engine.  Pigeonhole banding generates candidates; the final
+    answer is the full set-semantic quantity (all pairs with
+    Hamming(sig) <= max_hamming), which the oracle computes
+    quadratically."""
+    from database_spark.pipeline import dedup
+    from database_spark.pipeline.text import tokens
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 500)
+        .where(F.size(tokens(F.col("text"))) > 0)
+    )
+    return dedup.simhash_near_pairs(
+        d,
+        "doc_id",
+        "text",
+        max_hamming=SIMHASH_MAX_HAMMING,
+        bits=SIMHASH_BITS,
+        token_hash=lambda t: dedup.md5_token_hash(t, SIMHASH_BITS),
+    )
+
+
+LSH_DIM = 64
+LSH_PLANES = 4
+LSH_TABLES = 8
+LSH_THRESHOLD = 0.42  # synthetic embeddings are near-orthogonal (max pair cos ~0.51)
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def q_lsh_cosine_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-dup pairs over embeddings, exact-cosine
+    verified.  The oracle emulates the same deterministic quantizer
+    (plane constants inlined into the SQL from the same Python
+    generator — no drift), so candidate generation AND verification
+    are checked, not just the threshold filter."""
+    from database_spark.pipeline import similarity
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return similarity.lsh_similar_pairs(
+        emb, "vec_id", "v", dim=LSH_DIM,
+        threshold=LSH_THRESHOLD, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-k (LSH-sign cells + multi-probe), emulated
+    exactly by the oracle — checks quantization, probing and ranking."""
+    from database_spark.pipeline import similarity
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    return similarity.ivf_topk(
+        emb, q, "vec_id", "v", "qid", "qv",
+        k=5, n_cells=IVF_CELLS, n_probe=IVF_PROBE, dim=LSH_DIM,
+    )
+
+
 # ------------------------------------------------- relational / pipeline
 
 
@@ -1060,6 +1135,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_describe": q_sparql_describe,
     "text_quality": q_text_quality,
     "ngram_jaccard": q_ngram_jaccard,
+    "simhash_pairs": q_simhash_pairs,
+    "lsh_cosine_pairs": q_lsh_cosine_pairs,
+    "ivf_topk": q_ivf_topk,
 }
 
 
@@ -1119,6 +1197,120 @@ def _text_quality_oracle() -> str:
 
 
 _TEXT_QUALITY_ORACLE = _text_quality_oracle()
+
+
+def _simhash_oracle() -> str:
+    """DuckDB emulation of the portable-md5 SimHash: bit i (0-based,
+    LSB) of a token's 60-bit hash comes from md5 hex nibble
+    15 - i//4, shifted by i%4 — identical to
+    conv(substr(md5(t),1,15),16,10) bit extraction."""
+    k, bits = SIMHASH_MAX_HAMMING, SIMHASH_BITS
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS t
+          FROM documents WHERE doc_id < 500
+        ), th AS (
+          SELECT doc_id, md5(t) AS h FROM tok
+        ), bits AS (
+          SELECT doc_id, i,
+                 SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                        substr(h, {bits // 4} - (i // 4), 1)) - 1)
+                                >> (i % 4)) & 1 = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM th CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS i) g
+          GROUP BY doc_id, i
+        ), sig AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS sg
+          FROM bits GROUP BY doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sg, b.sg)) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sg, b.sg)) <= {k}
+    """
+
+
+def _plane_sql(dim: int, plane_i: int, seed: int) -> str:
+    from database_spark.pipeline.similarity import _hyperplane
+
+    return "[" + ", ".join(repr(x) for x in _hyperplane(dim, plane_i, seed)) + "]"
+
+
+def _bucket_sql(vec: str, dim: int, n_planes: int, seed: int) -> str:
+    """Mirror of similarity.lsh_bucket: plane 0 is the MSB."""
+    parts = [
+        f"(CASE WHEN list_dot_product({vec}, {_plane_sql(dim, i, seed)}) >= 0"
+        f" THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i in range(n_planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _lsh_pairs_oracle() -> str:
+    tables = "\n          UNION ALL\n".join(
+        f"""          SELECT vec_id, v, {t} AS tbl,
+                 {_bucket_sql('v', LSH_DIM, LSH_PLANES, 1000 + t)} AS bucket
+          FROM v"""
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), b AS (
+{tables}
+        ), cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                           AND l.vec_id < r.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_dot_product(a.v, bb.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))),
+                     6) AS cos
+        FROM cand JOIN v a ON cand.id_a = a.vec_id
+                  JOIN v bb ON cand.id_b = bb.vec_id
+        WHERE round(list_dot_product(a.v, bb.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))),
+                    6) >= {LSH_THRESHOLD}
+    """
+
+
+def _ivf_topk_oracle() -> str:
+    import math
+
+    n_planes = max(1, int(math.log2(IVF_CELLS)))
+    cell = _bucket_sql("v", LSH_DIM, n_planes, 42)
+    qcell = _bucket_sql("qv", LSH_DIM, n_planes, 42)
+    probes = ", ".join(
+        ["qcell"] + [f"xor(qcell, {1 << b})" for b in range(min(IVF_PROBE - 1, n_planes))]
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), d AS (
+          SELECT vec_id AS neighbor_id, v AS dv, {cell} AS cell FROM v
+        ), q0 AS (
+          SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 3
+        ), q1 AS (
+          SELECT query_id, qv, {qcell} AS qcell FROM q0
+        ), probes AS (
+          SELECT DISTINCT query_id, qv, unnest([{probes}]) AS cell FROM q1
+        ), scored AS (
+          SELECT DISTINCT query_id, neighbor_id,
+                 round(list_dot_product(dv, qv) /
+                       (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))),
+                       6) AS cos
+          FROM d JOIN probes USING (cell)
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM scored) WHERE rank <= 5
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -1376,6 +1568,9 @@ ORACLES: dict[str, str] = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
     """,
     "text_quality": _TEXT_QUALITY_ORACLE,
+    "simhash_pairs": _simhash_oracle(),
+    "lsh_cosine_pairs": _lsh_pairs_oracle(),
+    "ivf_topk": _ivf_topk_oracle(),
     "ngram_jaccard": r"""
         WITH sh AS (
           SELECT doc_id,

@@ -174,11 +174,27 @@ def minhash_lsh_pairs(
     return out
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over tokens: per-bit majority vote of token
-    hashes.  Pure column expressions (aggregate over the token array)."""
+def md5_token_hash(tok: Column, bits: int = 60) -> Column:
+    """Portable token hash: top `bits` bits of md5, as a positive long.
+
+    Unlike xxhash64 this is reproducible in any engine with md5 +
+    hex→int (the DuckDB oracle re-derives the identical value), at the
+    cost of ~2x the hash work — use for cross-engine-verified runs.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, bits // 4), 16, 10).cast("long")
+
+
+def simhash(text: Column, bits: int = 64, token_hash=None) -> Column:
+    """SimHash over tokens: per-bit majority vote of token hashes.
+    Pure column expressions (aggregate over the token array).
+
+    ``token_hash``: Column→Column hash function (default xxhash64,
+    JVM-fast; pass :func:`md5_token_hash` for a cross-engine
+    reproducible signature)."""
     toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    if token_hash is None:
+        token_hash = F.xxhash64
+    hashes = F.transform(toks, token_hash)
 
     def bit_sum(i: int) -> Column:
         return F.aggregate(
@@ -196,7 +212,12 @@ def simhash(text: Column, bits: int = 64) -> Column:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -207,9 +228,12 @@ def simhash_near_pairs(
     chunk counts with shorter chunks.  Returns (id_a, id_b, hamming).
     """
     n_chunks = min(max_hamming + 1, 16)
-    width = 64 // n_chunks
+    width = bits // n_chunks
     mask = (1 << width) - 1
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), bits, token_hash).alias("sh"),
+    )
     chunks = sh.select(
         "id",
         "sh",
