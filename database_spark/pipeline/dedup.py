@@ -193,7 +193,8 @@ def simhash(text: Column, bits: int = 64, token_hash=None) -> Column:
     reproducible signature)."""
     toks = F.array_distinct(tokens(text))
     if token_hash is None:
-        token_hash = F.xxhash64
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731 — *cols signature
+        # is rejected by transform()'s lambda introspection; wrap it
     hashes = F.transform(toks, token_hash)
 
     def bit_sum(i: int) -> Column:

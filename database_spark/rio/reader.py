@@ -130,8 +130,8 @@ def read_ntriples(spark: SparkSession, path: str, distributed: bool = False) -> 
 _TTL_TOKEN = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n]*)
-  | (?P<PREFIX>@prefix|@base|PREFIX\b|BASE\b)
-  | (?P<GRAPH>GRAPH\b)
+  | (?P<PREFIX>@prefix|@base|(?i:PREFIX)\b(?!:)|(?i:BASE)\b(?!:))
+  | (?P<GRAPH>(?i:GRAPH)\b(?!:))
   | (?P<IRIREF><[^<>"{}|^`\\\x00-\x20]*>)
   | (?P<STRING_LONG>(?:'''(?:[^'\\]|\\.|'(?!''))*''')|(?:\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"))
   | (?P<STRING>'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
@@ -144,6 +144,7 @@ _TTL_TOKEN = re.compile(
   | (?P<A>a\b)
   | (?P<LANGTAG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<RDFSTAR><<|>>)
+  | (?P<NAME>[A-Za-z][A-Za-z0-9_.-]*)
   | (?P<OP>\^\^|[\[\](){};,.])
     """,
     re.VERBOSE,
@@ -170,7 +171,10 @@ class TurtleParser:
             i = m.end()
         self.toks.append(("EOF", ""))
         self.i = 0
-        self.prefixes: dict[str, str] = {}
+        # pre-declared well-known namespaces: the reference's fixture
+        # corpus uses rdf:/rdfs:/skos: in data files without declaring
+        # them (its harness parses with defaults pre-registered)
+        self.prefixes: dict[str, str] = dict(T.WELL_KNOWN_PREFIXES)
         self.base = ""
         self.quads: list = []
         self.graph: Term | None = None
@@ -199,7 +203,16 @@ class TurtleParser:
                 if v.lower().endswith("base"):
                     self.base = self.next()[1][1:-1]
                 else:
-                    pname = self.next()[1]
+                    k2, v2 = self.next()
+                    if k2 == "NAME":
+                        # '@prefix ns : <iri>' — whitespace before the
+                        # colon (seen in the reference's fixtures)
+                        colon = self.next()
+                        if colon != ("PNAME", ":"):
+                            raise ValueError(f"expected ':' after @prefix {v2!r}, got {colon!r}")
+                        pname = v2 + ":"
+                    else:
+                        pname = v2
                     iri = self.next()[1][1:-1]
                     self.prefixes[pname[:-1]] = iri
                 if self.peek() == ("OP", "."):

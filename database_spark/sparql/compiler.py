@@ -94,6 +94,10 @@ class Compiler:
         # (HTreeNamedSubqueryOp.java:77 builds the hash index once and
         # SolutionSetHashJoinOp re-joins it; persist() is the Spark analog)
         self.named_sets = dict(named_sets or {})
+        # WITH … AS %name ASTs, compiled on first INCLUDE so later
+        # declarations can be referenced by earlier ones (ticket_bg1763b)
+        self._named_set_asts: dict = {}
+        self._named_sets_compiling: set = set()
         # bucket count of a predicate-partitioned parquet layout (None
         # when the store isn't partitioned) — enables partition pruning
         # for bound-predicate scans
@@ -431,6 +435,19 @@ class Compiler:
         return sol
 
     def apply_filter(self, sol: Sol, expr, graph, visible: set | None = None) -> Sol:
+        # EXISTS { FILTER f1 . FILTER f2 … } (no patterns): the group
+        # matches the empty BGP once, so under §8.1.1 substitution it
+        # reduces to the filters' conjunction — rewrite and recurse
+        # (nested NOT EXISTS-in-NOT EXISTS, ticket_blzg_1281a)
+        if isinstance(expr, A.ExistsExpr) and expr.group.elements and all(
+            isinstance(el, A.FilterPattern) for el in expr.group.elements
+        ):
+            conj = expr.group.elements[0].expr
+            for el in expr.group.elements[1:]:
+                conj = A.Op("&&", [conj, el.expr])
+            if expr.negated:
+                conj = A.Op("!", [conj])
+            return self.apply_filter(sol, conj, graph, visible)
         # fast paths: FILTER EXISTS / FILTER NOT EXISTS → semi/anti join
         if isinstance(expr, A.ExistsExpr):
             return self._exists_join(sol, expr.group, graph, anti=expr.negated)
@@ -632,7 +649,14 @@ class Compiler:
             elif isinstance(el, A.GraphPattern):
                 flush_bgp()
                 g = el.graph.term if isinstance(el.graph, A.Const) else el.graph
-                sol = self.join(sol, self.compile_group(el.group, g))
+                if not el.group.elements:
+                    # GRAPH g {} — the empty pattern matches once per
+                    # EXISTING named graph: GRAPH ?g {} enumerates the
+                    # named graphs, GRAPH <iri> {} tests membership
+                    # (trac709 / ticket_429b)
+                    sol = self.join(sol, self._named_graph_sol(g))
+                else:
+                    sol = self.join(sol, self.compile_group(el.group, g))
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.FilterPattern):
                 filters.append(el.expr)
@@ -650,13 +674,11 @@ class Compiler:
                     produced_before |= {v.name for v in el.vars}
             elif isinstance(el, A.SubSelect):
                 flush_bgp()
-                sol = self.join(sol, self.compile_select(el.query))
+                sol = self.join(sol, self._subselect(el.query, graph))
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.NamedSubqueryInclude):
                 flush_bgp()
-                if el.name not in self.named_sets:
-                    raise SparqlCompileError(f"unknown solution set %{el.name}")
-                sol = self.join(sol, self.named_sets[el.name])
+                sol = self.join(sol, self._named_set(el.name))
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.ServicePattern):
                 flush_bgp()
@@ -817,7 +839,14 @@ class Compiler:
         s_const = s.term if isinstance(s, A.Const) else None
         o_const = o.term if isinstance(o, A.Const) else None
         if path.mod == "?":
-            pairs = self._with_zero_length(step_df, a, b, graph, s_const, o_const, gv, only_zero_union=True)
+            # zero-or-one: the zero-length domain stays ALL graph nodes —
+            # a `p?` mid-sequence must echo nodes that p itself never
+            # touches (ticket_blzg_1495: p1/<unknown>? over an empty
+            # <unknown> relation); `*` below restricts to the relation's
+            # own vocabulary (property-paths-6 reference behavior)
+            pairs = self._with_zero_length(
+                step_df, a, b, graph, s_const, o_const, gv, only_zero_union=True
+            )
         else:
             seed = None
             seed_side = None
@@ -833,7 +862,7 @@ class Compiler:
                 else transitive_closure(self.spark, step_df, a, b, gcol=gv)
             )
             if path.mod == "*":
-                pairs = self._with_zero_length(closed, a, b, graph, s_const, o_const, gv)
+                pairs = self._with_zero_length(closed, a, b, graph, s_const, o_const, gv, rel=step_df)
             else:
                 pairs = closed
         # now bind s/o against pairs
@@ -856,6 +885,22 @@ class Compiler:
         if not sel:
             sel = [F.lit(1).alias("__one")]
         return Sol(df.select(*sel).dropDuplicates(), vars_, set())
+
+    def _named_graph_sol(self, g) -> Sol:
+        """Solutions of ``GRAPH g { }``: one per existing named graph.
+        One distinct-aggregate over the (pruned) g column — at scale
+        this is a scan of just the graph id column."""
+        df = self.triples.where(F.col("g").isNotNull())
+        if self.named_graphs is not None:
+            df = df.where(self._named_graph_cond())
+        if isinstance(g, A.Var):
+            out = df.select(
+                F.col("gt").alias(g.name), F.col("g").alias(g.name + "__id")
+            ).dropDuplicates([g.name + "__id"])
+            return Sol(out, {g.name}, set())
+        # constant graph: empty match iff that named graph exists
+        out = df.where(F.col("g") == T.term_id(T.lit_term(g))).select().limit(1)
+        return Sol(out, set(), set())
 
     def _graph_nodes(self, graph, gv: str | None = None) -> DataFrame:
         """All terms used as subject or object in the active graph
@@ -888,11 +933,15 @@ class Compiler:
         o_const,
         gv: str | None = None,
         only_zero_union: bool = False,
+        rel: DataFrame | None = None,
     ) -> DataFrame:
         """Add zero-length (x,x) pairs: for bound endpoints just the
-        endpoint; otherwise every node in the graph (per graph under
-        GRAPH ?var — a zero-length match of a constant exists in every
-        graph where the node occurs)."""
+        endpoint; with both ends free, the reflexive domain is the
+        node set of the path's own step relation — NOT every term in
+        the graph (reference behavior, property-paths-6.srx: `?a
+        rdfs:subClassOf* ?b` yields (x,x) only for the 5 class nodes).
+        Scale note: the step relation is usually far smaller than the
+        graph, so this is also the cheaper domain."""
         if (s_const is not None or o_const is not None) and not gv:
             t = T.lit_term(s_const if s_const is not None else o_const)
             zero = self.spark.range(1).select(
@@ -901,12 +950,30 @@ class Compiler:
                 t.alias(b),
                 T.term_id(t).alias(b + "__id"),
             )
-        else:
+        elif s_const is not None or o_const is not None:
+            # bound endpoint under GRAPH ?var: a zero-length match of the
+            # constant exists in every graph where the node occurs
             nodes = self._graph_nodes(graph, gv)
-            if s_const is not None or o_const is not None:
-                t = T.lit_term(s_const if s_const is not None else o_const)
-                nodes = nodes.where(F.col("n__id") == T.term_id(t))
+            t = T.lit_term(s_const if s_const is not None else o_const)
+            nodes = nodes.where(F.col("n__id") == T.term_id(t))
             gpass = [F.col(gv), F.col(gv + "__id")] if gv else []
+            zero = nodes.select(
+                F.col("n").alias(a),
+                F.col("n__id").alias(a + "__id"),
+                F.col("n").alias(b),
+                F.col("n__id").alias(b + "__id"),
+                *gpass,
+            )
+        else:
+            gpass = [F.col(gv), F.col(gv + "__id")] if gv else []
+            if rel is not None:
+                ends_a = rel.select(F.col(a).alias("n"), F.col(a + "__id").alias("n__id"), *gpass)
+                ends_b = rel.select(F.col(b).alias("n"), F.col(b + "__id").alias("n__id"), *gpass)
+                nodes = ends_a.unionAll(ends_b).dropDuplicates(
+                    ["n__id"] + ([gv + "__id"] if gv else [])
+                )
+            else:
+                nodes = self._graph_nodes(graph, gv)
             zero = nodes.select(
                 F.col("n").alias(a),
                 F.col("n__id").alias(a + "__id"),
@@ -922,23 +989,85 @@ class Compiler:
         keep = set(keep) & sol.vars
         return Sol(sol.df.select(*_cols_for(keep)), keep, sol.maybe_unbound & keep)
 
-    # ----------------------------------------------------------- SELECT
-    def compile_select(self, q: A.SelectQuery) -> Sol:
-        for name, sub in q.named_subqueries:
-            subsol = self.compile_select(sub)
-            # compute once, reuse across every INCLUDE: persist() gives
-            # all INCLUDE joins the same materialized scan instead of
-            # re-evaluating the subplan per reference
-            self.named_sets[name] = Sol(
-                subsol.df.persist(), subsol.vars, subsol.maybe_unbound
+    def _named_set(self, name: str) -> Sol:
+        """Resolve %name, compiling its WITH clause on first use.
+
+        Lazy compilation lets a named subquery INCLUDE another one that
+        is declared after it in the query text (the reference resolves
+        all WITH clauses before evaluation; ticket_bg1763b)."""
+        if name in self.named_sets:
+            return self.named_sets[name]
+        if name not in self._named_set_asts:
+            raise SparqlCompileError(f"unknown solution set %{name}")
+        if name in self._named_sets_compiling:
+            raise SparqlCompileError(f"cyclic INCLUDE of solution set %{name}")
+        self._named_sets_compiling.add(name)
+        try:
+            subsol = self.compile_select(self._named_set_asts[name])
+        finally:
+            self._named_sets_compiling.discard(name)
+        # compute once, reuse across every INCLUDE: persist() gives
+        # all INCLUDE joins the same materialized scan instead of
+        # re-evaluating the subplan per reference
+        # (HTreeNamedSubqueryOp.java:77 builds the hash index once)
+        self.named_sets[name] = Sol(
+            subsol.df.persist(), subsol.vars, subsol.maybe_unbound
+        )
+        return self.named_sets[name]
+
+    def _subselect(self, q: A.SelectQuery, graph) -> Sol:
+        """Subquery under a GRAPH context.  Under GRAPH ?g the active
+        graph scopes the whole subquery (§18.2.2.3) but ?g itself is
+        NOT visible inside (bottom-up: the subquery projects its own
+        scope) — so the context rides through under a fresh internal
+        variable and is renamed to ?g on the way out
+        (ticket-1892-additional4: GROUP BY ?g inside the subquery is a
+        singleton, yet evaluation is still per named graph)."""
+        if not isinstance(graph, A.Var):
+            return self.compile_select(q, graph=graph)
+        internal = A.Var(self.fresh())
+        ssol = self.compile_select(q, graph=internal)
+        if internal.name not in ssol.vars:
+            return ssol
+        df, vars_, mb = ssol.df, ssol.vars - {internal.name}, ssol.maybe_unbound - {internal.name}
+        if graph.name in ssol.vars:
+            # the subquery also projects ?g: the active graph must agree
+            # with it (compatibility — unbound inner ?g matches any)
+            gid, iid = F.col(graph.name + "__id"), F.col(internal.name + "__id")
+            df = (
+                df.where(gid.isNull() | (gid == iid))
+                .withColumn(graph.name, F.col(internal.name))
+                .withColumn(graph.name + "__id", iid)
+                .drop(internal.name, internal.name + "__id")
             )
-        sol = self.compile_group(q.where)
+            return Sol(df, vars_ | {graph.name}, mb - {graph.name})
+        df = df.withColumnRenamed(internal.name, graph.name).withColumnRenamed(
+            internal.name + "__id", graph.name + "__id"
+        )
+        return Sol(df, vars_ | {graph.name}, mb)
+
+    # ----------------------------------------------------------- SELECT
+    def compile_select(self, q: A.SelectQuery, graph=None) -> Sol:
+        """graph: enclosing GRAPH context.  A subselect under GRAPH ?g
+        is evaluated once per named graph (§18.2.2.3: the active graph
+        scopes the whole group) — the graph var rides along as an
+        implicit group key / projection so each graph's sub-result stays
+        separate and joins back to the outer ?g (ticket-1892-additional4)."""
+        for name, sub in q.named_subqueries:
+            self._named_set_asts[name] = sub
+        for name, _sub in q.named_subqueries:
+            self._named_set(name)
+        sol = self.compile_group(q.where, graph)
         if q.values is not None:
             sol = self.join(sol, self.values_sol(q.values))
 
+        # the enclosing-GRAPH context var (if any) partitions everything:
+        # grouping, DISTINCT, and LIMIT/OFFSET all apply per active graph
+        gv = graph.name if isinstance(graph, A.Var) and graph.name in sol.vars else None
+
         aggs = _collect_aggs(q)
         if q.group_by or aggs:
-            sol, agg_repl = self._aggregate(sol, q, aggs)
+            sol, agg_repl = self._aggregate(sol, q, aggs, extra_key=gv)
             for h in q.having:
                 ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
                 sol = Sol(
@@ -986,6 +1115,8 @@ class Compiler:
                 v + "__id", F.lit(None).cast("long")
             )
         ordered_keep = [v.name for v, _ in q.projections] if q.projections else sorted(keep)
+        if gv and gv not in ordered_keep:
+            ordered_keep = ordered_keep + [gv]
         df = df.select(*[c for v in ordered_keep for c in (v, v + "__id")])
         sol = Sol(df, set(ordered_keep), (sol.maybe_unbound | missing) & set(ordered_keep))
 
@@ -1001,23 +1132,41 @@ class Compiler:
                 # query to projected vars, so resolving over the projected
                 # solution is sufficient.
                 sol = Sol(sol.df.orderBy(*_sort_cols(sol)), sol.vars, sol.maybe_unbound)
-        if q.offset:
-            sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
-        if q.limit is not None:
-            sol = Sol(sol.df.limit(q.limit), sol.vars, sol.maybe_unbound)
+        if gv and (q.offset or q.limit is not None):
+            # per-active-graph slice: a global limit would let one
+            # graph's rows starve another's
+            from pyspark.sql.window import Window
+
+            order = _sort_cols(sol) or [F.monotonically_increasing_id()]
+            w = Window.partitionBy(gv + "__id").orderBy(*order)
+            rn = f"__rn{next(self._fresh)}"
+            df = sol.df.withColumn(rn, F.row_number().over(w))
+            lo = q.offset or 0
+            cond = F.col(rn) > lo
+            if q.limit is not None:
+                cond = cond & (F.col(rn) <= lo + q.limit)
+            sol = Sol(df.where(cond).drop(rn), sol.vars, sol.maybe_unbound)
+        else:
+            if q.offset:
+                sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
+            if q.limit is not None:
+                sol = Sol(sol.df.limit(q.limit), sol.vars, sol.maybe_unbound)
         sol.projected_order = ordered_keep  # type: ignore[attr-defined]
         return sol
 
     # -------------------------------------------------------- aggregation
-    def _aggregate(self, sol: Sol, q: A.SelectQuery, aggs: list):
+    def _aggregate(self, sol: Sol, q: A.SelectQuery, aggs: list, extra_key: str | None = None):
         """GROUP BY + the 7 SPARQL aggregates with runtime numeric
         promotion (reference: MemoryGroupByOp/PipelinedAggregationOp +
         SUM.java/AVERAGE.java promotion ladders; Spark does
-        partial+final aggregation automatically)."""
+        partial+final aggregation automatically).
+
+        extra_key: implicit partition key (the enclosing-GRAPH context
+        var) — grouping happens within each active graph."""
         df = sol.df
         ec = ExprCompiler(self.resolver(sol))
-        keys = []
-        key_vars = set()
+        keys = [extra_key] if extra_key else []
+        key_vars = {extra_key} if extra_key else set()
         for i, g in enumerate(q.group_by):
             if isinstance(g, tuple):
                 expr, var = g
@@ -1028,6 +1177,14 @@ class Compiler:
                 keys.append(var.name)
                 key_vars.add(var.name)
             elif isinstance(g, A.Var):
+                if g.name not in sol.vars:
+                    # GROUP BY on a variable not bound in this scope
+                    # (bottom-up: an outer GRAPH ?g doesn't reach a
+                    # subquery) groups everything into one group with
+                    # the key unbound (ticket-1892-additional4)
+                    df = df.withColumn(g.name, F.lit(None).cast(T.TERM_TYPE)).withColumn(
+                        g.name + "__id", F.lit(None).cast("long")
+                    )
                 keys.append(g.name)
                 key_vars.add(g.name)
             else:
@@ -1054,7 +1211,11 @@ class Compiler:
             agg_cols_for = []
             if agg.name == "COUNT":
                 if agg.expr is None:
-                    c = F.count_distinct(*[F.col(v + "__id") for v in sorted(sol.vars)]) if agg.distinct and sol.vars else F.count(F.lit(1))
+                    # COUNT(DISTINCT *): distinct whole solutions — wrap
+                    # the ids in a struct so rows with UNBOUND vars still
+                    # count (bare count_distinct drops any-null rows;
+                    # ticket-1202-additional4/6)
+                    c = F.count_distinct(F.struct(*[F.col(v + "__id") for v in sorted(sol.vars)])) if agg.distinct and sol.vars else F.count(F.lit(1))
                 else:
                     c = F.count_distinct(in_t) if agg.distinct else F.count(in_t)
                 agg_cols_for.append(pack_integer(c).alias(name))

@@ -87,6 +87,20 @@ class SparqlEngine:
             import functools
             import operator
 
+            # blazegraph virtual graphs: FROM [NAMED] VIRTUAL GRAPH <vg>
+            # expands to the <vg> bd:virtualGraph <member> declarations
+            # found anywhere in the store (ASTDatasetClause / virtual
+            # graph support in the reference's dataset handling)
+            if any(k.startswith("virtual") for k, _ in dataset):
+                expanded = []
+                for k, t in dataset:
+                    if k.startswith("virtual"):
+                        base = "default" if k.endswith("default") else "named"
+                        expanded += [(base, A.Const(m)) for m in self._virtual_members(t)]
+                    else:
+                        expanded.append((k, t))
+                dataset = expanded
+
             from_terms = [t.term if isinstance(t, A.Const) else t for k, t in dataset if k == "default"]
             named_terms = [t.term if isinstance(t, A.Const) else t for k, t in dataset if k == "named"]
             flat = self.store.df
@@ -122,6 +136,26 @@ class SparqlEngine:
             ),
             named_graph_ids=named_graphs,
         )
+
+    _VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
+
+    def _virtual_members(self, t) -> list:
+        """Member graphs of a virtual graph: ``<vg> bd:virtualGraph <m>``
+        statements, looked up store-wide.  Declarations are tiny
+        (operator metadata, not data), so a driver-side collect is fine."""
+        vg = t.term if isinstance(t, A.Const) else t
+        rows = (
+            self.store.df.where(
+                (F.col("s") == T.term_id(T.lit_term(vg)))
+                & (F.col("p") == T.term_id(T.lit_term(T.Term.iri(self._VIRTUAL_GRAPH))))
+            )
+            .select("ot")
+            .collect()
+        )
+        return [
+            T.Term(kind=r["ot"]["kind"], lex=r["ot"]["lex"], dt=r["ot"]["dt"], lang=r["ot"]["lang"])
+            for r in rows
+        ]
 
     def solution_set(self, df: DataFrame) -> Sol:
         """Wrap a DataFrame of term-struct columns as a named solution

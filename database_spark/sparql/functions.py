@@ -245,6 +245,15 @@ def compare(a: Column, b: Column, op: str) -> Column:
         result = result.when(
             is_literal(a) & is_literal(b) & ident, F.lit(op == "=")
         )
+        # a language-tagged literal is provably distinct from any
+        # non-lang literal, and from a lang literal with another tag —
+        # false, not a type error (W3C open-eq-12: x2/x3 rows are
+        # excluded, not error→unbound)
+        a_lang = dt_of(a) == T.RDF_LANGSTRING
+        b_lang = dt_of(b) == T.RDF_LANGSTRING
+        result = result.when(
+            is_literal(a) & is_literal(b) & (a_lang != b_lang), F.lit(op == "!=")
+        ).when(a_lang & b_lang, F.lit(op == "!="))
     return result
 
 
@@ -559,7 +568,44 @@ class ExprCompiler:
             else:
                 lexo = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
             return F.when(ts.isNotNull(), T.term_struct(F.lit(T.KIND_LITERAL), lexo, F.lit(dt), F.lit(None)))
+        local = dt[len(T.XSD):]
+        if local in _INT_RANGES:
+            # bounded integer types (xsd:unsignedLong etc.) — go through
+            # decimal(38,0) so the full uint64 range round-trips (long
+            # would overflow at 2^63); out-of-range → type error (unbound)
+            lo, hi = _INT_RANGES[local]
+            dec = (
+                F.when(dt_of(t) == T.XSD_BOOLEAN, F.when(src_bool, 1).otherwise(0).cast("decimal(38,0)"))
+                # integer-shaped lexical forms parse exactly from the lex —
+                # numeric_value() goes through double and would corrupt
+                # values past 2^53 (e.g. the uint64 max)
+                .when(v.rlike("^[+-]?[0-9]+$"), v.try_cast("decimal(38,0)"))
+                .when(is_numeric(t), src_num.cast("decimal(38,0)"))
+                .otherwise(v.try_cast("decimal(38,0)"))
+            )
+            ok = dec.isNotNull()
+            if lo is not None:
+                ok = ok & (dec >= F.lit(str(lo)).cast("decimal(38,0)"))
+            if hi is not None:
+                ok = ok & (dec <= F.lit(str(hi)).cast("decimal(38,0)"))
+            return F.when(ok, T.term_struct(F.lit(T.KIND_LITERAL), dec.cast("string"), F.lit(dt), F.lit(None)))
         raise SparqlCompileError(f"unsupported cast {dt}")
+
+
+# value ranges for the bounded XSD integer types
+# (reference: FunctionRegistry.java XSD constructor casts)
+_INT_RANGES = {
+    "unsignedLong": (0, 2**64 - 1),
+    "unsignedInt": (0, 2**32 - 1),
+    "unsignedShort": (0, 2**16 - 1),
+    "unsignedByte": (0, 2**8 - 1),
+    "nonNegativeInteger": (0, None),
+    "positiveInteger": (1, None),
+    "nonPositiveInteger": (None, 0),
+    "negativeInteger": (None, -1),
+    "short": (-(2**15), 2**15 - 1),
+    "byte": (-(2**7), 2**7 - 1),
+}
 
 
 def str_value_or_plain(t: Column) -> Column:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 
-from ..terms import RDF, XSD, Term
+from ..terms import RDF, WELL_KNOWN_PREFIXES, XSD, Term
 from . import ast as A
 
 
@@ -139,20 +139,7 @@ def _unescape(s: str) -> str:
 
 # pre-declared prefixes, matching the reference's PrefixDeclProcessor
 # defaults (queries in its test corpus rely on them without declaring)
-DEFAULT_PREFIXES = {
-    "rdf": RDF,
-    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
-    "xsd": XSD,
-    "owl": "http://www.w3.org/2002/07/owl#",
-    "fn": "http://www.w3.org/2005/xpath-functions#",
-    "foaf": "http://xmlns.com/foaf/0.1/",
-    "dc": "http://purl.org/dc/elements/1.1/",
-    "bds": "http://www.bigdata.com/rdf/search#",
-    "gas": "http://www.bigdata.com/rdf/gas#",
-    "geo": "http://www.bigdata.com/rdf/geospatial#",
-    "bd": "http://www.bigdata.com/rdf#",
-    "hint": "http://www.bigdata.com/queryHints#",
-}
+DEFAULT_PREFIXES = dict(WELL_KNOWN_PREFIXES)
 
 
 class Parser:
@@ -398,11 +385,18 @@ class Parser:
         ds = []
         while self.at_kw("FROM"):
             self.next()
+            named = False
             if self.at_kw("NAMED"):
                 self.next()
-                ds.append(("named", self.parse_iri()))
+                named = True
+            if self.peek().kind == "NAME" and self.peek().value.upper() == "VIRTUAL":
+                # blazegraph extension: FROM [NAMED] VIRTUAL GRAPH <vg>
+                self.next()
+                if self.at_kw("GRAPH"):
+                    self.next()
+                ds.append(("virtual-named" if named else "virtual-default", self.parse_iri()))
             else:
-                ds.append(("default", self.parse_iri()))
+                ds.append(("named" if named else "default", self.parse_iri()))
         return ds
 
     def parse_solution_modifiers(self, q) -> None:
@@ -469,7 +463,12 @@ class Parser:
         dataset = self.parse_dataset_clauses()
         if self.at_kw("WHERE"):
             self.next()
-        return A.AskQuery(where=self.parse_group_graph_pattern(), dataset=dataset)
+        q = A.AskQuery(where=self.parse_group_graph_pattern(), dataset=dataset)
+        # ASK admits the full solution-modifier tail grammatically
+        # (reference corpus: ticket-618g); grouping/ordering can't change
+        # whether the solution multiset is non-empty, so parse + discard
+        self.parse_solution_modifiers(A.SelectQuery(projections=[], where=q.where))
+        return q
 
     def parse_construct(self) -> A.ConstructQuery:
         self.eat_kw("CONSTRUCT")

@@ -44,6 +44,7 @@ SKIP_PATTERNS = [
     (re.compile(r"fts:"), "external full-text SERVICE"),
     (re.compile(r"geo:|geospatial"), "geospatial fixture (separate gate)"),
     (re.compile(r"SERVICE\s+<http"), "remote SERVICE endpoint"),
+    (re.compile(r"SERVICE\s+wikibase:|wikibase:label"), "external wikibase label SERVICE"),
     (re.compile(r"sameTerm\s*\(\s*\?\w+\s*,\s*<<"), "RDF* in query position"),
     (re.compile(r"<<"), "RDF* in query position"),
     (re.compile(r"\bLET\b"), "LET extension"),
@@ -167,7 +168,15 @@ def run_one(spark, stem: str) -> tuple[str, str]:
         store = load_store(spark, paths)
         engine = SparqlEngine(store)
         if expected["boolean"] is not None:
-            got = engine.ask(query)
+            from database_spark.sparql.parser import parse_query as _pq
+            from database_spark.sparql import ast as _ast
+
+            if isinstance(_pq(query), _ast.AskQuery):
+                got = engine.ask(query)
+            else:
+                # a few fixtures (ticket-618f) pair a CONSTRUCT query with
+                # a boolean .srx: the Java harness checks non-emptiness
+                got = bool(engine.construct(query).limit(1).count() > 0)
             if got == expected["boolean"]:
                 return "pass", ""
             return "fail", f"ASK: expected {expected['boolean']}, got {got}"
@@ -176,6 +185,13 @@ def run_one(spark, stem: str) -> tuple[str, str]:
         ordered = bool(re.search(r"\bORDER\s+BY\b", query, re.I))
         if results_equal(expected["rows"], got_rows, ordered=ordered):
             return "pass", ""
+        if os.environ.get("TCK_VERBOSE"):
+            print(f"--- {stem} EXPECTED ({len(expected['rows'])}):")
+            for r in expected["rows"]:
+                print("   ", r)
+            print(f"--- {stem} GOT ({len(got_rows)}):")
+            for r in got_rows:
+                print("   ", r)
         return (
             "fail",
             f"{len(expected['rows'])} expected vs {len(got_rows)} got rows",
@@ -188,13 +204,16 @@ def main():
     families = None
     if "--families" in sys.argv:
         families = sys.argv[sys.argv.index("--families") + 1].split(",")
+    only: list[str] | None = None
+    if "--stems" in sys.argv:
+        only = sys.argv[sys.argv.index("--stems") + 1].split(",")
     if not EVAL_DIR.exists():
         print(json.dumps({"error": f"missing {EVAL_DIR}"}))
         return
     from database_spark.session import get_spark
 
     spark = get_spark("tck", shuffle_partitions=4)
-    stems = discover(families)
+    stems = only if only else discover(families)
     results: dict[str, dict] = {}
     counts = {"pass": 0, "fail": 0, "error": 0, "skip": 0}
     t0 = time.time()
@@ -218,6 +237,8 @@ def main():
         "wall_sec": round(wall, 1),
     }
     print(json.dumps(summary))
+    if only:
+        return  # targeted debug run — don't clobber the full TCK.json
     out = Path(__file__).resolve().parent.parent / "TCK.json"
     out.write_text(json.dumps({"summary": summary, "results": results}, indent=1))
     print(f"wrote {out}")
