@@ -1,12 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-Training-data-pipeline extension.  The Spark-side contract is real and
-tested — schema, partition sizing, Arrow-batched UDF signatures — while
-the actual media decoding is STUBBED (the runtime container has no
-image/audio libraries): `decode_image`/`decode_audio` raise
-NotImplementedError unless `fake=True`, in which case a deterministic
-hash-derived feature vector stands in so the distributed plumbing can
-be exercised end-to-end.
+Training-data-pipeline extension.  The Spark-side contract — schema,
+partition sizing, Arrow-batched UDF signatures — AND the image decode
+are real: PNG/BMP decode ships in-repo on stdlib+numpy
+(media_codec.py), with Pillow picked up automatically when installed
+(JPEG etc.).  `fake=True` remains for tests that want a hash-derived
+feature independent of pixel content; audio/video decode still needs
+an external library.
 
 Design for 100 TB of media:
 * content is `binary` with a typed `meta` struct (mime, width, height,
@@ -85,20 +85,28 @@ def _fake_feature(content: bytes, dim: int) -> list[float]:
 def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
     """content binary → feature vector via Arrow-batched mapInPandas.
 
-    STUB: real decode needs an image/audio library not present in this
-    container; `fake=True` substitutes the deterministic hash feature.
-    The distribution shape (batch in → batch out, no driver collect)
-    is the production path either way.
+    Real path: decode each image (Pillow if installed, else the
+    in-repo stdlib PNG/BMP codecs) and emit geometry + color-moment +
+    luminance-histogram features.  Undecodable content yields a null
+    feature (bad rows must not kill a 100 TB job).  `fake=True`
+    substitutes a hash-derived vector (content-independent, for
+    plumbing tests).  Either way the distribution shape is batch in →
+    batch out, no driver collect.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import decode_image, image_features
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio library; "
-                    "run with fake=True for the deterministic stub"
-                )
-            feats = [_fake_feature(c, dim) for c in pdf["content"]]
+            feats = []
+            for c in pdf["content"]:
+                if fake:
+                    feats.append(_fake_feature(c, dim))
+                    continue
+                try:
+                    feats.append(image_features(decode_image(c), dim))
+                except (ValueError, TypeError):
+                    feats.append(None)
             yield pd.DataFrame({"asset_id": pdf["asset_id"], "feature": feats})
 
     return df.select("asset_id", "content").mapInPandas(run, FEATURE_SCHEMA)
@@ -138,10 +146,29 @@ def filter_by_meta(
     return out
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: image resize requires a decode library not in this
-    container.  Kept as the API surface; raises on use."""
-    raise NotImplementedError(
-        "resize_images needs an image library (not in this container); "
-        "the mapInPandas plumbing pattern is extract_features()"
-    )
+    """Decode → nearest-neighbour resize → re-encode PNG, all inside an
+    Arrow-batched mapInPandas.  Undecodable rows pass through as null
+    content.  Returns (asset_id, content) with content = resized PNG."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .media_codec import decode_image, encode_png, resize_nearest
+
+        for pdf in batches:
+            out = []
+            for c in pdf["content"]:
+                try:
+                    out.append(encode_png(resize_nearest(decode_image(c), width, height)))
+                except (ValueError, TypeError):
+                    out.append(None)
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "content": out})
+
+    return df.select("asset_id", "content").mapInPandas(run, RESIZED_SCHEMA)

@@ -282,3 +282,15 @@ class CopyMoveAdd:
     src: object  # 'DEFAULT' | Term
     dst: object
     silent: bool = False
+
+
+@dataclass
+class EntailmentsUpdate:
+    """Blazegraph entailment-management verbs (AST2BOpUpdate.java:400-458
+    CreateEntailments/DropEntailments/EnableEntailments/DisableEntailments).
+
+    op: 'CREATE' computes the closure now, 'DROP' strips inferred
+    statements, 'ENABLE'/'DISABLE' toggle automatic maintenance on
+    subsequent updates."""
+
+    op: str  # CREATE DROP ENABLE DISABLE

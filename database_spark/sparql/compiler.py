@@ -630,6 +630,15 @@ class Compiler:
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.OptionalPattern):
                 flush_bgp()
+                if deferred_binds:
+                    # reference group order: required joins, then
+                    # assignments, then optionals — a BIND textually
+                    # before an OPTIONAL must be visible inside it
+                    # (ticket_bg876e: OPTIONAL probing a BIND-produced
+                    # value), so flush pending BINDs first
+                    for b in deferred_binds:
+                        sol = self.extend(sol, b.var.name, b.expr, graph, visible)
+                    deferred_binds = []
                 inner_filters = [
                     f.expr for f in el.group.elements if isinstance(f, A.FilterPattern)
                 ]
@@ -799,7 +808,8 @@ class Compiler:
     def _pairs_scan(self, s, o, graph, extra: Column) -> Sol:
         """Scan all triples matching an (s, o) shape under a predicate
         condition (negated property sets)."""
-        df = self.triples.where(extra)
+        # unscoped scans read the union default graph, same as BGP scans
+        df = (self.default_triples if graph is None else self.triples).where(extra)
         binds: dict[str, str] = {}
         conds: list[Column] = []
         for pos, node in (("s", s), ("o", o)):
@@ -906,15 +916,15 @@ class Compiler:
         """All terms used as subject or object in the active graph
         (ZeroLengthPathOp.java:53 domain).  With ``gv`` (GRAPH ?var)
         nodes are keyed per graph: (gv, gv__id, n, n__id)."""
-        df = self.triples
         if graph is None:
-            df = df.where(F.col("g").isNull())
+            # unscoped: the union default graph (g already nulled there)
+            df = self.default_triples
         elif isinstance(graph, A.Var):
-            df = df.where(F.col("g").isNotNull())
+            df = self.triples.where(F.col("g").isNotNull())
             if self.named_graphs is not None:
                 df = df.where(self._named_graph_cond())
         else:
-            df = df.where(F.col("g") == T.term_id(T.lit_term(graph)))
+            df = self.triples.where(F.col("g") == T.term_id(T.lit_term(graph)))
         gsel = (
             [F.col("gt").alias(gv), F.col("g").alias(gv + "__id")] if gv else []
         )
@@ -1016,13 +1026,23 @@ class Compiler:
         return self.named_sets[name]
 
     def _subselect(self, q: A.SelectQuery, graph) -> Sol:
-        """Subquery under a GRAPH context.  Under GRAPH ?g the active
-        graph scopes the whole subquery (§18.2.2.3) but ?g itself is
-        NOT visible inside (bottom-up: the subquery projects its own
-        scope) — so the context rides through under a fresh internal
-        variable and is renamed to ?g on the way out
-        (ticket-1892-additional4: GROUP BY ?g inside the subquery is a
-        singleton, yet evaluation is still per named graph)."""
+        """Subquery under a GRAPH context.  Under GRAPH ?g the subquery
+        is evaluated once per named graph (the active graph scopes its
+        patterns) but ?g itself is NOT visible inside (bottom-up) — the
+        context rides through under a fresh internal variable.  On the
+        way out:
+
+        * if the subquery's body itself uses ``GRAPH ?g`` (the SAME
+          name), that rebinds the name within the subquery scope — the
+          context is SHADOWED and gets dropped on the way out, so the
+          subquery's per-graph evaluation is independent of what the
+          outer ?g ends up bound to (ticket-1892-additional2: the
+          subquery matches under graph1 while the outer ?g is graph2);
+        * otherwise the context correlates outward BY NAME: it is
+          renamed to ?g and joins the enclosing group (additional3:
+          the innermost subquery's rows carry their graph and only the
+          sibling-compatible one survives; modified2/3: a projected ?g
+          must additionally AGREE with the active graph)."""
         if not isinstance(graph, A.Var):
             return self.compile_select(q, graph=graph)
         internal = A.Var(self.fresh())
@@ -1041,6 +1061,9 @@ class Compiler:
                 .drop(internal.name, internal.name + "__id")
             )
             return Sol(df, vars_ | {graph.name}, mb - {graph.name})
+        if _uses_graph_var(q.where, graph.name):
+            df = df.drop(internal.name, internal.name + "__id")
+            return Sol(df, vars_, mb)
         df = df.withColumnRenamed(internal.name, graph.name).withColumnRenamed(
             internal.name + "__id", graph.name + "__id"
         )
@@ -1068,8 +1091,23 @@ class Compiler:
         aggs = _collect_aggs(q)
         if q.group_by or aggs:
             sol, agg_repl = self._aggregate(sol, q, aggs, extra_key=gv)
+            # HAVING may reference SELECT aliases — ?c in
+            # HAVING(?c >= 1) with SELECT (COUNT(?x) AS ?c)
+            # (blazegraph extension; ticket_bg1542a/b)
+            proj_exprs = {v.name: e for v, e in q.projections if e is not None}
             for h in q.having:
-                ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
+                base = self.resolver(sol)
+
+                def resolve(name, base=base):
+                    try:
+                        return base(name)
+                    except KeyError:
+                        if name in proj_exprs:
+                            ec2 = ExprCompiler(base, agg_pairs=agg_repl)
+                            return ec2.term(proj_exprs[name])
+                        raise
+
+                ec = ExprCompiler(resolve, agg_pairs=agg_repl)
                 sol = Sol(
                     sol.df.where(F.coalesce(ec.bool(h), F.lit(False))),
                     sol.vars,
@@ -1147,6 +1185,15 @@ class Compiler:
                 cond = cond & (F.col(rn) <= lo + q.limit)
             sol = Sol(df.where(cond).drop(rn), sol.vars, sol.maybe_unbound)
         else:
+            if q.limit is not None and not q.order_by and ordered_keep:
+                # LIMIT without ORDER BY: any subset is spec-legal, but
+                # the reference returns the first rows in index (term)
+                # order — sort by the projected terms so the choice is
+                # deterministic and reference-aligned (ticket_944).
+                # Catalyst folds sort+limit into TakeOrderedAndProject,
+                # so this is a bounded heap per partition, not a sort.
+                cols = [k for v in ordered_keep for k in T.sort_key(F.col(v))]
+                sol = Sol(sol.df.orderBy(*[c.asc_nulls_first() for c in cols]), sol.vars, sol.maybe_unbound)
             if q.offset:
                 sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
             if q.limit is not None:
@@ -1279,6 +1326,28 @@ def _avg_distinct(v: Column) -> Column:
 
 def _has_path(tp: A.TriplePattern) -> bool:
     return not isinstance(tp.p, (A.Var, A.Const))
+
+
+def _uses_graph_var(group, name: str) -> bool:
+    """True if the group contains an explicit ``GRAPH ?name`` pattern
+    (not descending into nested subqueries — those are their own
+    scopes).  Used by _subselect's shadowing rule."""
+    for el in getattr(group, "elements", []):
+        if isinstance(el, A.GraphPattern):
+            if isinstance(el.graph, A.Var) and el.graph.name == name:
+                return True
+            if _uses_graph_var(el.group, name):
+                return True
+        elif isinstance(el, A.GroupPattern):
+            if _uses_graph_var(el, name):
+                return True
+        elif isinstance(el, (A.OptionalPattern, A.MinusPattern)):
+            if _uses_graph_var(el.group, name):
+                return True
+        elif isinstance(el, A.UnionPattern):
+            if any(_uses_graph_var(g, name) for g in el.groups):
+                return True
+    return False
 
 
 def _expr_vars(e) -> set:

@@ -63,9 +63,22 @@ def default_services() -> dict:
 
 
 class SparqlEngine:
-    def __init__(self, store: TripleStore, services: dict | None = None):
+    def __init__(
+        self,
+        store: TripleStore,
+        services: dict | None = None,
+        maintain_entailments: bool = False,
+    ):
         self.store = store
         self.services = default_services()
+        # truth maintenance (reference: TruthMaintenance.java): when on,
+        # inserts/deletes keep the RDFS+ closure current.  Retraction is
+        # recompute-over-explicit — without per-statement justification
+        # chains this is the only sound strategy (an inferred statement
+        # may lose ALL support when one explicit statement goes); the
+        # closure itself is the rule-pruned semi-naive fixpoint, so the
+        # recompute touches only rule-relevant predicates.
+        self.maintain_entailments = maintain_entailments
         if services:
             self.services.update(services)
 
@@ -339,7 +352,22 @@ class SparqlEngine:
         """Execute SPARQL UPDATE ops in order, replacing self.store
         (AST2BOpUpdate.convertUpdateSwitch dispatch)."""
         for op in parse_update(text):
+            mutates = isinstance(
+                op, (A.InsertData, A.DeleteData, A.Modify, A.LoadUpdate, A.ClearUpdate, A.DropUpdate, A.CopyMoveAdd)
+            )
             self._update_one(op)
+            if self.maintain_entailments and mutates:
+                self._recompute_entailments()
+
+    def _recompute_entailments(self) -> None:
+        """Re-derive the closure from the current explicit statements.
+        DELETE of a supporting statement invalidates its entailments
+        (TruthMaintenance.java semantics, recompute strategy)."""
+        from ..inference.rdfs import rdfs_closure
+        from ..store import TripleStore as TS
+
+        explicit = TS(self.store.spark, self.store.explicit())
+        self.store = rdfs_closure(explicit)
 
     def _update_one(self, op) -> None:
         spark = self.store.spark
@@ -393,6 +421,17 @@ class SparqlEngine:
                     F.col("g").isNull() | (F.col("g") != T.term_id(T.lit_term(tgt)))
                 )
             self.store = TripleStore(spark, kept)
+        elif isinstance(op, A.EntailmentsUpdate):
+            # AST2BOpUpdate.java:400-458 Create/Drop/Enable/DisableEntailments
+            if op.op == "CREATE":
+                self._recompute_entailments()
+            elif op.op == "DROP":
+                self.store = TripleStore(spark, self.store.explicit())
+            elif op.op == "ENABLE":
+                self.maintain_entailments = True
+                self._recompute_entailments()
+            else:  # DISABLE
+                self.maintain_entailments = False
         elif isinstance(op, A.CreateUpdate):
             pass  # graphs are implicit
         elif isinstance(op, A.CopyMoveAdd):

@@ -168,6 +168,10 @@ class Parser:
             raise SparqlSyntaxError(f"expected {kws} at {self.peek()!r}")
         return self.next().value
 
+    def _at_name(self, name: str) -> bool:
+        t = self.peek()
+        return t.kind == "NAME" and t.value.upper() == name
+
     def at_op(self, op: str) -> bool:
         t = self.peek()
         return t.kind == "OP" and t.value == op
@@ -958,12 +962,24 @@ class Parser:
             return A.ClearUpdate(self._parse_graph_ref(), False)
         if self.at_kw("DROP"):
             self.next()
+            if self._at_name("ENTAILMENTS"):
+                self.next()
+                return A.EntailmentsUpdate("DROP")
             return A.DropUpdate(self._parse_graph_ref(), False)
         if self.at_kw("CREATE"):
             self.next()
             silent = self._eat_silent()
+            if self._at_name("ENTAILMENTS"):
+                self.next()
+                return A.EntailmentsUpdate("CREATE")
             self.eat_kw("GRAPH")
             return A.CreateUpdate(self.parse_iri(), silent)
+        if self._at_name("ENABLE") or self._at_name("DISABLE"):
+            op = self.next().value.upper()
+            if not self._at_name("ENTAILMENTS"):
+                raise SparqlSyntaxError(f"expected ENTAILMENTS after {op}")
+            self.next()
+            return A.EntailmentsUpdate(op)
         if self.at_kw("COPY", "MOVE", "ADD"):
             op = self.next().value
             silent = self._eat_silent()

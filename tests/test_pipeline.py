@@ -195,5 +195,36 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(df, every_ms=1000).collect()
     got = {(r["asset_id"], r["frame_no"]) for r in frames}
     assert got == {(2, 0), (2, 1), (2, 2), (2, 3), (3, 0), (3, 1), (3, 2)}
-    with pytest.raises(Exception, match="media decode requires"):
-        multimodal.extract_features(df, dim=8, fake=False).collect()
+    # real decode path: undecodable bytes → null feature, job survives
+    real = {r["asset_id"]: r["feature"] for r in multimodal.extract_features(df, dim=8).collect()}
+    assert real[2] is None and real[3] is None
+
+
+def test_multimodal_real_decode(spark):
+    """Real PNG decode → features → resize, via the in-repo codec
+    (stdlib+numpy; Pillow only needed for JPEG-class formats)."""
+    import numpy as np
+
+    from database_spark.pipeline.media_codec import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    img_a = rng.randint(0, 256, (12, 9, 3), dtype=np.uint8)
+    img_b = np.full((6, 6, 3), 200, dtype=np.uint8)
+    rows = [
+        (1, bytes(encode_png(img_a)), ("image/png", 9, 12, None)),
+        (2, bytes(encode_png(img_b)), ("image/png", 6, 6, None)),
+        (3, b"garbage-not-an-image", ("image/png", 1, 1, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    feats = {r["asset_id"]: r["feature"] for r in multimodal.extract_features(df, dim=16).collect()}
+    assert len(feats[1]) == 16
+    # img_b is uniform gray 200/255 → channel means ≈ 0.784, stds ≈ 0
+    # (float32 epsilon, not exact zero)
+    assert abs(feats[2][3] - 200 / 255) < 1e-6 and feats[2][6] < 1e-6
+    assert feats[3] is None  # bad row → null, not a crashed job
+
+    resized = {r["asset_id"]: r["content"] for r in multimodal.resize_images(df, 4, 5).collect()}
+    out = decode_png(bytes(resized[1]))
+    assert out.shape == (5, 4, 3)
+    assert resized[3] is None
