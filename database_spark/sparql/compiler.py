@@ -98,6 +98,13 @@ class Compiler:
         # declarations can be referenced by earlier ones (ticket_bg1763b)
         self._named_set_asts: dict = {}
         self._named_sets_compiling: set = set()
+        # outer solution visible to a correlated sub-pattern (MINUS /
+        # EXISTS inner group) — as-bound semantics for zero-length
+        # paths: `?o p* ?x` with ?o bound always matches zero-length
+        # (ticket_bg2066; ArbitraryLengthPathOp evaluates as-bound, so
+        # a bound endpoint echoes itself regardless of the step
+        # relation's vocabulary)
+        self._corr_sol: "Sol | None" = None
         # bucket count of a predicate-partitioned parquet layout (None
         # when the store isn't partitioned) — enables partition pruning
         # for bound-predicate scans
@@ -474,7 +481,12 @@ class Compiler:
         rest = A.GroupPattern(
             [el for el in group.elements if not isinstance(el, A.FilterPattern)]
         )
-        inner = self.compile_group(rest, graph)
+        prev_corr = self._corr_sol
+        self._corr_sol = sol
+        try:
+            inner = self.compile_group(rest, graph)
+        finally:
+            self._corr_sol = prev_corr
         local, corr = [], []
         for fx in filters:
             if _expr_vars(fx) <= inner.vars:
@@ -654,7 +666,13 @@ class Compiler:
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.MinusPattern):
                 flush_bgp()
-                sol = self.minus(sol, self.compile_group(el.group, graph))
+                prev_corr = self._corr_sol
+                self._corr_sol = sol
+                try:
+                    right = self.compile_group(el.group, graph)
+                finally:
+                    self._corr_sol = prev_corr
+                sol = self.minus(sol, right)
             elif isinstance(el, A.GraphPattern):
                 flush_bgp()
                 g = el.graph.term if isinstance(el.graph, A.Const) else el.graph
@@ -836,6 +854,32 @@ class Compiler:
             sel.append(F.col(pos).alias(var + "__id"))
         return Sol(df.select(*sel), set(binds), set())
 
+    def _corr_endpoint_nodes(self, s, o) -> "DataFrame | None":
+        """Distinct outer-bound values of a correlated free path
+        endpoint (MINUS/EXISTS inner scope).  Widens the zero-length
+        domain to as-bound semantics: any outer-bound ?o matches
+        `?o p* ?x` at length zero even when ?o never touches p
+        (ticket_bg2066; ConditionalRouting of ArbitraryLengthPathOp
+        over incoming as-bound solutions)."""
+        outer = self._corr_sol
+        if outer is None:
+            return None
+        dfs = []
+        for node in (s, o):
+            if isinstance(node, A.Var) and node.name in outer.vars:
+                dfs.append(
+                    outer.df.select(
+                        F.col(node.name).alias("n"),
+                        F.col(node.name + "__id").alias("n__id"),
+                    ).where(F.col(node.name + "__id").isNotNull())
+                )
+        if not dfs:
+            return None
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionAll(d)
+        return out.dropDuplicates(["n__id"])
+
     def _path_mod(self, s, path: A.PathMod, o, graph) -> Sol:
         av, bv = A.Var(self.fresh()), A.Var(self.fresh())
         step = self.compile_path(av, path.path, bv, graph)
@@ -855,7 +899,8 @@ class Compiler:
             # <unknown> relation); `*` below restricts to the relation's
             # own vocabulary (property-paths-6 reference behavior)
             pairs = self._with_zero_length(
-                step_df, a, b, graph, s_const, o_const, gv, only_zero_union=True
+                step_df, a, b, graph, s_const, o_const, gv, only_zero_union=True,
+                extra_nodes=self._corr_endpoint_nodes(s, o),
             )
         else:
             seed = None
@@ -872,7 +917,10 @@ class Compiler:
                 else transitive_closure(self.spark, step_df, a, b, gcol=gv)
             )
             if path.mod == "*":
-                pairs = self._with_zero_length(closed, a, b, graph, s_const, o_const, gv, rel=step_df)
+                pairs = self._with_zero_length(
+                    closed, a, b, graph, s_const, o_const, gv, rel=step_df,
+                    extra_nodes=self._corr_endpoint_nodes(s, o),
+                )
             else:
                 pairs = closed
         # now bind s/o against pairs
@@ -944,6 +992,7 @@ class Compiler:
         gv: str | None = None,
         only_zero_union: bool = False,
         rel: DataFrame | None = None,
+        extra_nodes: DataFrame | None = None,
     ) -> DataFrame:
         """Add zero-length (x,x) pairs: for bound endpoints just the
         endpoint; with both ends free, the reflexive domain is the
@@ -984,6 +1033,10 @@ class Compiler:
                 )
             else:
                 nodes = self._graph_nodes(graph, gv)
+            if extra_nodes is not None and not gv:
+                # correlated endpoint: outer-bound terms always match
+                # at length zero (as-bound evaluation, ticket_bg2066)
+                nodes = nodes.unionAll(extra_nodes).dropDuplicates(["n__id"])
             zero = nodes.select(
                 F.col("n").alias(a),
                 F.col("n__id").alias(a + "__id"),
@@ -1043,6 +1096,15 @@ class Compiler:
           the innermost subquery's rows carry their graph and only the
           sibling-compatible one survives; modified2/3: a projected ?g
           must additionally AGREE with the active graph)."""
+        # fresh scope: outer correlation (MINUS/EXISTS as-bound) does
+        # not reach through a sub-SELECT projection
+        prev_corr, self._corr_sol = self._corr_sol, None
+        try:
+            return self._subselect_scoped(q, graph)
+        finally:
+            self._corr_sol = prev_corr
+
+    def _subselect_scoped(self, q: A.SelectQuery, graph) -> Sol:
         if not isinstance(graph, A.Var):
             return self.compile_select(q, graph=graph)
         internal = A.Var(self.fresh())

@@ -69,3 +69,48 @@ def test_plus_named_graph_const_still_works(engine):
         f"PREFIX ex: <{EX}> SELECT ?y WHERE {{ GRAPH ex:g1 {{ ex:a ex:next+ ?y }} }}"
     )
     assert rows(res, "y") == {("b",), ("c",)}
+
+
+@pytest.fixture(scope="module")
+def family_engine(spark):
+    """ticket_bg2066 data: John fatherOf {LittleJohn, LittleJona};
+    LittleJona knows Pete (triples, default graph)."""
+    fo, kn = iri("fatherOf"), iri("knows")
+    trips = [
+        (iri("John"), fo, iri("LittleJohn"), None),
+        (iri("John"), fo, iri("LittleJona"), None),
+        (iri("LittleJona"), kn, iri("Pete"), None),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    return SparqlEngine(store)
+
+
+def test_correlated_zero_length_path_in_minus(family_engine):
+    """ticket_bg2066: a MINUS inner `?o knows* []` evaluates as-bound —
+    ANY outer-bound ?o matches at length zero, so every outer row is
+    removed (the zero-length domain is not limited to knows-incident
+    nodes)."""
+    res = family_engine.select(
+        f"""
+        SELECT * WHERE {{
+          ?s <{EX}fatherOf>* ?o .
+          MINUS {{ ?o <{EX}knows>* [] . }}
+          FILTER(?o != <{EX}LittleJohn>)
+        }}
+        """
+    )
+    assert rows(res, "s", "o") == set()
+
+
+def test_uncorrelated_star_zero_domain_stays_narrow(family_engine):
+    """Uncorrelated free-free `knows*` keeps the step-relation node
+    domain (property-paths-6 reference behavior): zero-length pairs
+    only for knows-incident nodes."""
+    res = family_engine.select(
+        f"SELECT ?a ?b WHERE {{ ?a <{EX}knows>* ?b . }}"
+    )
+    assert rows(res, "a", "b") == {
+        ("LittleJona", "Pete"),
+        ("LittleJona", "LittleJona"),
+        ("Pete", "Pete"),
+    }
