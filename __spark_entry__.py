@@ -911,7 +911,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 LSH_DIM = 64
-LSH_PLANES = 4
+# 8 planes = 256 buckets/table: random near-orthogonal pairs collide
+# with p ~ 0.5^8 per table, so the candidate set is a few % of the
+# quadratic pair space (4 planes kept ~77% of all pairs — no better
+# than brute force).  The oracle emulates the same quantizer, so the
+# gate exact-verifies candidates at any setting.
+LSH_PLANES = 8
 LSH_TABLES = 8
 LSH_THRESHOLD = 0.42  # synthetic embeddings are near-orthogonal (max pair cos ~0.51)
 IVF_CELLS = 16

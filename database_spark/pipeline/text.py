@@ -57,18 +57,27 @@ def lang_id(text: Column) -> Column:
 
     Deterministic argmax with fixed tie order (en>de>fr>es>it).
     """
-    hits = [(lang, _marker_hits(text, ws)) for lang, ws in LANG_MARKERS.items()]
-    best = None
-    best_lang = F.lit("und")
-    zero = F.lit(0)
-    # build nested whens: strictly-greater wins, ties keep earlier language
-    expr = F.lit("und")
-    best_count = zero
-    for lang, h in hits:
-        expr = F.when(h > best_count, F.lit(lang)).otherwise(expr)
-        best_count = F.when(h > best_count, h).otherwise(best_count)
-    _ = best, best_lang
-    return F.when(best_count > 0, expr).otherwise(F.lit("und"))
+    # argmax via struct-array max — each marker regex appears exactly
+    # once in the plan.  (The earlier nested-when fold duplicated the
+    # running-max subtree per language: ~2^5 copies of every
+    # regexp_extract_all, which codegen does not CSE across
+    # conditional branches — 10x the regex work per row.)
+    # Struct comparison is field-order: hits first, then priority
+    # (higher = earlier language), so strictly-greater wins and ties
+    # keep the earlier language — same argmax as before.
+    n = len(LANG_MARKERS)
+    arr = F.array(
+        *[
+            F.struct(
+                _marker_hits(text, ws).alias("n"),
+                F.lit(n - i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, ws) in enumerate(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(arr)
+    return F.when(best["n"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def quality_score(text: Column) -> Column:
