@@ -161,6 +161,19 @@ class TripleStore:
                 written.where(F.col("g").isNotNull()).limit(1).count()
             )
         meta["has_named"] = self.has_named
+        # full-text index built at load time, persisted beside the
+        # store (reference: BigdataValueCentricFullTextIndex is
+        # maintained on load, not scanned per query).  Underscore
+        # prefix keeps the subdir invisible to readers of `path`.
+        from .search.fulltext import _build_text_index
+
+        (
+            _build_text_index(self.df)
+            .repartition(F.col("token"))
+            .sortWithinPartitions("token")
+            .write.mode("overwrite")
+            .parquet(path + "/_text_index")
+        )
         self._write_meta(path, meta)
 
     def _write_meta(self, path: str, meta: dict) -> None:
@@ -206,9 +219,21 @@ class TripleStore:
         cols = ["s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred"]
         if "p_bucket" in df.columns:
             cols.append("p_bucket")  # keep: it is the partition column
+        tdf = df.select(*cols)
+        try:
+            jvm = spark._jvm
+            ip = jvm.org.apache.hadoop.fs.Path(path + "/_text_index")
+            if ip.getFileSystem(spark._jsc.hadoopConfiguration()).exists(ip):
+                # parquet-backed full-text index written by save() —
+                # the bds:search service picks it up via this attribute
+                tdf._dbspark_text_index = spark.read.parquet(
+                    path + "/_text_index"
+                )
+        except Exception:  # noqa: BLE001 — index is an optimization only
+            pass
         return TripleStore(
             spark,
-            df.select(*cols),
+            tdf,
             p_buckets=meta.get("p_buckets"),
             has_named=meta.get("has_named"),
         )
