@@ -44,7 +44,10 @@ def _parse_binding(b) -> Term:
     for child in b:
         tag = child.tag.removeprefix(_NS)
         if tag == "uri":
-            return Term.iri(child.text or "")
+            # whitespace inside <uri> is XML formatting, not IRI
+            # content (Sesame's SRX parser trims it; bsbm-bi-q5.srx
+            # line-wraps its IRIs)
+            return Term.iri((child.text or "").strip())
         if tag == "bnode":
             return Term.bnode(child.text or "")
         if tag == "literal":

@@ -103,8 +103,8 @@ class Compiler:
         # paths: `?o p* ?x` with ?o bound always matches zero-length
         # (ticket_bg2066; ArbitraryLengthPathOp evaluates as-bound, so
         # a bound endpoint echoes itself regardless of the step
-        # relation's vocabulary)
-        self._corr_sol: "Sol | None" = None
+        # relation's vocabulary).  Holds a list of Sol scopes.
+        self._corr_sol: "list | None" = None
         # bucket count of a predicate-partitioned parquet layout (None
         # when the store isn't partitioned) — enables partition pruning
         # for bound-predicate scans
@@ -280,8 +280,20 @@ class Compiler:
                 vs.add(graph.name)
             return vs
 
+        def zero_path_free(tp):
+            # a */? path with a free endpoint: defer it so sibling
+            # patterns bind its endpoints first — the zero-length
+            # domain then widens to those as-bound values
+            # (ticket_bg1899h: `?s p1 ?o1 . ?s p2* ?o2` must echo
+            # (s, s) even when s never touches p2)
+            return (
+                isinstance(tp.p, A.PathMod)
+                and tp.p.mod in ("*", "?")
+                and (isinstance(tp.s, A.Var) or isinstance(tp.o, A.Var))
+            )
+
         remaining = list(patterns)
-        remaining.sort(key=n_bound, reverse=True)
+        remaining.sort(key=lambda tp: (zero_path_free(tp), -n_bound(tp)))
         first = remaining.pop(0)
         sol = self.compile_pattern_or_path(first, graph)
         seen = tp_vars(first) if not _has_path(first) else set(sol.vars)
@@ -294,7 +306,17 @@ class Compiler:
             if nxt_i is None:
                 nxt_i = 0  # disconnected → cross join (rare)
             tp = remaining.pop(nxt_i)
-            sol = self.join(sol, self.compile_pattern_or_path(tp, graph))
+            if zero_path_free(tp):
+                # sibling-bound endpoints act as-bound inside the path
+                prev = self._corr_sol
+                self._corr_sol = self._merge_corr(prev, sol)
+                try:
+                    rhs = self.compile_pattern_or_path(tp, graph)
+                finally:
+                    self._corr_sol = prev
+            else:
+                rhs = self.compile_pattern_or_path(tp, graph)
+            sol = self.join(sol, rhs)
             seen |= tp_vars(tp)
         return sol
 
@@ -482,7 +504,7 @@ class Compiler:
             [el for el in group.elements if not isinstance(el, A.FilterPattern)]
         )
         prev_corr = self._corr_sol
-        self._corr_sol = sol
+        self._corr_sol = self._merge_corr(prev_corr, sol)
         try:
             inner = self.compile_group(rest, graph)
         finally:
@@ -667,7 +689,7 @@ class Compiler:
             elif isinstance(el, A.MinusPattern):
                 flush_bgp()
                 prev_corr = self._corr_sol
-                self._corr_sol = sol
+                self._corr_sol = self._merge_corr(prev_corr, sol)
                 try:
                     right = self.compile_group(el.group, graph)
                 finally:
@@ -854,25 +876,34 @@ class Compiler:
             sel.append(F.col(pos).alias(var + "__id"))
         return Sol(df.select(*sel), set(binds), set())
 
+    @staticmethod
+    def _merge_corr(prev, sol):
+        """Accumulate correlation scopes (list of Sols)."""
+        out = list(prev) if prev else []
+        out.append(sol)
+        return out
+
     def _corr_endpoint_nodes(self, s, o) -> "DataFrame | None":
         """Distinct outer-bound values of a correlated free path
-        endpoint (MINUS/EXISTS inner scope).  Widens the zero-length
-        domain to as-bound semantics: any outer-bound ?o matches
-        `?o p* ?x` at length zero even when ?o never touches p
-        (ticket_bg2066; ConditionalRouting of ArbitraryLengthPathOp
-        over incoming as-bound solutions)."""
-        outer = self._corr_sol
-        if outer is None:
+        endpoint (MINUS/EXISTS inner scope, or a sibling-join-bound
+        endpoint within a BGP).  Widens the zero-length domain to
+        as-bound semantics: any already-bound ?o matches `?o p* ?x`
+        at length zero even when ?o never touches p (ticket_bg2066,
+        ticket_bg1899h; ArbitraryLengthPathOp evaluates over incoming
+        as-bound solutions)."""
+        outers = self._corr_sol
+        if not outers:
             return None
         dfs = []
-        for node in (s, o):
-            if isinstance(node, A.Var) and node.name in outer.vars:
-                dfs.append(
-                    outer.df.select(
-                        F.col(node.name).alias("n"),
-                        F.col(node.name + "__id").alias("n__id"),
-                    ).where(F.col(node.name + "__id").isNotNull())
-                )
+        for outer in outers:
+            for node in (s, o):
+                if isinstance(node, A.Var) and node.name in outer.vars:
+                    dfs.append(
+                        outer.df.select(
+                            F.col(node.name).alias("n"),
+                            F.col(node.name + "__id").alias("n__id"),
+                        ).where(F.col(node.name + "__id").isNotNull())
+                    )
         if not dfs:
             return None
         out = dfs[0]

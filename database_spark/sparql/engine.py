@@ -83,8 +83,28 @@ class SparqlEngine:
             self.services.update(services)
 
     # ------------------------------------------------------------ queries
+    @staticmethod
+    def _hint_scope(q):
+        """Compile-scoped query hints: expressions are built eagerly on
+        the driver, so setting the contextvar around compile suffices
+        (hint:regexMatchNonString etc.)."""
+        from contextlib import contextmanager
+
+        from .functions import QUERY_HINTS
+
+        @contextmanager
+        def scope():
+            tok = QUERY_HINTS.set(getattr(q, "hints", None) or {})
+            try:
+                yield
+            finally:
+                QUERY_HINTS.reset(tok)
+
+        return scope()
+
     def _compiler(
-        self, named_sets: dict | None = None, dataset: list | None = None
+        self, named_sets: dict | None = None, dataset: list | None = None,
+        hints: dict | None = None,
     ) -> Compiler:
         """dataset: [("default"|"named", Term)] from FROM / FROM NAMED.
 
@@ -138,6 +158,20 @@ class SparqlEngine:
             # no FROM NAMED the named-graph section is empty, so GRAPH
             # patterns match nothing (named-graphs-01b fixture)
             named_graphs = named_terms
+        if (
+            default_df is None
+            and (hints or {}).get("defaultGraphDistinctFilter", "").lower()
+            == "false"
+        ):
+            # hint:defaultGraphDistinctFilter "false": read the raw
+            # union of contexts without the distinct-SPO filter
+            # (reference: AST2BOpContext.defaultGraphDistinctFilter)
+            flat2 = self.store.df
+            if "p_bucket" in flat2.columns:
+                flat2 = flat2.drop("p_bucket")
+            default_df = flat2.withColumn(
+                "g", F.lit(None).cast("long")
+            ).withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
         return Compiler(
             self.store.spark,
             self.store.df,
@@ -192,8 +226,10 @@ class SparqlEngine:
         c = self._compiler(
             {k: self.solution_set(v) for k, v in (named_sets or {}).items()},
             dataset=q.dataset,
+            hints=getattr(q, "hints", None),
         )
-        sol = c.compile_select(q)
+        with self._hint_scope(q):
+            sol = c.compile_select(q)
         order = getattr(sol, "projected_order", sorted(sol.vars))
         return SelectResult(sol.df.select(*order), order)
 
@@ -201,16 +237,18 @@ class SparqlEngine:
         q = parse_query(text)
         if not isinstance(q, A.AskQuery):
             raise TypeError("not an ASK query")
-        c = self._compiler(dataset=q.dataset)
-        sol = c.compile_group(q.where)
+        c = self._compiler(dataset=q.dataset, hints=getattr(q, "hints", None))
+        with self._hint_scope(q):
+            sol = c.compile_group(q.where)
         return bool(sol.df.limit(1).count())
 
     def construct(self, text: str) -> DataFrame:
         q = parse_query(text)
         if not isinstance(q, A.ConstructQuery):
             raise TypeError("not a CONSTRUCT query")
-        c = self._compiler(dataset=q.dataset)
-        sol = c.compile_group(q.where)
+        c = self._compiler(dataset=q.dataset, hints=getattr(q, "hints", None))
+        with self._hint_scope(q):
+            sol = c.compile_group(q.where)
         if q.offset:
             sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
         if q.limit is not None:

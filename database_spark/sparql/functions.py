@@ -20,11 +20,20 @@ so the term-struct calling convention costs nothing at runtime.
 
 from __future__ import annotations
 
+import contextvars
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from .. import terms as T
 from . import ast as A
+
+#: query hints of the query currently being COMPILED (expressions are
+#: built eagerly driver-side, so a compile-scoped contextvar is enough;
+#: set by SparqlEngine around each compile)
+QUERY_HINTS: contextvars.ContextVar[dict] = contextvars.ContextVar(
+    "QUERY_HINTS", default={}
+)
 
 NUM_DTS = list(T.NUMERIC_DATATYPES.keys())
 INTEGER_DTS = [dt for dt, fam in T.NUMERIC_DATATYPES.items() if fam == "integer"]
@@ -99,6 +108,9 @@ def _num_lex(value: Column, dt: Column) -> Column:
     return (
         F.when(dt == T.XSD_INTEGER, value.cast("long").cast("string"))
         .when(dt == T.XSD_DECIMAL, value.cast("decimal(38,12)").cast("string"))
+        # float results print at float32 precision (Java
+        # Float.toString semantics — bsbm-bi-q5 AVG over xsd:float)
+        .when(dt == T.XSD_FLOAT, value.cast("float").cast("string"))
         .otherwise(value.cast("string"))
     )
 
@@ -385,7 +397,13 @@ class ExprCompiler:
                 | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-")))
             )
         if n == "REGEX":
-            s = str_value(args[0])
+            if QUERY_HINTS.get().get("regexMatchNonString", "").lower() == "true":
+                # hint:regexMatchNonString — apply STR() first so IRIs
+                # and typed literals regex-match on their lexical form
+                # (reference: QueryHints.REGEX_MATCH_NON_STRING)
+                s = lex(args[0])
+            else:
+                s = str_value(args[0])
             pat = lex(args[1])
             if len(args) > 2:
                 pat = F.concat(_regex_flags(lex(args[2])), pat)

@@ -53,8 +53,18 @@ KEYWORDS = {
     "EXISTS", "NOT", "IN", "A", "TRUE", "FALSE",
     "INSERT", "DELETE", "DATA", "LOAD", "INTO", "CLEAR", "CREATE", "DROP",
     "COPY", "MOVE", "ADD", "TO", "WITH", "USING", "DEFAULT", "ALL",
-    "INCLUDE", "BINDINGS",
+    "INCLUDE", "BINDINGS", "LET",
 }
+
+HINT_NS = "http://www.bigdata.com/queryHints#"
+
+
+def _is_hint_triple(tp) -> bool:
+    p = tp.p
+    return (
+        isinstance(p, A.Const)
+        and getattr(p.term, "lex", "").startswith(HINT_NS)
+    )
 
 AGG_NAMES = {"COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT"}
 
@@ -148,6 +158,11 @@ class Parser:
         self.i = 0
         self.prefixes: dict[str, str] = dict(DEFAULT_PREFIXES)
         self.base = ""
+        # query hints stripped from graph patterns (local name -> lex);
+        # attached to the parsed query for the engine to honor the few
+        # semantics-bearing ones (defaultGraphDistinctFilter,
+        # regexMatchNonString)
+        self.hints: dict[str, str] = {}
         self._bnode_n = 0
 
     # ------------------------------------------------------------ helpers
@@ -287,6 +302,7 @@ class Parser:
             q = self.parse_describe()
         else:
             raise SparqlSyntaxError(f"expected query form at {self.peek()!r}")
+        q.hints = dict(self.hints)
         if self.peek().kind != "EOF":
             raise SparqlSyntaxError(f"trailing input at {self.peek()!r}")
         return q
@@ -522,6 +538,23 @@ class Parser:
         return triples
 
     # ---------------------------------------------------------- patterns
+    def parse_let(self) -> A.BindPattern:
+        """Blazegraph LET extension: ``LET (?v := expr)`` ≡
+        ``BIND(expr AS ?v)`` (same AssignmentNode in the reference's
+        grammar — sparql.jj LetClause)."""
+        self.eat_op("(")
+        v = self.next()
+        if v.kind != "VAR":
+            raise SparqlSyntaxError(f"expected variable after LET( at {v!r}")
+        # ':=' lexes as a bare-colon PNAME followed by '='
+        t = self.next()
+        if not (t.kind == "PNAME" and t.value == ":"):
+            raise SparqlSyntaxError(f"expected := in LET at {t!r}")
+        self.eat_op("=")
+        e = self.parse_expression()
+        self.eat_op(")")
+        return A.BindPattern(e, A.Var(v.value[1:]))
+
     def parse_group_graph_pattern(self) -> A.GroupPattern:
         self.eat_op("{")
         group = A.GroupPattern()
@@ -576,6 +609,9 @@ class Parser:
                 v = self.next()
                 self.eat_op(")")
                 group.elements.append(A.BindPattern(e, A.Var(v.value[1:])))
+            elif self.at_kw("LET"):
+                self.next()
+                group.elements.append(self.parse_let())
             elif self.at_kw("VALUES"):
                 self.next()
                 group.elements.append(self.parse_values_body())
@@ -594,13 +630,22 @@ class Parser:
                         break
             self.try_op(".")
         self.eat_op("}")
-        # flatten adjacent plain BGP groups
+        # flatten adjacent plain BGP groups; drop query-hint magic
+        # triples (hint:Query hint:optimizer ... — consumed by the
+        # reference's ASTQueryHintOptimizer as physical-planner hints,
+        # never matched against data; Catalyst owns physical planning
+        # here, so they are accepted and ignored)
         flat = A.GroupPattern()
         for el in group.elements:
             if isinstance(el, A.GroupPattern) and all(
                 isinstance(x, A.TriplePattern) for x in el.elements
             ):
-                flat.elements.extend(el.elements)
+                for x in el.elements:
+                    if _is_hint_triple(x):
+                        if isinstance(x.o, A.Const):
+                            self.hints[x.p.term.lex[len(HINT_NS):]] = x.o.term.lex
+                    else:
+                        flat.elements.append(x)
             else:
                 flat.elements.append(el)
         return flat

@@ -106,6 +106,31 @@ TERM_TYPE = StructType(
 )
 
 
+def _normalize_datetime_lex(lex: str) -> str:
+    """Normalize an xsd:dateTime with an explicit timezone to the
+    reference's canonical form: UTC, millisecond precision, ``Z``
+    suffix (``2008-07-28T08:53:25-04:00`` → ``2008-07-28T12:53:25.000Z``).
+    The reference inlines dateTimes as epoch-millis IVs and always
+    rematerializes this form (XSDDateTimeIV / DateTimeExtension).
+    Timezone-less dateTimes keep their lexical form (no implied zone)."""
+    import re as _re
+    from datetime import datetime, timezone
+
+    m = _re.match(
+        r"^(\d{4,}-\d\d-\d\dT\d\d:\d\d:\d\d)(\.\d+)?(Z|[+-]\d\d:\d\d)$", lex
+    )
+    if not m:
+        return lex
+    try:
+        base, frac, tz = m.groups()
+        dt = datetime.fromisoformat(base + (frac or "") + ("+00:00" if tz == "Z" else tz))
+        dt = dt.astimezone(timezone.utc)
+        millis = dt.microsecond // 1000
+        return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{millis:03d}Z"
+    except ValueError:
+        return lex
+
+
 @dataclass(frozen=True)
 class Term:
     """Driver-side (Python) RDF term — parser constants, VALUES rows."""
@@ -127,6 +152,8 @@ class Term:
     def literal(lex: str, dt: str | None = None, lang: str | None = None) -> "Term":
         if lang:
             return Term(KIND_LITERAL, lex, RDF_LANGSTRING, lang.lower())
+        if dt == XSD_DATETIME:
+            lex = _normalize_datetime_lex(lex)
         return Term(KIND_LITERAL, lex, dt or XSD_STRING, None)
 
     @staticmethod
