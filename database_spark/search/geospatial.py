@@ -146,22 +146,188 @@ def in_circle(pts: DataFrame, lat: float, lon: float, radius_km: float) -> DataF
     )
 
 
-def make_geo_service():
+# ------------------------------------------------------------ datatypes
+#
+# Configurable geospatial datatypes (reference:
+# GeoSpatialDatatypeConfiguration / GeoSpatialLiteralExtension).  A
+# datatype is an ordered list of '#'-separated fields; each field is
+# DOUBLE or LONG with a precision multiplier.  Values are ENCODED as
+# trunc(value * multiplier) longs — all range comparisons happen in the
+# encoded domain, exactly like the reference's z-order key ranges, so
+# a multiplier of 100000 gives 5-decimal precision.  This is the
+# public custom-datatype surface (IExtension analog): register a JSON
+# config per datatype, point literals of that datatype join the index.
+
+
+class GeoField:
+    __slots__ = ("value_type", "multiplier", "min_value", "mapping")
+
+    def __init__(self, value_type="DOUBLE", multiplier=1, min_value=None, mapping="CUSTOM"):
+        self.value_type = value_type
+        self.multiplier = int(multiplier)
+        self.min_value = min_value
+        self.mapping = mapping
+
+
+class GeoDatatypeConfig:
+    __slots__ = ("uri", "fields")
+
+    def __init__(self, uri: str, fields: list):
+        self.uri = uri
+        self.fields = fields
+
+    def index_of(self, mapping: str) -> int | None:
+        for i, f in enumerate(self.fields):
+            if f.mapping == mapping:
+                return i
+        return None
+
+    def custom_indices(self, names: list[str]) -> list[int]:
+        out = []
+        for n in names:
+            for i, f in enumerate(self.fields):
+                if f.mapping == n:
+                    out.append(i)
+                    break
+            else:
+                raise ValueError(f"unknown custom field {n!r} for {self.uri}")
+        return out
+
+
+def parse_geo_config(json_str: str) -> GeoDatatypeConfig:
+    """Parse the reference's JSON datatype config format
+    (GeoSpatialConfig.initDatatypes)."""
+    import json
+
+    top = json.loads(json_str)["config"]
+    fields = [
+        GeoField(
+            value_type=f["valueType"],
+            multiplier=f.get("multiplier", 1),
+            min_value=(
+                int(f["minValue"]) if "minValue" in f
+                else int(f["minVal"]) if "minVal" in f else None
+            ),
+            mapping=f.get("serviceMapping", "CUSTOM"),
+        )
+        for f in top["fields"]
+    ]
+    return GeoDatatypeConfig(top["uri"], fields)
+
+
+LATLON_V1 = LATLON_DT
+LATLON_TIME_V1 = "http://www.bigdata.com/rdf/geospatial/literals/v1#lat-lon-time"
+
+
+def builtin_configs() -> dict:
+    """The two built-in datatypes (GeoSpatialConfigOptions)."""
+    return {
+        LATLON_V1: GeoDatatypeConfig(
+            LATLON_V1,
+            [
+                GeoField("DOUBLE", 100000, None, "LATITUDE"),
+                GeoField("DOUBLE", 100000, None, "LONGITUDE"),
+            ],
+        ),
+        LATLON_TIME_V1: GeoDatatypeConfig(
+            LATLON_TIME_V1,
+            [
+                GeoField("DOUBLE", 100000, None, "LATITUDE"),
+                GeoField("DOUBLE", 100000, None, "LONGITUDE"),
+                GeoField("LONG", 1, None, "TIME"),
+            ],
+        ),
+    }
+
+
+def _encode_py(lexical: str, field: GeoField) -> int:
+    """Driver-side exact encoding: trunc(Decimal(lex) * multiplier)
+    (BigDecimal.multiply().longValue() truncates toward zero)."""
+    from decimal import Decimal
+
+    return int(Decimal(lexical) * field.multiplier)
+
+
+def _field_raw(lit_lex: Column, i: int) -> Column:
+    return F.split(lit_lex, "#")[i]
+
+
+def _field_enc(lit_lex: Column, i: int, field: GeoField) -> Column:
+    """Column-side encoding, same truncation semantics as _encode_py
+    (decimal multiply then truncate toward zero via cast to long)."""
+    d = _field_raw(lit_lex, i).cast("decimal(30,10)")
+    return (d * F.lit(field.multiplier)).cast("long")
+
+
+def _field_decoded(lit_lex: Column, i: int, field: GeoField) -> Column:
+    """Decoded value = encoded / multiplier (DOUBLE: double division;
+    LONG: integer division) — what the reference materializes from the
+    index key and reports in *Value bindings."""
+    enc = _field_enc(lit_lex, i, field)
+    if field.value_type == "DOUBLE":
+        return enc.cast("double") / F.lit(float(field.multiplier))
+    return enc if field.multiplier == 1 else (enc / F.lit(field.multiplier)).cast("long")
+
+
+def _decoded_str(lit_lex: Column, i: int, field: GeoField) -> Column:
+    """Java toString of the decoded component ("2.0" for doubles,
+    "2" for longs) — the serializer's output format."""
+    v = _field_decoded(lit_lex, i, field)
+    return v.cast("string")
+
+
+def geo_distance_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """The reference's spherical-law-of-cosines distance
+    (CoordinateUtility.distance): acos(sin sin + cos cos cos(dlon)) in
+    degrees * 60 * 1.1515 * 1.609344 km; identical points → 0."""
+    rad = 3.141592653589793 / 180.0
+    d = F.acos(
+        F.sin(lat1 * rad) * F.sin(lat2 * rad)
+        + F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.cos((lon1 - lon2) * rad)
+    ) / F.lit(rad)
+    km = d * 60.0 * 1.1515 * 1.609344
+    return F.when((lat1 == lat2) & (lon1 == lon2), F.lit(0.0)).otherwise(km)
+
+
+_UNIT_TO_KM = {
+    "Kilometers": 1.0,
+    "Kilometer": 1.0,
+    "Miles": 1.609344,
+    "Mile": 1.609344,
+    "Feet": 0.0003048,
+    "Meters": 0.001,
+}
+
+
+def make_geo_service(datatype_configs: list | None = None, default_datatype: str | None = None, include_builtins: bool = True):
     """SERVICE <http://www.bigdata.com/rdf/geospatial#search> handler.
 
-    Config (GeoSpatial.java magic predicates):
-        SERVICE <geo:search> {
-          ?s geo:search "inRectangle" ;
-             geo:predicate t:loc ;
-             geo:spatialRectangleSouthWest "10.0#20.0" ;
-             geo:spatialRectangleNorthEast "30.0#40.0" ;
-             geo:locationValue ?loc .           # optional
-          # or: geo:search "inCircle" ; geo:spatialCircleCenter "la#lo" ;
-          #     geo:spatialCircleRadius "5.0"   (km)
-        }
+    `datatype_configs`: JSON strings or GeoDatatypeConfig objects
+    registering custom geospatial datatypes
+    (GEO_SPATIAL_DATATYPE_CONFIG.* properties in the reference).
+    `default_datatype`: datatype used when the query has no
+    geo:searchDatatype (GEO_SPATIAL_DEFAULT_DATATYPE; we default to
+    the built-in lat-lon for convenience).
+
+    Supported query surface (GeoSpatialServiceFactory):
+      geo:search "inRectangle"|"inCircle", geo:predicate,
+      geo:searchDatatype, geo:spatialRectangleSouthWest/NorthEast,
+      geo:spatialCircleCenter/Radius, geo:spatialUnit, geo:timeStart/
+      geo:timeEnd, geo:coordSystem, geo:customFields +
+      geo:customFieldsLowerBounds/UpperBounds, and the output value
+      bindings (location/lat/lon/time/coordSystem/customFields/
+      literal/distance/locationAndTime).
     """
     from ..sparql import ast as A
     from ..sparql.compiler import Sol
+
+    registry: dict[str, GeoDatatypeConfig] = {}
+    if include_builtins:
+        registry.update(builtin_configs())
+    for c in datatype_configs or []:
+        cfg = parse_geo_config(c) if isinstance(c, str) else c
+        registry[cfg.uri] = cfg
+    default_dt = default_datatype or LATLON_V1
 
     def handler(compiler, sp, graph):
         cfg: dict[str, object] = {}
@@ -170,40 +336,310 @@ def make_geo_service():
             if isinstance(el, A.TriplePattern) and isinstance(el.p, A.Const):
                 key = el.p.term.lex.rsplit("#", 1)[-1]
                 cfg[key] = el.o
-                if key == "search":
+                if subj is None and isinstance(el.s, A.Var):
+                    # result variable: subject of the magic triples —
+                    # geo:search itself is optional (pure custom-field /
+                    # time range queries carry no search function)
                     subj = el.s
-        if subj is None or not isinstance(subj, A.Var):
-            raise ValueError('geo:search needs \'?var geo:search "mode"\'')
-        mode = cfg["search"].term.lex
-        pred = cfg["predicate"].term if "predicate" in cfg else None
-        pts = points_of(compiler.triples, pred)
+        if subj is None:
+            raise ValueError("geo:search group needs a subject variable")
 
-        def latlon(key):
-            lat, lon = cfg[key].term.lex.split("#")
-            return float(lat), float(lon)
+        def const(key, default=None):
+            v = cfg.get(key)
+            if v is None:
+                return default
+            if not isinstance(v, A.Const):
+                raise ValueError(f"geo:{key} must be a constant in this engine")
+            return v.term.lex
 
-        if mode == "inRectangle":
-            sw, ne = latlon("spatialRectangleSouthWest"), latlon(
-                "spatialRectangleNorthEast"
+        mode = const("search")
+        dt_uri = const("searchDatatype", default_dt)
+        dtc = registry.get(dt_uri)
+        if dtc is None:
+            raise ValueError(
+                f"Datatype {dt_uri} is not a registered geospatial datatype"
             )
-            hits = in_rectangle(pts, sw[0], sw[1], ne[0], ne[1])
+        # ------------------------- validation (CorrectRejection)
+        # the reference rejects under-constrained or contradictory
+        # service configurations (TestGeoSpatialCorrectRejection):
+        # every dimension of the datatype must be constrained, search
+        # params must match the search function, and value outputs
+        # must have a source field
+        def reject(msg: str):
+            raise ValueError("GeoSpatialSearchException: " + msg)
+
+        lat_i0, lon_i0 = dtc.index_of("LATITUDE"), dtc.index_of("LONGITUDE")
+        time_i0, cs_i0 = dtc.index_of("TIME"), dtc.index_of("COORD_SYSTEM")
+        has_latlon = lat_i0 is not None and lon_i0 is not None
+        if mode == "inRectangle" and (
+            "spatialCircleCenter" in cfg or "spatialCircleRadius" in cfg
+        ):
+            reject("circle parameters given for inRectangle query")
+        if mode == "inCircle" and (
+            "spatialRectangleSouthWest" in cfg or "spatialRectangleNorthEast" in cfg
+        ):
+            reject("rectangle parameters given for inCircle query")
+        if isinstance(cfg.get("distanceValue"), A.Var) and mode != "inCircle":
+            reject("distanceValue is only computable for inCircle queries")
+        if time_i0 is None and (
+            const("timeStart") is not None or const("timeEnd") is not None
+        ):
+            reject("time bounds given but the datatype has no TIME component")
+        if cs_i0 is None and const("coordSystem") is not None:
+            reject("coordSystem given but the datatype has no COORD_SYSTEM component")
+        for key, need in (
+            ("locationValue", has_latlon),
+            ("latValue", has_latlon),
+            ("lonValue", has_latlon),
+            ("locationAndTimeValue", has_latlon and time_i0 is not None),
+            ("timeValue", time_i0 is not None),
+            ("coordSystemValue", cs_i0 is not None),
+        ):
+            if isinstance(cfg.get(key), A.Var) and not need:
+                reject(f"{key} requested but the datatype has no such component")
+        if (mode in ("inRectangle", "inCircle")) and not has_latlon:
+            reject(f"datatype {dt_uri} has no lat/lon — not geospatial")
+        if mode is None and has_latlon:
+            reject("datatype has lat/lon components: a geo:search function is required")
+        def check_bounds(lat_lex, lon_lex, what):
+            try:
+                la, lo = float(lat_lex), float(lon_lex)
+            except ValueError:
+                reject(f"{what}: malformed point")
+            if not (-90.0 <= la <= 90.0) or not (-180.0 <= lo <= 180.0):
+                reject(f"{what}: coordinates out of bounds ({la}, {lo})")
+        if mode == "inRectangle":
+            for key in ("spatialRectangleSouthWest", "spatialRectangleNorthEast"):
+                val = const(key)
+                if val is not None and "#" in val:
+                    check_bounds(*val.split("#")[:2], key)
+        if mode == "inCircle":
+            val = const("spatialCircleCenter")
+            if val is not None and "#" in val:
+                check_bounds(*val.split("#")[:2], "spatialCircleCenter")
+        if time_i0 is not None and (
+            const("timeStart") is None or const("timeEnd") is None
+        ):
+            reject("datatype has a TIME component: timeStart and timeEnd required")
+        if cs_i0 is not None and const("coordSystem") is None:
+            reject("datatype has a COORD_SYSTEM component: coordSystem required")
+        dt_custom = [
+            f.mapping
+            for f in dtc.fields
+            if f.mapping not in ("LATITUDE", "LONGITUDE", "TIME", "COORD_SYSTEM")
+        ]
+        cf_names = (const("customFields") or "").split("#") if "customFields" in cfg else []
+        if dt_custom:
+            missing = [n for n in dt_custom if n not in cf_names]
+            if missing:
+                reject(f"custom field(s) {missing} not constrained")
+        if cf_names:
+            lo_b, hi_b = const("customFieldsLowerBounds"), const("customFieldsUpperBounds")
+            if lo_b is None or hi_b is None:
+                reject("customFields needs lower and upper bounds")
+            if len(lo_b.split("#")) != len(cf_names) or len(hi_b.split("#")) != len(cf_names):
+                reject("customFields bounds arity mismatch")
+        if isinstance(cfg.get("customFieldsValues"), A.Var) and not cf_names:
+            reject("customFieldsValues requested without customFields")
+
+        trips = compiler.triples
+        # GRAPH scope / geo:context restriction
+        ctx = const("context")
+        if ctx is not None:
+            trips = trips.where(F.col("g") == T.term_id(T.lit_term(T.Term.iri(ctx))))
+        pts = trips.where(F.col("ot.dt") == dt_uri)
+        if "predicate" in cfg:
+            pts = pts.where(
+                F.col("p") == T.term_id(T.lit_term(cfg["predicate"].term))
+            )
+        lex = F.col("ot").getField("lex")
+        conds: list[Column] = [
+            # malformed literals (wrong component count) never match —
+            # the reference drops them at index build time
+            F.size(F.split(lex, "#")) == len(dtc.fields)
+        ]
+
+        def between_enc(i: int, lo_lex: str, hi_lex: str):
+            f = dtc.fields[i]
+            enc = _field_enc(lex, i, f)
+            conds.append(enc >= F.lit(_encode_py(lo_lex, f)))
+            conds.append(enc <= F.lit(_encode_py(hi_lex, f)))
+
+        lat_i, lon_i = dtc.index_of("LATITUDE"), dtc.index_of("LONGITUDE")
+        time_i, cs_i = dtc.index_of("TIME"), dtc.index_of("COORD_SYSTEM")
+        distance_col = None
+        if mode == "inRectangle":
+            sw, ne = const("spatialRectangleSouthWest"), const("spatialRectangleNorthEast")
+            if sw is None or ne is None:
+                raise ValueError("inRectangle needs SouthWest and NorthEast")
+            if lat_i is None or lon_i is None:
+                raise ValueError(f"datatype {dt_uri} has no lat/lon — not geospatial")
+            sw_lat, sw_lon = sw.split("#")
+            ne_lat, ne_lon = ne.split("#")
+            between_enc(lat_i, sw_lat, ne_lat)
+            f_lon = dtc.fields[lon_i]
+            lo_enc, hi_enc = _encode_py(sw_lon, f_lon), _encode_py(ne_lon, f_lon)
+            enc_lon = _field_enc(lex, lon_i, f_lon)
+            if lo_enc > hi_enc:
+                # dateline crossing: west bound east of east bound —
+                # [sw, 180] ∪ [-180, ne] (reference splits the z-order
+                # scan the same way)
+                conds.append((enc_lon >= F.lit(lo_enc)) | (enc_lon <= F.lit(hi_enc)))
+            else:
+                conds.append(enc_lon >= F.lit(lo_enc))
+                conds.append(enc_lon <= F.lit(hi_enc))
         elif mode == "inCircle":
-            c = latlon("spatialCircleCenter")
-            hits = in_circle(pts, c[0], c[1], float(cfg["spatialCircleRadius"].term.lex))
-        else:
+            center = const("spatialCircleCenter")
+            radius = const("spatialCircleRadius")
+            if center is None or radius is None:
+                raise ValueError("inCircle needs center and radius")
+            if lat_i is None or lon_i is None:
+                raise ValueError(f"datatype {dt_uri} has no lat/lon — not geospatial")
+            c_lat, c_lon = (float(x) for x in center.split("#"))
+            unit = const("spatialUnit", "Kilometers")
+            r_km = float(radius) * _UNIT_TO_KM.get(unit, 1.0)
+            dlat = _field_decoded(lex, lat_i, dtc.fields[lat_i])
+            dlon = _field_decoded(lex, lon_i, dtc.fields[lon_i])
+            distance_col = geo_distance_km(F.lit(c_lat), F.lit(c_lon), dlat, dlon)
+            conds.append(distance_col <= F.lit(r_km))
+        elif mode is not None and mode not in ("inRectangle", "inCircle"):
             raise ValueError(f"unknown geo:search mode {mode}")
+        # time range (applies to both modes when the datatype has TIME)
+        ts, te = const("timeStart"), const("timeEnd")
+        if time_i is not None and (ts is not None or te is not None):
+            f = dtc.fields[time_i]
+            enc = _field_enc(lex, time_i, f)
+            if ts is not None:
+                conds.append(enc >= F.lit(_encode_py(ts, f)))
+            if te is not None:
+                conds.append(enc <= F.lit(_encode_py(te, f)))
+        cs = const("coordSystem")
+        if cs_i is not None and cs is not None:
+            f = dtc.fields[cs_i]
+            conds.append(_field_enc(lex, cs_i, f) == F.lit(_encode_py(cs, f)))
+        # custom field bounds
+        cf = const("customFields")
+        if cf is not None:
+            names = cf.split("#")
+            lo = const("customFieldsLowerBounds")
+            hi = const("customFieldsUpperBounds")
+            if lo is None or hi is None:
+                raise ValueError("customFields needs lower and upper bounds")
+            idxs = dtc.custom_indices(names)
+            for i, lo_lex, hi_lex in zip(idxs, lo.split("#"), hi.split("#")):
+                between_enc(i, lo_lex, hi_lex)
+        hits = pts
+        for c in conds:
+            hits = hits.where(c)
+        # ---------------------------------------------------- outputs
         v = subj.name
         cols = [F.col("st").alias(v), F.col("s").alias(v + "__id")]
         vars_ = {v}
-        loc = cfg.get("locationValue")
-        if isinstance(loc, A.Var):
-            cols += [
-                F.col("loc").alias(loc.name),
-            ]
-            vars_.add(loc.name)
-        out = hits.select(*cols).dropDuplicates([v + "__id"])
-        if isinstance(loc, A.Var):
-            out = out.withColumn(loc.name + "__id", T.term_id(F.col(loc.name)))
+        extra_terms: list[tuple[str, Column]] = []
+
+        def out_var(key, col: Column):
+            node = cfg.get(key)
+            if isinstance(node, A.Var):
+                extra_terms.append((node.name, col))
+
+        def plain_lit(c: Column) -> Column:
+            return T.term_struct(F.lit(T.KIND_LITERAL), c, F.lit(T.XSD_STRING), F.lit(None))
+
+        def typed_lit(c: Column, dt: str) -> Column:
+            return T.term_struct(F.lit(T.KIND_LITERAL), c.cast("string"), F.lit(dt), F.lit(None))
+
+        if lat_i is not None and lon_i is not None:
+            la, lo_ = dtc.fields[lat_i], dtc.fields[lon_i]
+            out_var(
+                "locationValue",
+                plain_lit(F.concat_ws("#", _decoded_str(lex, lat_i, la), _decoded_str(lex, lon_i, lo_))),
+            )
+            out_var("latValue", typed_lit(_field_decoded(lex, lat_i, la).cast("double"), T.XSD_DOUBLE))
+            out_var("lonValue", typed_lit(_field_decoded(lex, lon_i, lo_).cast("double"), T.XSD_DOUBLE))
+            if time_i is not None:
+                out_var(
+                    "locationAndTimeValue",
+                    plain_lit(
+                        F.concat_ws(
+                            "#",
+                            _decoded_str(lex, lat_i, la),
+                            _decoded_str(lex, lon_i, lo_),
+                            _decoded_str(lex, time_i, dtc.fields[time_i]),
+                        )
+                    ),
+                )
+        if time_i is not None:
+            out_var("timeValue", typed_lit(_field_decoded(lex, time_i, dtc.fields[time_i]), T.XSD_LONG))
+        if cs_i is not None:
+            out_var("coordSystemValue", plain_lit(_decoded_str(lex, cs_i, dtc.fields[cs_i])))
+        if cf is not None:
+            idxs = dtc.custom_indices(cf.split("#"))
+            out_var(
+                "customFieldsValues",
+                plain_lit(F.concat_ws("#", *[_decoded_str(lex, i, dtc.fields[i]) for i in idxs])),
+            )
+        out_var("literalValue", F.col("ot"))
+        if distance_col is not None:
+            unit = const("spatialUnit", "Kilometers")
+            d_units = distance_col / F.lit(_UNIT_TO_KM.get(unit, 1.0))
+            out_var(
+                "distanceValue",
+                typed_lit(F.round(d_units * 100) / F.lit(100.0), T.XSD_DOUBLE),
+            )
+        for name, col in extra_terms:
+            cols.append(col.alias(name))
+            vars_.add(name)
+        # one solution per matching STATEMENT (the reference emits one
+        # row per index hit — a subject with two matching literals
+        # appears twice)
+        cols.append(F.col("o").alias("__geo_hit"))
+        out = hits.select(*cols).dropDuplicates(
+            [v + "__id", "__geo_hit"] + [n for n, _ in extra_terms]
+        ).drop("__geo_hit")
+        for name, _ in extra_terms:
+            out = out.withColumn(name + "__id", T.term_id(F.col(name)))
         return Sol(out, vars_, set())
 
     return {GEO_NS: handler}
+
+
+def canonicalize_literal_lex(lex: str, dtc: GeoDatatypeConfig, strict: bool = False) -> str:
+    """Load-time canonical form of a geospatial literal: each component
+    encoded then decoded (trunc(v*multiplier)/multiplier), doubles
+    printed with their decimal point ("2#3#4" → "2.0#3.0#4").  The
+    reference stores these literals as z-order keys and always
+    rematerializes the decoded form (GeoSpatialLiteralExtension
+    asValue), so the original lexical form is NOT preserved."""
+    parts = lex.split("#")
+    if len(parts) != len(dtc.fields):
+        if strict:
+            # the reference raises InvalidGeoSpatialLiteralError at
+            # load time (geo-cr-wrongdataformat)
+            raise ValueError(
+                f"invalid geospatial literal {lex!r} for {dtc.uri}: "
+                f"expected {len(dtc.fields)} components"
+            )
+        return lex  # malformed literal: leave as-is
+    out = []
+    for raw, f in zip(parts, dtc.fields):
+        try:
+            enc = _encode_py(raw, f)
+        except Exception:  # noqa: BLE001 — non-numeric component
+            return lex
+        if f.value_type == "DOUBLE":
+            out.append(repr(enc / f.multiplier))
+        else:
+            out.append(str(enc // f.multiplier if f.multiplier != 1 else enc))
+    return "#".join(out)
+
+
+def geo_registry(datatype_configs: list | None = None, include_builtins: bool = True) -> dict:
+    """uri → GeoDatatypeConfig registry (same resolution rules as
+    make_geo_service)."""
+    reg: dict[str, GeoDatatypeConfig] = {}
+    if include_builtins:
+        reg.update(builtin_configs())
+    for c in datatype_configs or []:
+        cfg = parse_geo_config(c) if isinstance(c, str) else c
+        reg[cfg.uri] = cfg
+    return reg

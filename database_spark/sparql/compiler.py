@@ -262,6 +262,60 @@ class Compiler:
             sel.append(F.col(pos).alias(var + "__id"))
         return Sol(df.select(*sel), set(binds.keys()), set())
 
+    #: service namespaces whose magic predicates may appear as bare
+    #: statement patterns — the reference's ASTSearchOptimizer lifts
+    #: same-subject groups of them into an implicit SERVICE call
+    MAGIC_SERVICE_NS = (
+        "http://www.bigdata.com/rdf/geospatial#",
+        "http://www.bigdata.com/rdf/search#",
+    )
+
+    def _lift_magic_services(self, group: A.GroupPattern) -> A.GroupPattern:
+        """Rewrite bare magic-predicate triples (geo:search etc. used
+        without a SERVICE wrapper) into SERVICE calls, grouped by
+        subject (ASTSearchOptimizer behavior)."""
+        magic: dict = {}
+
+        def magic_ns(el):
+            if isinstance(el, A.TriplePattern) and isinstance(el.p, A.Const):
+                lex = el.p.term.lex
+                return next(
+                    (
+                        n
+                        for n in self.MAGIC_SERVICE_NS
+                        if lex.startswith(n) and n in self.services
+                    ),
+                    None,
+                )
+            return None
+
+        if not any(magic_ns(el) for el in group.elements):
+            return group
+        out = A.GroupPattern()
+        for el in group.elements:
+            ns = magic_ns(el)
+            if ns is None:
+                out.elements.append(el)
+                continue
+            key = (ns, repr(el.s))
+            if key not in magic:
+                magic[key] = A.GroupPattern()
+                # placeholder keeps the service at its textual position
+                out.elements.append(("__magic__", key))
+            magic[key].elements.append(el)
+        final = A.GroupPattern()
+        for el in out.elements:
+            if isinstance(el, tuple) and el[0] == "__magic__":
+                ns, _ = el[1]
+                final.elements.append(
+                    A.ServicePattern(
+                        A.Const(T.Term.iri(ns + "search")), magic[el[1]], False
+                    )
+                )
+            else:
+                final.elements.append(el)
+        return final
+
     def compile_bgp(self, patterns: list, graph) -> Sol:
         """Join ordering: greedy most-bound-first among connected
         patterns (the cheap static heuristic of
@@ -639,6 +693,7 @@ class Compiler:
           exogenous (query-level VALUES) bindings join in last and are
           never visible to them (bindingsAndBottomUp03b).
         """
+        group = self._lift_magic_services(group)
         sol = self.unit()
         filters = []
         bgp: list[A.TriplePattern] = []

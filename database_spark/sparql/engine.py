@@ -68,9 +68,29 @@ class SparqlEngine:
         store: TripleStore,
         services: dict | None = None,
         maintain_entailments: bool = False,
+        geo_datatype_configs: list | None = None,
+        geo_default_datatype: str | None = None,
+        geo_include_builtins: bool = True,
     ):
         self.store = store
         self.services = default_services()
+        if (
+            geo_datatype_configs is not None
+            or geo_default_datatype is not None
+            or not geo_include_builtins
+        ):
+            # custom geospatial datatype registry (the reference's
+            # GEO_SPATIAL_DATATYPE_CONFIG.* / GEO_SPATIAL_DEFAULT_DATATYPE
+            # store properties)
+            from ..search.geospatial import make_geo_service
+
+            self.services.update(
+                make_geo_service(
+                    geo_datatype_configs,
+                    geo_default_datatype,
+                    include_builtins=geo_include_builtins,
+                )
+            )
         # truth maintenance (reference: TruthMaintenance.java): when on,
         # inserts/deletes keep the RDFS+ closure current.  Retraction is
         # recompute-over-explicit — without per-statement justification

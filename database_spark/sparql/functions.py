@@ -163,6 +163,12 @@ def str_value(t: Column) -> Column:
     return F.when(is_stringish(t), lex(t))
 
 
+def _literal_lex(t: Column) -> Column:
+    """Lexical form of ANY literal (error/null for IRIs and bnodes) —
+    the reference's IVValueExpression.getAndCheckLiteralValue contract."""
+    return F.when(kind(t) == T.KIND_LITERAL, lex(t))
+
+
 def dt_rank(t: Column) -> Column:
     """Numeric promotion rank: integer<decimal<float/double (SUM.java:53)."""
     d = dt_of(t)
@@ -408,12 +414,17 @@ class ExprCompiler:
             if len(args) > 2:
                 pat = F.concat(_regex_flags(lex(args[2])), pat)
             return F.rlike(s, pat)
+        # CONTAINS/STRSTARTS/STRENDS: the reference only requires the
+        # args to be LITERALS (IVValueExpression.getAndCheckLiteralValue
+        # — no xsd:string restriction), so custom-datatype literals
+        # (e.g. geospatial points) compare on their lexical form
+        # (geo-defaults04)
         if n == "CONTAINS":
-            return F.contains(str_value(args[0]), str_value(args[1]))
+            return F.contains(_literal_lex(args[0]), _literal_lex(args[1]))
         if n == "STRSTARTS":
-            return F.startswith(str_value(args[0]), str_value(args[1]))
+            return F.startswith(_literal_lex(args[0]), _literal_lex(args[1]))
         if n == "STRENDS":
-            return F.endswith(str_value(args[0]), str_value(args[1]))
+            return F.endswith(_literal_lex(args[0]), _literal_lex(args[1]))
         raise SparqlCompileError(n)
 
     # ---- general builtins

@@ -64,6 +64,7 @@ WELL_KNOWN_PREFIXES = {
 
 XSD_STRING = XSD + "string"
 XSD_INTEGER = XSD + "integer"
+XSD_LONG = XSD + "long"
 XSD_DECIMAL = XSD + "decimal"
 XSD_DOUBLE = XSD + "double"
 XSD_FLOAT = XSD + "float"

