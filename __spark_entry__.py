@@ -525,9 +525,16 @@ def _geo_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
 
 
 def q_sparql_fts(spark, sf_dir):
-    """bds:search full-text service over document literals."""
+    """bds:search full-text service over document literals.
+
+    Relevance is the reference's exact cosine (tf-normalized vectors,
+    byte315-quantized doc weights — FullTextIndexTupleSerializer.java:
+    138, ReadIndexTask.java:162-189); rounded to 9 decimals on both
+    sides so the FP sum order across matched tokens can't flip the
+    value hash.
+    """
     e = _graph(spark, sf_dir)
-    return _sel(
+    df = _sel(
         e,
         f"""{PREFIX}
         PREFIX bds: <http://www.bigdata.com/rdf/search#>
@@ -539,6 +546,7 @@ def q_sparql_fts(spark, sf_dir):
         }}""",
         {"doc": ("d", "lex"), "relevance": ("score", "double")},
     )
+    return df.withColumn("relevance", F.round(F.col("relevance"), 9))
 
 
 def q_sparql_geo_rect(spark, sf_dir):
@@ -1480,21 +1488,36 @@ ORACLES: dict[str, str] = {
           FROM scored) WHERE rank <= 5
     """,
     "sparql_fts": r"""
+        -- reference cosine: dw = byte315(tf/|tf|) per (doc, token),
+        -- qw = 1/sqrt(3) per query token, relevance = sum(qw*dw)
         WITH toks AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-                             x -> len(x) > 0) AS tk
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+                   x -> len(x) > 0)) AS token
           FROM documents
-        ), m AS (
-          SELECT doc_id,
-                 (CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(tk, 'query') THEN 1 ELSE 0 END
-                + CASE WHEN list_contains(tk, 'join') THEN 1 ELSE 0 END) AS hits
-          FROM toks
+        ), tf AS (
+          SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+          FROM toks GROUP BY 1, 2
+        ), mag AS (
+          SELECT doc_id, sqrt(sum(tf*tf)) AS mag FROM tf GROUP BY 1
+        ), wf AS (
+          SELECT tf.doc_id, tf.token,
+                 CAST(CAST(tf.tf / mag.mag AS FLOAT) AS DOUBLE) AS w32
+          FROM tf JOIN mag USING (doc_id)
+          WHERE tf.token IN ('spark', 'query', 'join')
+        ), dw AS (
+          -- Lucene SmallFloat byte315 encode/decode: truncate the
+          -- float32 mantissa to 3 bits incl. the implicit leading 1
+          SELECT doc_id, token,
+                 pow(2, floor(log2(w32)))
+                 * (1 + floor((w32 / pow(2, floor(log2(w32))) - 1) * 4) / 4)
+                 AS w
+          FROM wf
         )
         SELECT 'urn:d:' || CAST(doc_id AS VARCHAR) AS doc,
-               CAST(hits AS DOUBLE) / 3.0 AS relevance
-        FROM m WHERE hits > 0
+               round(sum((1.0 / sqrt(3.0)) * w), 9) AS relevance
+        FROM dw GROUP BY doc_id
     """,
     "sparql_geo_rect": """
         SELECT DISTINCT 'urn:u:' || CAST(user_id AS VARCHAR) AS node

@@ -7,14 +7,19 @@ SPARQL as the magic predicates of `RDF/rdf/store/BDS.java:94-402`
 `ast/eval/ASTSearchOptimizer.java`.
 
 Spark-native design: the "index" is a derived DataFrame
-``(token, lit_id)`` built by tokenizing every plain-literal object in
-the store — the inverted index as a relation.  A query tokenizes the
-same way, joins token-to-token (broadcast — a query has few tokens),
-and scores each literal by the fraction of query tokens it matched
-(cosine-free Jaccard-style relevance; the reference's default ranking
-is likewise token-overlap based).  At scale the token relation is what
-you'd persist + bucket by token; here it derives lazily and Catalyst
-prunes the literal scan to string columns.
+``(token, lit, lit__id, weight)`` built by tokenizing every
+plain-literal object in the store — the inverted index as a relation.
+A query tokenizes the same way, joins token-to-token (broadcast — a
+query has few tokens), and scores each literal with the reference's
+exact cosine: ``relevance = Σ qw·dw`` over matched tokens, where both
+sides are tf-normalized unit vectors (``TermFrequencyData.normalize()``
+— tf/√Σtf²) and the stored document weight is quantized through
+Lucene's SmallFloat byte315 encoding (3-bit-mantissa float, the
+``similarity.encodeNormValue`` call in
+``FullTextIndexTupleSerializer.java:138``) while the query weight
+stays exact (``ReadIndexTask.java:162-189``).  At scale the token
+relation is what you'd persist + bucket by token; here it derives
+lazily and Catalyst prunes the literal scan to string columns.
 """
 
 from __future__ import annotations
@@ -57,7 +62,25 @@ def text_index(triples: DataFrame) -> DataFrame:
     return idx
 
 
+def _byte315(col):
+    """Lucene ``SmallFloat`` byte315 encode→decode round-trip as a pure
+    column expression: cast to float32 (Java's ``(float) termWeight``),
+    then truncate the mantissa to 3 bits *including* the implicit
+    leading 1 (i.e. 2 explicit bits — ``bits >> (24-3)``).
+    ``floor((m-1)*4)/4`` on the float32-exact double value is
+    bit-identical to the reference's byte encoding for weights in
+    (0, 1] (verified against the expected cosines of the reference's
+    TestSearch child-proofing fixture)."""
+    wf = col.cast("float").cast("double")
+    e = F.floor(F.log2(wf))
+    p = F.pow(F.lit(2.0), e)
+    m = wf / p
+    return p * (F.lit(1.0) + F.floor((m - F.lit(1.0)) * F.lit(4.0)) / F.lit(4.0))
+
+
 def _build_text_index(triples: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
     lits = (
         triples.where(
             (F.col("ot.kind") == T.KIND_LITERAL)
@@ -66,10 +89,23 @@ def _build_text_index(triples: DataFrame) -> DataFrame:
         .select(F.col("ot").alias("lit"), F.col("o").alias("lit__id"))
         .dropDuplicates(["lit__id"])
     )
-    return lits.select(
-        F.explode(F.array_distinct(tokenize(F.col("lit.lex")))).alias("token"),
+    tf = (
+        lits.select(
+            F.explode(tokenize(F.col("lit.lex"))).alias("token"),
+            "lit",
+            "lit__id",
+        )
+        .groupBy("lit__id", "token")
+        .agg(F.first("lit").alias("lit"), F.count(F.lit(1)).alias("tf"))
+    )
+    mag = F.sqrt(
+        F.sum(F.col("tf") * F.col("tf")).over(Window.partitionBy("lit__id"))
+    )
+    return tf.select(
+        "token",
         "lit",
         "lit__id",
+        _byte315(F.col("tf").cast("double") / mag).alias("weight"),
     )
 
 
@@ -80,32 +116,67 @@ def search_literals(
     min_relevance: float = 0.0,
     max_rank: int | None = None,
 ) -> DataFrame:
-    """Literals matching `query` tokens with relevance = matched/total.
+    """Literals matching `query` tokens, scored with the reference's
+    cosine (``Hit.add``: Σ qw·dw over matched tokens; qw = exact
+    tf-normalized query weight, dw = byte315-quantized stored weight).
+
+    A ``*`` anywhere in the query switches ALL tokens to prefix match
+    (``SearchServiceFactory.java:523-528``); the ``*`` itself is
+    dropped by the analyzer split.
 
     Returns (lit, lit__id, relevance, rank) — rank 1 = most relevant,
-    ties broken by lit__id for determinism.
+    ties broken by lit__id for determinism (the reference breaks
+    cosine ties by increasing docId).
     """
+    import math
+    import re
+
     from pyspark.sql import Window
 
-    q_tokens = sorted(
-        {t for t in __import__("re").split(r"[^\w]+", query.lower()) if t}
-    )
-    if not q_tokens:
+    prefix = "*" in query
+    # same split class as the document analyzer (tokenize():
+    # [^\p{L}\p{N}]+ — \W|_ is the Python-re equivalent)
+    raw = [t for t in re.split(r"[\W_]+", query.lower().replace("*", " ")) if t]
+    if not raw:
         raise ValueError("empty search query")
+    counts: dict[str, int] = {}
+    for t in raw:
+        counts[t] = counts.get(t, 0) + 1
+    qmag = math.sqrt(sum(c * c for c in counts.values()))
+    spark = triples.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, c / qmag) for t, c in sorted(counts.items())],
+        "qtok string, qw double",
+    )
     idx = text_index(triples)
-    # static IN-list instead of a broadcast join: the predicate pushes
-    # into the parquet scan of a persisted index (row-group pruning on
-    # the token-clustered layout written by TripleStore.save)
-    hits = (
-        idx.where(F.col("token").isin(list(q_tokens)))
-        .groupBy("lit__id")
-        .agg(
-            F.first("lit").alias("lit"),
-            (F.countDistinct("token") / F.lit(len(q_tokens))).alias("relevance"),
+    if prefix:
+        # prefix scan: at scale this is a range scan on the
+        # token-sorted persisted index (row-group min/max pruning);
+        # here an OR-of-startswith pre-filter + broadcast NLJ
+        pre = idx.where(
+            __import__("functools").reduce(
+                lambda a, b: a | b,
+                [F.col("token").startswith(t) for t in counts],
+            )
         )
+        joined = pre.join(
+            F.broadcast(qdf), F.col("token").startswith(F.col("qtok"))
+        )
+    else:
+        # static IN-list pushes into the parquet scan of a persisted
+        # index (row-group pruning on the token-clustered layout
+        # written by TripleStore.save); the broadcast join only
+        # attaches the per-token query weight
+        joined = idx.where(F.col("token").isin(list(counts))).join(
+            F.broadcast(qdf), F.col("token") == F.col("qtok")
+        )
+    hits = joined.groupBy("lit__id").agg(
+        F.first("lit").alias("lit"),
+        F.sum(F.col("qw") * F.col("weight")).alias("relevance"),
+        F.countDistinct("qtok").alias("__nmatched"),
     )
     if match_all:
-        hits = hits.where(F.col("relevance") >= 1.0)
+        hits = hits.where(F.col("__nmatched") >= len(counts))
     if min_relevance > 0.0:
         hits = hits.where(F.col("relevance") >= min_relevance)
     w = Window.orderBy(F.col("relevance").desc(), F.col("lit__id").asc())

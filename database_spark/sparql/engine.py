@@ -311,18 +311,37 @@ class SparqlEngine:
         u = u.dropDuplicates(["__sid", "__pid", "__oid"]).drop("__sid", "__pid", "__oid")
         return u
 
+    #: DescribeModeEnum.java names → our mode keys (the reference
+    #: selects the mode with the ``hint:describeMode`` query hint,
+    #: QueryHints.DESCRIBE_MODE; default SymmetricOneStep)
+    _DESCRIBE_MODES = {
+        "forwardonestep": "forward",
+        "symmetriconestep": "symmetric",
+        "cbd": "cbd",
+        "scbd": "scbd",
+    }
+
     def describe(self, text: str, mode: str = "symmetric") -> DataFrame:
         """DESCRIBE a set of resources (DescribeModeEnum.java:47-127).
 
-        mode='symmetric': forward+backward one step (SYMMETRIC_ONE_STEP,
-        the reference default).  mode='cbd': Concise Bounded Description
-        — forward statements, recursively expanded through blank-node
+        mode='symmetric': forward+backward one step (SymmetricOneStep,
+        the reference default).  mode='forward': forward one step
+        (ForwardOneStep).  mode='cbd': Concise Bounded Description —
+        forward statements, recursively expanded through blank-node
         objects (a driver-side fixpoint; bnode chains are short in
-        practice, bounded at 16 hops).
+        practice, bounded at 16 hops).  mode='scbd': symmetric CBD —
+        CBD plus reverse statements expanded through blank-node
+        subjects.  A ``hint:describeMode`` in the query overrides the
+        argument.
         """
         q = parse_query(text)
         if not isinstance(q, A.DescribeQuery):
             raise TypeError("not a DESCRIBE query")
+        hint = (getattr(q, "hints", None) or {}).get("describeMode")
+        if hint:
+            mode = self._DESCRIBE_MODES.get(hint.lower(), mode)
+        if mode not in self._DESCRIBE_MODES.values():
+            raise ValueError(f"unknown DESCRIBE mode {mode!r}")
         c = self._compiler()
         ids = None
         var_targets = [t for t in q.targets if isinstance(t, A.Var)]
@@ -352,21 +371,39 @@ class SparqlEngine:
         trips = self.store.df
         if mode == "cbd":
             return self._cbd(trips, ids)
+        if mode == "scbd":
+            return self._cbd(trips, ids, reverse=True)
         fwd = trips.join(ids.withColumnRenamed("id", "s"), "s", "left_semi")
+        if mode == "forward":
+            return fwd.dropDuplicates(["s", "p", "o", "g"]).select("st", "pt", "ot")
         bwd = trips.join(ids.withColumnRenamed("id", "o"), "o", "left_semi")
         return fwd.unionByName(bwd).dropDuplicates(["s", "p", "o", "g"]).select("st", "pt", "ot")
 
-    def _cbd(self, trips: DataFrame, ids: DataFrame, max_hops: int = 16) -> DataFrame:
-        """Concise Bounded Description fixpoint: follow bnode objects."""
+    def _cbd(
+        self,
+        trips: DataFrame,
+        ids: DataFrame,
+        max_hops: int = 16,
+        reverse: bool = False,
+    ) -> DataFrame:
+        """Concise Bounded Description fixpoint: follow bnode objects
+        (and, for SCBD, also reverse statements + bnode subjects)."""
         from ..operators import lifecycle as L
 
         seen = L.checkpoint(ids)
         frontier = seen
         out = None
         for _ in range(max_hops):
-            stmts = L.checkpoint(
-                trips.join(frontier.withColumnRenamed("id", "s"), "s", "left_semi")
+            stmts = trips.join(
+                frontier.withColumnRenamed("id", "s"), "s", "left_semi"
             )
+            if reverse:
+                stmts = stmts.unionByName(
+                    trips.join(
+                        frontier.withColumnRenamed("id", "o"), "o", "left_semi"
+                    )
+                )
+            stmts = L.checkpoint(stmts)
             new_out = L.checkpoint(
                 stmts if out is None else out.unionByName(stmts)
             )
@@ -377,6 +414,12 @@ class SparqlEngine:
                 .select(F.col("o").alias("id"))
                 .dropDuplicates()
             )
+            if reverse:
+                bnode_objs = bnode_objs.unionAll(
+                    out.where(F.col("st.kind") == T.KIND_BNODE)
+                    .select(F.col("s").alias("id"))
+                    .dropDuplicates()
+                ).dropDuplicates()
             new_frontier = L.checkpoint(bnode_objs.join(seen, "id", "left_anti"))
             if frontier is not seen:
                 L.free(frontier)

@@ -226,9 +226,9 @@ class TripleStore:
             if ip.getFileSystem(spark._jsc.hadoopConfiguration()).exists(ip):
                 # parquet-backed full-text index written by save() —
                 # the bds:search service picks it up via this attribute
-                tdf._dbspark_text_index = spark.read.parquet(
-                    path + "/_text_index"
-                )
+                tidx = spark.read.parquet(path + "/_text_index")
+                if "weight" in tidx.columns:  # current layout only
+                    tdf._dbspark_text_index = tidx
         except Exception:  # noqa: BLE001 — index is an optimization only
             pass
         return TripleStore(

@@ -62,7 +62,11 @@ def test_bds_search_match_all_and_relevance(engine):
         }}""")
     rows = res.df.collect()
     assert lexes(res, "s") == [EX + "a"]
-    assert float(rows[0]["score"]["lex"]) == 1.0
+    # reference cosine: both query tokens match "the quick brown fox"
+    # (4 tokens, dw = byte315(1/2) = 0.5 each; qw = 1/sqrt(2))
+    import math
+
+    assert abs(float(rows[0]["score"]["lex"]) - 2 * 0.5 / math.sqrt(2)) < 1e-12
 
 
 def test_bds_min_relevance_filters(engine):
@@ -123,3 +127,61 @@ def test_fulltext_index_shape(spark, engine):
     assert {"quick", "brown", "fox", "lazy", "dog"} <= toks
     # geo literals (typed, non-string) must NOT be tokenized
     assert not any("#" in t for t in toks)
+
+
+def test_reference_child_proofing_cosines(spark):
+    """The reference's own scoring fixture (bigdata-core-test
+    TestSearch.test_ChildProofing): query "child proofing" over the
+    seven Berry & Browne book titles must reproduce the exact expected
+    cosines — doc weights tf-normalized then byte315-quantized, query
+    weights exact."""
+    from database_spark.search.fulltext import search_literals
+
+    docs = [
+        "Infant Toddler",
+        "Bab Child Home",
+        "Child Safety Home",
+        "Bab Health Safety Infant Toddler",
+        "Bab Proofing",
+        "Guide Proofing",
+        "Bab Guide",
+    ]
+    label = Term.iri(EX + "label")
+    trips = [
+        (Term.iri(f"{EX}book{i+1}"), label, Term.literal(d))
+        for i, d in enumerate(docs)
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    hits = search_literals(store.df, "child proofing")
+    got = sorted(
+        (r["lit"]["lex"], r["relevance"]) for r in hits.collect()
+    )
+    want = {
+        "Bab Proofing": 0.44194173824159216,
+        "Guide Proofing": 0.44194173824159216,
+        "Bab Child Home": 0.35355339059327373,
+        "Child Safety Home": 0.35355339059327373,
+    }
+    assert dict(got) == want
+
+
+def test_prefix_match_scoring(spark):
+    """'mi*' prefix-matches every token starting with 'mi'; a
+    single-token query has qw = 1.0, so an exact one-token literal
+    scores byte315(1.0) = 1.0 (TCK search-1 expectation)."""
+    from database_spark.search.fulltext import search_literals
+
+    label = Term.iri(EX + "label")
+    trips = [
+        (Term.iri(EX + "Mike"), label, Term.literal("Mike")),
+        (Term.iri(EX + "Bryan"), label, Term.literal("Bryan")),
+        (Term.iri(EX + "MikePersonick"), label, Term.literal("Mike Personick")),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    got = {
+        r["lit"]["lex"]: r["relevance"]
+        for r in search_literals(store.df, "mi*").collect()
+    }
+    assert got["Mike"] == 1.0
+    assert abs(got["Mike Personick"] - 0.625) < 1e-12  # byte315(1/sqrt 2)
+    assert "Bryan" not in got

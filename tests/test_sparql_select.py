@@ -322,3 +322,36 @@ def test_min_max_cross_type_and_group_concat(spark):
         SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?g) WHERE {{ ?s ex:nm ?n }}
     """).df.collect()[0]
     assert sorted(r3["g"]["lex"].split("|")) == ["Apple", "banana"]
+
+
+def test_describe_modes(spark):
+    """DescribeModeEnum.java:47-127: ForwardOneStep omits reverse
+    statements; SCBD = CBD + reverse arcs expanded through bnode
+    subjects; hint:describeMode selects the mode in-query."""
+    from database_spark.store import TripleStore as TS
+
+    b1, b2 = Term.bnode("b1"), Term.bnode("b2")
+    trips = [
+        (iri("d"), iri("p"), b1),
+        (b1, iri("q"), Term.integer(1)),          # CBD reaches via bnode
+        (iri("up"), iri("r"), iri("d")),          # reverse arc
+        (b2, iri("s"), iri("d")),                 # reverse bnode subject
+        (iri("x"), iri("t"), b2),                 # SCBD reaches via b2
+        (iri("other"), iri("p"), Term.integer(9)),
+    ]
+    eng = SparqlEngine(TS.from_python_triples(spark, trips))
+
+    def preds(df):
+        return sorted(r["pt"]["lex"].rsplit("/", 1)[-1] for r in df.collect())
+
+    assert preds(eng.describe(f"DESCRIBE <{EX}d>", mode="forward")) == ["p"]
+    assert preds(eng.describe(f"DESCRIBE <{EX}d>")) == ["p", "r", "s"]
+    assert preds(eng.describe(f"DESCRIBE <{EX}d>", mode="cbd")) == ["p", "q"]
+    assert preds(eng.describe(f"DESCRIBE <{EX}d>", mode="scbd")) == [
+        "p", "q", "r", "s", "t"
+    ]
+    # the reference's query-hint surface (QueryHints.DESCRIBE_MODE)
+    hinted = eng.describe(f"""
+        PREFIX hint: <http://www.bigdata.com/queryHints#>
+        DESCRIBE <{EX}d> WHERE {{ hint:Query hint:describeMode "CBD" }}""")
+    assert preds(hinted) == ["p", "q"]

@@ -39,7 +39,7 @@ EVAL_DIR = Path(
 # vendor extensions / transports out of scope for the SPARQL core gate
 SKIP_PATTERNS = [
     # query hints (hint:) are parsed and ignored — those fixtures RUN
-    (re.compile(r"bds:|<http://www\.bigdata\.com/rdf/search#"), "bds: full-text fixture (separate gate)"),
+    # bds: full-text fixtures RUN (reference-exact cosine scoring)
     (re.compile(r"<http://www\.bigdata\.com/rdf/gas#"), "gas: fixture (separate gate)"),
     (re.compile(r"fts:"), "external full-text SERVICE"),
     (re.compile(r"SERVICE\s+<http"), "remote SERVICE endpoint"),
