@@ -226,13 +226,48 @@ def make_search_service():
         hits = search_literals(
             compiler.triples, query, match_all, min_rel, max_rank
         )
+        # Dataset/graph scoping (search-named-graphs* fixtures): the
+        # value-centric index is store-wide, but hits must be literals
+        # actually used as statement objects in the ACTIVE graph scope
+        # — the reference joins search hits against the statement
+        # indices under the query's dataset.  Under GRAPH ?var the
+        # containing graph binds the var.
         v = subj.name
+        gvar = graph if isinstance(graph, A.Var) else None
+        if gvar is not None:
+            scope = compiler.triples.where(F.col("g").isNotNull())
+            if compiler.named_graphs is not None:
+                scope = scope.where(compiler._named_graph_cond())
+            pairs = scope.select(
+                F.col("o").alias("__so"),
+                F.col("g").alias("__sg"),
+                F.col("gt").alias("__sgt"),
+            ).dropDuplicates(["__so", "__sg"])
+            hits = hits.join(pairs, hits["lit__id"] == F.col("__so")).drop(
+                "__so"
+            )
+        else:
+            if graph is None:
+                scope = compiler.default_triples.where(F.col("g").isNull())
+            else:  # constant graph Term
+                scope = compiler.triples.where(
+                    F.col("g") == T.term_id(T.lit_term(graph))
+                )
+            hits = hits.join(
+                scope.select(F.col("o").alias("__so")).dropDuplicates(),
+                hits["lit__id"] == F.col("__so"),
+                "left_semi",
+            )
         cols = [F.col("lit").alias(v), F.col("lit__id").alias(v + "__id")]
         vars_ = {v}
         rel = cfg.get("relevance")
         if isinstance(rel, A.Var):
             cols.append(pack_double(F.col("relevance")).alias(rel.name))
             vars_.add(rel.name)
+        if gvar is not None:
+            cols.append(F.col("__sgt").alias(gvar.name))
+            cols.append(F.col("__sg").alias(gvar.name + "__id"))
+            vars_.add(gvar.name)
         out = hits.select(*cols)
         if isinstance(rel, A.Var):
             out = out.withColumn(rel.name + "__id", T.term_id(F.col(rel.name)))

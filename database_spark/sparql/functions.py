@@ -35,9 +35,50 @@ QUERY_HINTS: contextvars.ContextVar[dict] = contextvars.ContextVar(
     "QUERY_HINTS", default={}
 )
 
-NUM_DTS = list(T.NUMERIC_DATATYPES.keys())
-INTEGER_DTS = [dt for dt, fam in T.NUMERIC_DATATYPES.items() if fam == "integer"]
+def NUM_DTS():
+    """Snapshot at expression-build time so datatypes registered via
+    terms.register_datatype (IExtension analog) are honored by later
+    queries."""
+    return list(T.NUMERIC_DATATYPES.keys())
+
+
+def INTEGER_DTS():
+    return [dt for dt, fam in T.NUMERIC_DATATYPES.items() if fam == "integer"]
 DOUBLE_DTS = [T.XSD_DOUBLE, T.XSD_FLOAT]
+
+
+def _is_simple(e) -> bool:
+    """AST nodes whose compiled column is a flat reference/literal —
+    safe to inline into promotion CASE trees without size blowup."""
+    return isinstance(e, (A.Var, A.Const))
+
+
+def _let(cols: list, fn, simple: list | None = None) -> Column:
+    """HOF-based 'let' binding: embed each non-trivial operand tree
+    exactly ONCE and give ``fn`` lambda-variable references to it
+    (``transform`` over a one-element array of a struct).  Catalyst
+    shares no common subexpressions at analysis time, so without this
+    nested type-promotion CASE trees duplicate their operands at every
+    level — exponential in expression depth.  Operands flagged
+    ``simple`` are passed through unchanged (keeps flat arithmetic in
+    whole-stage codegen with zero wrapping)."""
+    simple = simple if simple is not None else [False] * len(cols)
+    if all(simple):
+        return fn(*cols)
+    bound = [c for c, s in zip(cols, simple) if not s]
+    packed = F.struct(*[c.alias(f"__l{i}") for i, c in enumerate(bound)])
+
+    def body(x):
+        args, j = [], 0
+        for c, s in zip(cols, simple):
+            if s:
+                args.append(c)
+            else:
+                args.append(x.getField(f"__l{j}"))
+                j += 1
+        return fn(*args)
+
+    return F.transform(F.array(packed), body)[0]
 
 
 class SparqlCompileError(Exception):
@@ -150,7 +191,7 @@ def is_literal(t: Column) -> Column:
 
 
 def is_numeric(t: Column) -> Column:
-    return is_literal(t) & dt_of(t).isin(*NUM_DTS) & T.numeric_value(t).isNotNull()
+    return is_literal(t) & dt_of(t).isin(*NUM_DTS()) & T.numeric_value(t).isNotNull()
 
 
 def is_stringish(t: Column) -> Column:
@@ -173,7 +214,7 @@ def dt_rank(t: Column) -> Column:
     """Numeric promotion rank: integer<decimal<float/double (SUM.java:53)."""
     d = dt_of(t)
     return (
-        F.when(d.isin(*INTEGER_DTS), F.lit(0))
+        F.when(d.isin(*INTEGER_DTS()), F.lit(0))
         .when(d == T.XSD_DECIMAL, F.lit(1))
         .when(d == T.XSD_FLOAT, F.lit(2))
         .when(d == T.XSD_DOUBLE, F.lit(3))
@@ -197,7 +238,7 @@ def ebv(t: Column) -> Column:
         F.when(t.isNull(), F.lit(None).cast("boolean"))
         .when(kind(t) != T.KIND_LITERAL, F.lit(None).cast("boolean"))
         .when(d == T.XSD_BOOLEAN, T.boolean_value(t))
-        .when(d.isin(*NUM_DTS), F.when(n.isNotNull(), n != 0))
+        .when(d.isin(*NUM_DTS()), F.when(n.isNotNull(), n != 0))
         .when(d.isin(T.XSD_STRING, T.RDF_LANGSTRING), F.length(lex(t)) > 0)
     )
 
@@ -358,25 +399,48 @@ class ExprCompiler:
 
     # ---- arithmetic (MathBOp.java promotion ladder)
     def _arith(self, e: A.Op) -> Column:
+        """Type-promotion CASE-WHEN trees reference each operand many
+        times; with nested arithmetic that duplication compounds
+        EXPONENTIALLY (round(?x*100)/100 alone produced a plan Catalyst
+        could not analyze in minutes).  ``_let`` binds each non-trivial
+        operand as a higher-order-function lambda variable so its tree
+        is embedded exactly once — growth becomes linear in nesting
+        depth.  Trivial operands (plain column refs / literals) are
+        inlined unchanged, keeping flat hot-path expressions (e.g.
+        ?price * (1 - ?disc)) inside whole-stage codegen."""
         if e.op == "neg":
-            a = self.term(e.args[0])
-            return pack_numeric(-T.numeric_value(a), rank_dt(dt_rank(a)))
-        a, b = self.term(e.args[0]), self.term(e.args[1])
-        va, vb = T.numeric_value(a), T.numeric_value(b)
-        rank = F.greatest(dt_rank(a), dt_rank(b))
-        if e.op == "+":
-            v = va + vb
-        elif e.op == "-":
-            v = va - vb
-        elif e.op == "*":
-            v = va * vb
-        elif e.op == "/":
-            v = F.when(vb != 0, va / vb)  # div-by-zero = error for exact types
-            v = F.when(rank >= 2, va / vb).otherwise(v)  # double: inf ok
-            rank = F.greatest(rank, F.lit(1))  # integer/integer -> decimal
-        else:
-            raise SparqlCompileError(f"unknown arithmetic op {e.op}")
-        return pack_numeric(F.when(is_numeric(a) & is_numeric(b), v), rank_dt(rank))
+            return _let(
+                [self.term(e.args[0])],
+                lambda a: pack_numeric(
+                    -T.numeric_value(a), rank_dt(dt_rank(a))
+                ),
+                simple=[_is_simple(e.args[0])],
+            )
+
+        def body(a: Column, b: Column) -> Column:
+            va, vb = T.numeric_value(a), T.numeric_value(b)
+            rank = F.greatest(dt_rank(a), dt_rank(b))
+            if e.op == "+":
+                v = va + vb
+            elif e.op == "-":
+                v = va - vb
+            elif e.op == "*":
+                v = va * vb
+            elif e.op == "/":
+                v = F.when(vb != 0, va / vb)  # div-by-zero = error for exact
+                v = F.when(rank >= 2, va / vb).otherwise(v)  # double: inf ok
+                rank = F.greatest(rank, F.lit(1))  # int/int -> decimal
+            else:
+                raise SparqlCompileError(f"unknown arithmetic op {e.op}")
+            return pack_numeric(
+                F.when(is_numeric(a) & is_numeric(b), v), rank_dt(rank)
+            )
+
+        return _let(
+            [self.term(e.args[0]), self.term(e.args[1])],
+            body,
+            simple=[_is_simple(x) for x in e.args],
+        )
 
     # ---- boolean-only builtins
     def _bool_func(self, e: A.FuncCall) -> Column:
@@ -440,7 +504,18 @@ class ExprCompiler:
         if n == "IF":
             c = self.bool(e.args[0])
             return F.when(c, self.term(e.args[1])).when(~c, self.term(e.args[2]))
+        # bind non-trivial args as HOF lambda vars (see _let): builtins
+        # below reference their args repeatedly (value extraction +
+        # datatype branches), which compounds exponentially when args
+        # are themselves computed expressions
         args = [self.term(a) for a in e.args]
+        return _let(
+            args,
+            lambda *xs: self._apply_func(n, e, list(xs)),
+            simple=[_is_simple(a) for a in e.args],
+        )
+
+    def _apply_func(self, n: str, e: A.FuncCall, args: list) -> Column:
         if n == "STR":
             t = args[0]
             return F.when(t.isNotNull() & (kind(t) != T.KIND_BNODE), pack_string(lex(t)))
@@ -482,9 +557,17 @@ class ExprCompiler:
         if n == "ABS":
             return pack_numeric(F.abs(T.numeric_value(args[0])), rank_dt(dt_rank(args[0])))
         if n in ("CEIL", "FLOOR", "ROUND"):
+            # result datatype families mirror MathUtility.numericalFunc
+            # (not XPath): decimal stays decimal; otherwise ROUND is
+            # Math.round → integer family, CEIL/FLOOR are Math.ceil/
+            # floor → double (search-2: round(double)/int = decimal)
             fn = {"CEIL": F.ceil, "FLOOR": F.floor, "ROUND": F.round}[n]
             v = fn(T.numeric_value(args[0])).cast("double")
-            return pack_numeric(v, rank_dt(dt_rank(args[0])))
+            is_dec = dt_of(args[0]) == T.XSD_DECIMAL
+            rank = F.when(is_dec, F.lit(1)).otherwise(
+                F.lit(0) if n == "ROUND" else F.lit(2)
+            )
+            return pack_numeric(v, rank_dt(rank))
         if n == "STRLEN":
             return F.when(str_value(args[0]).isNotNull(), pack_integer(F.length(str_value(args[0]))))
         if n == "SUBSTR":

@@ -275,6 +275,32 @@ def sid_col(st: Column, pt: Column, ot: Column) -> Column:
     )
 
 
+def register_datatype(uri: str, family: str = "integer") -> None:
+    """General custom-datatype registration — the public surface of the
+    reference's ``IExtension`` mechanism (``IExtension.java``; concrete
+    examples ``EpochExtension`` — xsd:dateTime-like customs inlined as
+    epoch longs — and ``DerivedNumericsExtension``).
+
+    Declaring ``family`` ("integer" | "decimal" | "double") makes
+    literals of ``uri`` first-class members of the numeric value space:
+    FILTER range comparison, ORDER BY placement (numeric class of the
+    SPARQL total order), arithmetic promotion and numeric aggregates
+    all evaluate the lexical form as a number — the Spark-side analog
+    of the reference inlining the custom literal as a native IV.
+    Registration is process-wide and applies to queries compiled after
+    the call.
+    """
+    if family not in ("integer", "decimal", "double"):
+        raise ValueError(f"unsupported value family {family!r}")
+    NUMERIC_DATATYPES[uri] = family
+
+
+def unregister_datatype(uri: str) -> None:
+    if uri.startswith(XSD):
+        raise ValueError("cannot unregister built-in XSD datatypes")
+    NUMERIC_DATATYPES.pop(uri, None)
+
+
 def is_numeric_dt(dt: Column) -> Column:
     return dt.isin(*NUMERIC_DATATYPES.keys())
 

@@ -1,0 +1,98 @@
+"""SPARQL 1.1 Protocol endpoint (reference: QueryServlet.java:122-265,
+UpdateServlet — the NanoSparqlServer REST surface)."""
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from database_spark.server import SparqlEndpoint
+from database_spark.sparql.engine import SparqlEngine
+from database_spark.store import TripleStore
+from database_spark.terms import Term
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark):
+    name = Term.iri(EX + "name")
+    trips = [
+        (Term.iri(EX + "a"), name, Term.literal("Alice")),
+        (Term.iri(EX + "b"), name, Term.literal("Bob")),
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, trips))
+    ep = SparqlEndpoint(eng).start()
+    yield ep
+    ep.stop()
+
+
+def _get(url, params, accept="application/sparql-results+json"):
+    req = urllib.request.Request(
+        url + "?" + urllib.parse.urlencode(params), headers={"Accept": accept}
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.headers.get("Content-Type"), r.read().decode()
+
+
+def test_select_json(endpoint):
+    q = f'PREFIX ex: <{EX}> SELECT ?n WHERE {{ ?s ex:name ?n }} ORDER BY ?n'
+    status, ctype, body = _get(endpoint.url, {"query": q})
+    assert status == 200 and "json" in ctype
+    got = json.loads(body)
+    assert [b["n"]["value"] for b in got["results"]["bindings"]] == [
+        "Alice", "Bob"
+    ]
+
+
+def test_ask_and_negotiation(endpoint):
+    q = f'PREFIX ex: <{EX}> ASK {{ ?s ex:name "Alice" }}'
+    _, _, body = _get(endpoint.url, {"query": q})
+    assert json.loads(body)["boolean"] is True
+    _, ctype, body = _get(
+        endpoint.url, {"query": q}, accept="application/sparql-results+xml"
+    )
+    assert "xml" in ctype and "<boolean>true</boolean>" in body
+
+
+def test_construct_ntriples(endpoint):
+    q = f'PREFIX ex: <{EX}> CONSTRUCT {{ ?s ex:tag "x" }} WHERE {{ ?s ex:name ?n }}'
+    status, ctype, body = _get(endpoint.url, {"query": q})
+    assert status == 200 and ctype.startswith("application/n-triples")
+    assert body.count(" .") == 2 and "<http://example.org/tag>" in body
+
+
+def test_update_via_post_then_query(endpoint):
+    upd = f'PREFIX ex: <{EX}> INSERT DATA {{ ex:c ex:name "Carol" }}'
+    data = urllib.parse.urlencode({"update": upd}).encode()
+    req = urllib.request.Request(endpoint.url, data=data, method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+    q = f'PREFIX ex: <{EX}> SELECT ?n WHERE {{ ex:c ex:name ?n }}'
+    _, _, body = _get(endpoint.url, {"query": q})
+    assert [b["n"]["value"] for b in json.loads(body)["results"]["bindings"]] == [
+        "Carol"
+    ]
+
+
+def test_raw_sparql_query_body(endpoint):
+    q = f'PREFIX ex: <{EX}> SELECT (COUNT(*) AS ?c) WHERE {{ ?s ex:name ?n }}'
+    req = urllib.request.Request(
+        endpoint.url,
+        data=q.encode(),
+        method="POST",
+        headers={"Content-Type": "application/sparql-query"},
+    )
+    with urllib.request.urlopen(req) as r:
+        got = json.loads(r.read().decode())
+    # 2 fixture rows, +1 if the update test already ran in this module
+    assert got["results"]["bindings"][0]["c"]["value"] in ("2", "3")
+
+
+def test_bad_query_is_400(endpoint):
+    try:
+        _get(endpoint.url, {"query": "SELECT WHERE this is not sparql"})
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
