@@ -273,4 +273,10 @@ def make_search_service():
             out = out.withColumn(rel.name + "__id", T.term_id(F.col(rel.name)))
         return Sol(out, vars_, set())
 
+    # parameters eligible for as-bound constant injection (compiler's
+    # _as_bound_service); bds:relevance / bds:rank are outputs
+    handler.input_params = {
+        "search", "matchAllTerms", "minRelevance", "maxRelevance",
+        "minRank", "maxRank", "matchRegex", "prefixMatch",
+    }
     return {BDS_NS: handler}

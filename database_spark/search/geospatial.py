@@ -600,6 +600,17 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
             out = out.withColumn(name + "__id", T.term_id(F.col(name)))
         return Sol(out, vars_, set())
 
+    # parameters eligible for as-bound constant injection (compiler's
+    # _as_bound_service); value-output predicates (locationValue,
+    # timeValue, …) are NOT inputs — pre-bound values filter via join
+    handler.input_params = {
+        "search", "predicate", "searchDatatype", "spatialCircleCenter",
+        "spatialCircleRadius", "spatialRectangleSouthWest",
+        "spatialRectangleNorthEast", "timeStart", "timeEnd",
+        "customFields", "customFieldsLowerBounds",
+        "customFieldsUpperBounds", "coordSystem", "spatialUnit",
+        "timeUnit",
+    }
     return {GEO_NS: handler}
 
 

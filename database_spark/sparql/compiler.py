@@ -699,6 +699,7 @@ class Compiler:
         bgp: list[A.TriplePattern] = []
         deferred_binds: list[A.BindPattern] = []
         produced_before: set = set()  # join-produced vars, textually so far
+        const_env: dict = {}  # BIND(const AS ?v) values seen so far
         visible = self._produced_vars(group)
         if isinstance(graph, A.Var):
             visible = visible | {graph.name}
@@ -769,6 +770,9 @@ class Compiler:
                 if isinstance(el.expr, A.Const):
                     flush_bgp()
                     sol = self.extend(sol, el.var.name, el.expr, graph, visible)
+                    # visible to as-bound service parameters later in
+                    # this group (geo-customfields-bindinginjection*)
+                    const_env[el.var.name] = el.expr
                 else:
                     deferred_binds.append(el)
             elif isinstance(el, A.ValuesPattern):
@@ -786,7 +790,9 @@ class Compiler:
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.ServicePattern):
                 flush_bgp()
-                sol = self.join(sol, self.service(el, graph))
+                sol = self.join(
+                    sol, self._as_bound_service(el, graph, sol, const_env)
+                )
                 produced_before |= self._produced_vars(el)
             else:
                 raise SparqlCompileError(f"unsupported pattern {el!r}")
@@ -852,6 +858,107 @@ class Compiler:
         if sp.silent:
             return self.unit()
         raise SparqlCompileError(f"no service handler for {sp.endpoint!r}")
+
+    #: chunk bound for driver-side as-bound service evaluation (the
+    #: reference evaluates SERVICE with the incoming binding sets in
+    #: chunks; our magic services take constant parameters, so we
+    #: enumerate the distinct parameter combinations instead — fine
+    #: for the BIND/lookup shapes these queries use, rejected beyond)
+    MAX_SERVICE_PARAM_COMBOS = 64
+
+    def _service_handler(self, sp: A.ServicePattern):
+        if isinstance(sp.endpoint, A.Const):
+            iri = sp.endpoint.term.lex
+            if iri in self.services:
+                return self.services[iri]
+            for prefix, fn in self.services.items():
+                if iri.startswith(prefix):
+                    return fn
+        return None
+
+    def _as_bound_service(
+        self, sp: A.ServicePattern, graph, sol: "Sol", const_env: dict
+    ) -> "Sol":
+        """As-bound SERVICE parameters (geo-customfields-
+        bindinginjection01/02, geo-documentation-builtin02): a service
+        config triple whose object is a variable bound earlier in the
+        group gets its value(s) injected.  Only parameters the handler
+        declares as INPUTS (``handler.input_params``) are substituted —
+        output-value vars (geo:timeValue etc.) stay variables so a
+        pre-bound value filters through the ordinary join.  Values come
+        from BIND(const AS ?v) at compile time, else from the distinct
+        values of the compiled preceding group (driver-side, bounded by
+        MAX_SERVICE_PARAM_COMBOS — the analog of the reference's
+        chunked as-bound evaluation)."""
+        fn = self._service_handler(sp)
+        inputs = getattr(fn, "input_params", None) or set()
+        needed: set[str] = set()
+        for el in sp.group.elements:
+            if (
+                isinstance(el, A.TriplePattern)
+                and isinstance(el.p, A.Const)
+                and isinstance(el.o, A.Var)
+            ):
+                key = el.p.term.lex.rsplit("#", 1)[-1]
+                if key in inputs:
+                    needed.add(el.o.name)
+        if not needed:
+            return self.service(sp, graph)
+        env = {n: const_env[n] for n in needed if n in const_env}
+        missing = sorted(n for n in needed if n not in env and n in sol.vars)
+
+        def substitute(e2: dict) -> A.ServicePattern:
+            elements = []
+            for el in sp.group.elements:
+                if (
+                    isinstance(el, A.TriplePattern)
+                    and isinstance(el.p, A.Const)
+                    and isinstance(el.o, A.Var)
+                    and el.o.name in e2
+                ):
+                    elements.append(
+                        A.TriplePattern(el.s, el.p, e2[el.o.name])
+                    )
+                else:
+                    elements.append(el)
+            return A.ServicePattern(
+                sp.endpoint, A.GroupPattern(elements), sp.silent
+            )
+
+        if not missing:
+            return self.service(substitute(env) if env else sp, graph)
+        rows = (
+            sol.df.select(*missing)
+            .dropDuplicates()
+            .limit(self.MAX_SERVICE_PARAM_COMBOS + 1)
+            .collect()
+        )
+        if len(rows) > self.MAX_SERVICE_PARAM_COMBOS:
+            raise SparqlCompileError(
+                "as-bound SERVICE parameter domain exceeds "
+                f"{self.MAX_SERVICE_PARAM_COMBOS} distinct combinations"
+            )
+        outs = []
+        for r in rows:
+            e2 = dict(env)
+            binds = {}
+            for n in missing:
+                v = r[n]
+                if v is None:
+                    continue
+                t = T.Term(kind=v["kind"], lex=v["lex"], dt=v["dt"], lang=v["lang"])
+                e2[n] = A.Const(t)
+                binds[n] = t
+            s = self.service(substitute(e2), graph)
+            df = s.df
+            for n, t in binds.items():
+                df = df.withColumn(n, T.lit_term(t)).withColumn(
+                    n + "__id", T.term_id(T.lit_term(t))
+                )
+            outs.append(Sol(df, s.vars | set(binds), s.maybe_unbound))
+        if not outs:
+            return self.service(substitute(env) if env else sp, graph)
+        return outs[0] if len(outs) == 1 else self.union(outs)
 
     # ------------------------------------------------------------- paths
     def compile_path(self, s, path, o, graph) -> Sol:

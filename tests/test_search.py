@@ -185,3 +185,44 @@ def test_prefix_match_scoring(spark):
     assert got["Mike"] == 1.0
     assert abs(got["Mike Personick"] - 0.625) < 1e-12  # byte315(1/sqrt 2)
     assert "Bryan" not in got
+
+
+def test_as_bound_service_params(engine):
+    """As-bound SERVICE parameters: an input param bound by a preceding
+    BIND (const_env path) or by a preceding pattern (driver-side
+    distinct-value expansion) is injected into the service call
+    (reference: as-bound SERVICE evaluation —
+    geo-customfields-bindinginjection fixtures)."""
+    res = engine.select(f"""
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?lit WHERE {{
+          BIND("0.6" AS ?minRel)
+          SERVICE <http://www.bigdata.com/rdf/search#search> {{
+            ?lit bds:search "quick brown fox" ; bds:minRelevance ?minRel .
+          }}
+        }}""")
+    assert lexes(res, "lit") == ["the quick brown fox"]
+
+
+def test_as_bound_service_param_from_pattern(spark):
+    label = Term.iri(EX + "label")
+    qp = Term.iri(EX + "queryString")
+    trips = [
+        (Term.iri(EX + "a"), label, Term.literal("alpha beta")),
+        (Term.iri(EX + "b"), label, Term.literal("gamma delta")),
+        (Term.iri(EX + "cfg"), qp, Term.literal("gamma")),
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, trips))
+    res = eng.select(f"""
+        PREFIX ex: <{EX}>
+        PREFIX bds: <http://www.bigdata.com/rdf/search#>
+        SELECT ?lit WHERE {{
+          ex:cfg ex:queryString ?q .
+          SERVICE <http://www.bigdata.com/rdf/search#search> {{
+            ?lit bds:search ?q .
+          }}
+        }}""")
+    got = lexes(res, "lit")
+    # the config literal "gamma" matches itself too — fine; the point
+    # is that the pattern-bound query string reached the service
+    assert "gamma delta" in got and "alpha beta" not in got

@@ -47,37 +47,106 @@ SKIP_PATTERNS = [
     (re.compile(r"sameTerm\s*\(\s*\?\w+\s*,\s*<<"), "RDF* in query position"),
     (re.compile(r"<<"), "RDF* in query position"),
     # LET (?v := expr) is parsed as BIND — those fixtures RUN
-    (re.compile(r"myFunction"), "custom function registered by the Java harness (registry covered in tests/test_custom_aggregate.py)"),
 ]
+
+
+# ---------------------------------------------------------------- setup
+# Some fixtures' Java tests install state through the engine API before
+# running the query (TestCustomFunction registers functions in the
+# FunctionRegistry; TestInclude installs %solutionSet1 through the
+# ISolutionSetManager).  We mirror that harness behavior through OUR
+# public APIs: register_function / the named_sets parameter of select().
+
+
+def _register_custom_functions():
+    """TestCustomFunction.java: myFunction concatenates a literal with
+    itself ("Mike" -> "Mike-Mike"); myFunction2 is a boolean filter
+    accepting the label "Mike" (type error on non-literals)."""
+    from pyspark.sql import functions as F
+
+    from database_spark import terms as T
+    from database_spark.sparql.functions import (
+        pack_bool,
+        pack_string,
+        register_function,
+        unregister_function,
+    )
+
+    def my_function(t):
+        lex = t.getField("lex")
+        return F.when(
+            t.isNotNull() & (t.getField("kind") == T.KIND_LITERAL),
+            pack_string(F.concat(lex, F.lit("-"), lex)),
+        )
+
+    def my_filter(t):
+        return F.when(
+            t.isNotNull() & (t.getField("kind") == T.KIND_LITERAL),
+            pack_bool(t.getField("lex") == "Mike"),
+        )
+
+    register_function("http://www.bigdata.com/myFunction", my_function)
+    register_function("http://www.bigdata.com/myFunction2", my_filter)
+    return lambda: (
+        unregister_function("http://www.bigdata.com/myFunction"),
+        unregister_function("http://www.bigdata.com/myFunction2"),
+    )
+
+
+def _include_named_sets(spark, stem):
+    """TestInclude.java: %solutionSet1 binding sets, xsd:int values.
+
+    include_01/02: {x=1,y=2}, {}, {x=3,y=4,z=5} (02 takes OFFSET 2
+    LIMIT 1 of it); include_03/03a: {x=Mike,y=2}, {x=Bryan,y=4},
+    {x=DC,y=1}.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    from database_spark import terms as T
+    from database_spark.terms import Term
+
+    XSD_INT = T.XSD + "int"
+
+    def lit(n):
+        return Term.literal(str(n), XSD_INT).as_row()
+
+    def iri(u):
+        return Term.iri(u).as_row()
+
+    if stem in ("include_01", "include_02"):
+        rows = [
+            (lit(1), lit(2), None),
+            (None, None, None),
+            (lit(3), lit(4), lit(5)),
+        ]
+    else:
+        B = "http://www.bigdata.com/"
+        rows = [
+            (iri(B + "Mike"), lit(2), None),
+            (iri(B + "Bryan"), lit(4), None),
+            (iri(B + "DC"), lit(1), None),
+        ]
+    schema = StructType(
+        [
+            StructField("x", T.TERM_TYPE, True),
+            StructField("y", T.TERM_TYPE, True),
+            StructField("z", T.TERM_TYPE, True),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    if stem not in ("include_01", "include_02"):
+        df = df.drop("z")
+    return {"solutionSet1": df}
 
 
 # fixtures whose harness installs state outside the query/data files
 STEM_SKIPS = {
-    "include_01": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
-    "include_02": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
-    "include_03": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
-    "include_03a": "named set installed by the Java test harness (API covered in tests/test_named_subquery.py)",
     "bsbm-bi-q5": (
         "AVG over xsd:float: the reference accumulates the running sum in "
         "32-bit float arithmetic (MathBOp pairwise type promotion), an "
         "order-dependent rounding we cannot reproduce deterministically; "
         "we aggregate in double and round the result to float precision — "
         "4 of 16 rows differ in the 8th significant digit"
-    ),
-    "geo-customfields-bindinginjection01": (
-        "service parameters injected from outer solution bindings "
-        "(as-bound SERVICE evaluation) — parameters must be constants "
-        "in this engine"
-    ),
-    "geo-customfields-bindinginjection02": (
-        "service parameters injected from outer solution bindings "
-        "(as-bound SERVICE evaluation) — parameters must be constants "
-        "in this engine"
-    ),
-    "geo-documentation-builtin02": (
-        "service parameters injected from outer solution bindings "
-        "(as-bound SERVICE evaluation) — parameters must be constants "
-        "in this engine"
     ),
     "geo-defaults02": (
         "fixture data/expectation mismatch (same typo'd geo-defaults.nt "
@@ -397,7 +466,9 @@ def run_one(spark, stem: str) -> tuple[str, str]:
         # entailment)
         return "skip", "data constructed in the Java harness (no data file)"
     try:
-        srx_name = geo_info.get("srx") or f"{stem}.srx"
+        # TestHelper declarations that reuse a sibling's result file
+        srx_alias = {"include_03a": "include_03.srx"}
+        srx_name = geo_info.get("srx") or srx_alias.get(stem) or f"{stem}.srx"
         if not (EVAL_DIR / srx_name).exists():
             return "skip", "result file missing from the reference checkout"
         expected = parse_srx((EVAL_DIR / srx_name).read_text(encoding="utf-8"))
@@ -444,8 +515,22 @@ def run_one(spark, stem: str) -> tuple[str, str]:
             if got == expected["boolean"]:
                 return "pass", ""
             return "fail", f"ASK: expected {expected['boolean']}, got {got}"
-        res = engine.select(query)
-        got_rows = rows_to_terms(res.df.collect(), res.vars)
+        named_sets = (
+            _include_named_sets(spark, stem)
+            if stem.startswith("include_0")
+            else None
+        )
+        cleanup = (
+            _register_custom_functions()
+            if stem.startswith("custom-function")
+            else None
+        )
+        try:
+            res = engine.select(query, named_sets=named_sets)
+            got_rows = rows_to_terms(res.df.collect(), res.vars)
+        finally:
+            if cleanup:
+                cleanup()
         # the reference harness compares unordered unless the Java test
         # opts in with checkOrder=true (and order only means anything
         # with a top-level ORDER BY)
