@@ -169,12 +169,160 @@ class GeoField:
         self.mapping = mapping
 
 
-class GeoDatatypeConfig:
-    __slots__ = ("uri", "fields")
+def _plain_lit(c: Column) -> Column:
+    return T.term_struct(F.lit(T.KIND_LITERAL), c, F.lit(T.XSD_STRING), F.lit(None))
 
-    def __init__(self, uri: str, fields: list):
+
+def _typed_lit(c: Column, dt: str) -> Column:
+    return T.term_struct(F.lit(T.KIND_LITERAL), c.cast("string"), F.lit(dt), F.lit(None))
+
+
+class GeoLiteralSerializer:
+    """``IGeoSpatialLiteralSerializer`` analog.  The base class is the
+    reference's ``GeoSpatialDefaultLiteralSerializer``: components are
+    '#'-separated, location outputs are plain '#'-joined literals, and
+    scalar outputs are typed (double lat/lon, long time).  Custom
+    serializers override how the LITERAL lexical form maps to/from
+    components (search parameters stay '#'-separated regardless)."""
+
+    # --- lexical form <-> components
+    def split_py(self, lex: str) -> list[str]:
+        return lex.split("#")
+
+    def join_py(self, comps: list[str]) -> str:
+        return "#".join(comps)
+
+    def components_col(self, lex: Column) -> Column:
+        return F.split(lex, "#")
+
+    # --- value outputs (decoded component value columns -> TERM)
+    def location(self, lat: Column, lon: Column) -> Column:
+        return _plain_lit(F.concat_ws("#", lat.cast("string"), lon.cast("string")))
+
+    def location_time(self, lat: Column, lon: Column, t: Column) -> Column:
+        return _plain_lit(
+            F.concat_ws("#", lat.cast("string"), lon.cast("string"), t.cast("string"))
+        )
+
+    def time(self, t: Column) -> Column:
+        return _typed_lit(t, T.XSD_LONG)
+
+    def latitude(self, v: Column) -> Column:
+        return _typed_lit(v.cast("double"), T.XSD_DOUBLE)
+
+    def longitude(self, v: Column) -> Column:
+        return _typed_lit(v.cast("double"), T.XSD_DOUBLE)
+
+    def coord_system(self, v: Column) -> Column:
+        return _plain_lit(v.cast("string"))
+
+    def custom_fields(self, vals: list) -> Column:
+        return _plain_lit(F.concat_ws("#", *[v.cast("string") for v in vals]))
+
+
+class WktTestLiteralSerializer(GeoLiteralSerializer):
+    """Functional equivalent of the reference's test serializer
+    ``GeoSpatialTestWKTLiteralSerializer``: literals are
+    ``Point(lat,lon)``; toComponents strips the first 6 and last chars
+    and splits on ','; fromComponents wraps two components back."""
+
+    def split_py(self, lex: str) -> list[str]:
+        return lex[6:-1].split(",") if len(lex) > 7 else [lex]
+
+    def join_py(self, comps: list[str]) -> str:
+        if len(comps) != 2:
+            raise ValueError(
+                "GeoSpatialSearchException: expected 2 components, got "
+                f"{len(comps)}"
+            )
+        return f"Point({comps[0]},{comps[1]})"
+
+    def components_col(self, lex: Column) -> Column:
+        # substring(6, len-1) — regexp keeps malformed lex unsplittable
+        return F.split(F.regexp_extract(lex, r"^.{6}(.*).$", 1), ",")
+
+    def location(self, lat: Column, lon: Column) -> Column:
+        # the reference's test serializer types the output with the
+        # wktLiteral datatype (GeoSpatialTestWKTLiteralSerializer)
+        return _typed_lit(
+            F.concat(F.lit("Point("), lat.cast("string"), F.lit(","),
+                     lon.cast("string"), F.lit(")")),
+            "http://www.opengis.net/ont/geosparql#wktLiteral",
+        )
+
+
+class DummyTestLiteralSerializer(GeoLiteralSerializer):
+    """Functional equivalent of ``GeoSpatialDummyLiteralSerializer``:
+    default component mapping, but every value output is wrapped in a
+    plain literal like ``Location(lat-lon)`` / ``Time(t)``."""
+
+    @staticmethod
+    def _wrap(tag: str, *vals: Column) -> Column:
+        return _plain_lit(
+            F.concat(
+                F.lit(tag + "("),
+                F.concat_ws("-", *[v.cast("string") for v in vals]),
+                F.lit(")"),
+            )
+        )
+
+    def location(self, lat, lon):
+        return self._wrap("Location", lat, lon)
+
+    def location_time(self, lat, lon, t):
+        return self._wrap("LocationAndTime", lat, lon, t)
+
+    def time(self, t):
+        return self._wrap("Time", t)
+
+    def latitude(self, v):
+        return self._wrap("Lat", v)
+
+    def longitude(self, v):
+        return self._wrap("Lon", v)
+
+    def coord_system(self, v):
+        return self._wrap("CoordSystem", v)
+
+    def custom_fields(self, vals):
+        return self._wrap("CustomFields", *vals)
+
+
+DEFAULT_SERIALIZER = GeoLiteralSerializer()
+
+#: Java class name -> serializer instance (IExtension-style public
+#: registration surface; the two test classes ship as equivalents)
+LITERAL_SERIALIZERS: dict = {
+    "com.bigdata.rdf.sparql.ast.eval.service.GeoSpatialTestWKTLiteralSerializer":
+        WktTestLiteralSerializer(),
+    "com.bigdata.rdf.sparql.ast.eval.service.GeoSpatialDummyLiteralSerializer":
+        DummyTestLiteralSerializer(),
+}
+
+
+def register_literal_serializer(name: str, serializer: GeoLiteralSerializer) -> None:
+    LITERAL_SERIALIZERS[name] = serializer
+
+
+class GeoDatatypeConfig:
+    __slots__ = ("uri", "fields", "serializer_name")
+
+    def __init__(self, uri: str, fields: list, serializer_name: str | None = None):
         self.uri = uri
         self.fields = fields
+        self.serializer_name = serializer_name
+
+    @property
+    def serializer(self) -> GeoLiteralSerializer:
+        if self.serializer_name is None:
+            return DEFAULT_SERIALIZER
+        s = LITERAL_SERIALIZERS.get(self.serializer_name)
+        if s is None:
+            raise ValueError(
+                "GeoSpatialSearchException: unknown literalSerializer "
+                + self.serializer_name
+            )
+        return s
 
     def index_of(self, mapping: str) -> int | None:
         for i, f in enumerate(self.fields):
@@ -212,7 +360,9 @@ def parse_geo_config(json_str: str) -> GeoDatatypeConfig:
         )
         for f in top["fields"]
     ]
-    return GeoDatatypeConfig(top["uri"], fields)
+    return GeoDatatypeConfig(
+        top["uri"], fields, serializer_name=top.get("literalSerializer")
+    )
 
 
 LATLON_V1 = LATLON_DT
@@ -248,31 +398,42 @@ def _encode_py(lexical: str, field: GeoField) -> int:
     return int(Decimal(lexical) * field.multiplier)
 
 
-def _field_raw(lit_lex: Column, i: int) -> Column:
-    return F.split(lit_lex, "#")[i]
+def _field_raw(lit_lex: Column, i: int, ser: "GeoLiteralSerializer | None" = None) -> Column:
+    # F.get (null on out-of-bounds), NOT [i]: the malformed-literal
+    # arity filter gives no evaluation-order guarantee vs this access
+    return F.get((ser or DEFAULT_SERIALIZER).components_col(lit_lex), i)
 
 
-def _field_enc(lit_lex: Column, i: int, field: GeoField) -> Column:
+def _field_enc(
+    lit_lex: Column, i: int, field: GeoField,
+    ser: "GeoLiteralSerializer | None" = None,
+) -> Column:
     """Column-side encoding, same truncation semantics as _encode_py
     (decimal multiply then truncate toward zero via cast to long)."""
-    d = _field_raw(lit_lex, i).cast("decimal(30,10)")
+    d = _field_raw(lit_lex, i, ser).cast("decimal(30,10)")
     return (d * F.lit(field.multiplier)).cast("long")
 
 
-def _field_decoded(lit_lex: Column, i: int, field: GeoField) -> Column:
+def _field_decoded(
+    lit_lex: Column, i: int, field: GeoField,
+    ser: "GeoLiteralSerializer | None" = None,
+) -> Column:
     """Decoded value = encoded / multiplier (DOUBLE: double division;
     LONG: integer division) — what the reference materializes from the
     index key and reports in *Value bindings."""
-    enc = _field_enc(lit_lex, i, field)
+    enc = _field_enc(lit_lex, i, field, ser)
     if field.value_type == "DOUBLE":
         return enc.cast("double") / F.lit(float(field.multiplier))
     return enc if field.multiplier == 1 else (enc / F.lit(field.multiplier)).cast("long")
 
 
-def _decoded_str(lit_lex: Column, i: int, field: GeoField) -> Column:
+def _decoded_str(
+    lit_lex: Column, i: int, field: GeoField,
+    ser: "GeoLiteralSerializer | None" = None,
+) -> Column:
     """Java toString of the decoded component ("2.0" for doubles,
     "2" for longs) — the serializer's output format."""
-    v = _field_decoded(lit_lex, i, field)
+    v = _field_decoded(lit_lex, i, field, ser)
     return v.cast("string")
 
 
@@ -359,6 +520,7 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
             raise ValueError(
                 f"Datatype {dt_uri} is not a registered geospatial datatype"
             )
+        ser = dtc.serializer  # raises for an unknown literalSerializer
         # ------------------------- validation (CorrectRejection)
         # the reference rejects under-constrained or contradictory
         # service configurations (TestGeoSpatialCorrectRejection):
@@ -401,6 +563,38 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
             reject(f"datatype {dt_uri} has no lat/lon — not geospatial")
         if mode is None and has_latlon:
             reject("datatype has lat/lon components: a geo:search function is required")
+        def point_of(key):
+            """(lat, lon) of a point parameter —
+            GeoSpatialServiceFactory.resolveAsPoint: a literal whose
+            datatype is a registered lat/lon geo datatype parses
+            through THAT datatype's serializer and field order; plain
+            strings parse as 'lat#lon'."""
+            node = cfg.get(key)
+            if node is None:
+                return None
+            if not isinstance(node, A.Const):
+                raise ValueError(f"geo:{key} must be a constant in this engine")
+            t = node.term
+            pdtc = registry.get(getattr(t, "dt", None))
+            if pdtc is not None:
+                pla = pdtc.index_of("LATITUDE")
+                plo = pdtc.index_of("LONGITUDE")
+                if pla is not None and plo is not None:
+                    comps = pdtc.serializer.split_py(t.lex)
+                    try:
+                        float(comps[pla]), float(comps[plo])
+                        return comps[pla], comps[plo]
+                    except (ValueError, IndexError):
+                        reject(f"input could not be resolved as point: {t.lex!r}")
+            parts = t.lex.split("#")
+            if len(parts) < 2:
+                reject(f"input could not be resolved as point: {t.lex!r}")
+            try:
+                float(parts[0]), float(parts[1])
+            except ValueError:
+                reject(f"input could not be resolved as point: {t.lex!r}")
+            return parts[0], parts[1]
+
         def check_bounds(lat_lex, lon_lex, what):
             try:
                 la, lo = float(lat_lex), float(lon_lex)
@@ -410,13 +604,13 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
                 reject(f"{what}: coordinates out of bounds ({la}, {lo})")
         if mode == "inRectangle":
             for key in ("spatialRectangleSouthWest", "spatialRectangleNorthEast"):
-                val = const(key)
-                if val is not None and "#" in val:
-                    check_bounds(*val.split("#")[:2], key)
+                pt = point_of(key)
+                if pt is not None:
+                    check_bounds(*pt, key)
         if mode == "inCircle":
-            val = const("spatialCircleCenter")
-            if val is not None and "#" in val:
-                check_bounds(*val.split("#")[:2], "spatialCircleCenter")
+            pt = point_of("spatialCircleCenter")
+            if pt is not None:
+                check_bounds(*pt, "spatialCircleCenter")
         if time_i0 is not None and (
             const("timeStart") is None or const("timeEnd") is None
         ):
@@ -456,12 +650,12 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
         conds: list[Column] = [
             # malformed literals (wrong component count) never match —
             # the reference drops them at index build time
-            F.size(F.split(lex, "#")) == len(dtc.fields)
+            F.size(ser.components_col(lex)) == len(dtc.fields)
         ]
 
         def between_enc(i: int, lo_lex: str, hi_lex: str):
             f = dtc.fields[i]
-            enc = _field_enc(lex, i, f)
+            enc = _field_enc(lex, i, f, ser)
             conds.append(enc >= F.lit(_encode_py(lo_lex, f)))
             conds.append(enc <= F.lit(_encode_py(hi_lex, f)))
 
@@ -474,12 +668,12 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
                 raise ValueError("inRectangle needs SouthWest and NorthEast")
             if lat_i is None or lon_i is None:
                 raise ValueError(f"datatype {dt_uri} has no lat/lon — not geospatial")
-            sw_lat, sw_lon = sw.split("#")
-            ne_lat, ne_lon = ne.split("#")
+            sw_lat, sw_lon = point_of("spatialRectangleSouthWest")
+            ne_lat, ne_lon = point_of("spatialRectangleNorthEast")
             between_enc(lat_i, sw_lat, ne_lat)
             f_lon = dtc.fields[lon_i]
             lo_enc, hi_enc = _encode_py(sw_lon, f_lon), _encode_py(ne_lon, f_lon)
-            enc_lon = _field_enc(lex, lon_i, f_lon)
+            enc_lon = _field_enc(lex, lon_i, f_lon, ser)
             if lo_enc > hi_enc:
                 # dateline crossing: west bound east of east bound —
                 # [sw, 180] ∪ [-180, ne] (reference splits the z-order
@@ -495,11 +689,11 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
                 raise ValueError("inCircle needs center and radius")
             if lat_i is None or lon_i is None:
                 raise ValueError(f"datatype {dt_uri} has no lat/lon — not geospatial")
-            c_lat, c_lon = (float(x) for x in center.split("#"))
+            c_lat, c_lon = (float(x) for x in point_of("spatialCircleCenter"))
             unit = const("spatialUnit", "Kilometers")
             r_km = float(radius) * _UNIT_TO_KM.get(unit, 1.0)
-            dlat = _field_decoded(lex, lat_i, dtc.fields[lat_i])
-            dlon = _field_decoded(lex, lon_i, dtc.fields[lon_i])
+            dlat = _field_decoded(lex, lat_i, dtc.fields[lat_i], ser)
+            dlon = _field_decoded(lex, lon_i, dtc.fields[lon_i], ser)
             distance_col = geo_distance_km(F.lit(c_lat), F.lit(c_lon), dlat, dlon)
             conds.append(distance_col <= F.lit(r_km))
         elif mode is not None and mode not in ("inRectangle", "inCircle"):
@@ -508,7 +702,7 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
         ts, te = const("timeStart"), const("timeEnd")
         if time_i is not None and (ts is not None or te is not None):
             f = dtc.fields[time_i]
-            enc = _field_enc(lex, time_i, f)
+            enc = _field_enc(lex, time_i, f, ser)
             if ts is not None:
                 conds.append(enc >= F.lit(_encode_py(ts, f)))
             if te is not None:
@@ -516,7 +710,7 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
         cs = const("coordSystem")
         if cs_i is not None and cs is not None:
             f = dtc.fields[cs_i]
-            conds.append(_field_enc(lex, cs_i, f) == F.lit(_encode_py(cs, f)))
+            conds.append(_field_enc(lex, cs_i, f, ser) == F.lit(_encode_py(cs, f)))
         # custom field bounds
         cf = const("customFields")
         if cf is not None:
@@ -542,41 +736,30 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
             if isinstance(node, A.Var):
                 extra_terms.append((node.name, col))
 
-        def plain_lit(c: Column) -> Column:
-            return T.term_struct(F.lit(T.KIND_LITERAL), c, F.lit(T.XSD_STRING), F.lit(None))
-
-        def typed_lit(c: Column, dt: str) -> Column:
-            return T.term_struct(F.lit(T.KIND_LITERAL), c.cast("string"), F.lit(dt), F.lit(None))
-
         if lat_i is not None and lon_i is not None:
             la, lo_ = dtc.fields[lat_i], dtc.fields[lon_i]
-            out_var(
-                "locationValue",
-                plain_lit(F.concat_ws("#", _decoded_str(lex, lat_i, la), _decoded_str(lex, lon_i, lo_))),
-            )
-            out_var("latValue", typed_lit(_field_decoded(lex, lat_i, la).cast("double"), T.XSD_DOUBLE))
-            out_var("lonValue", typed_lit(_field_decoded(lex, lon_i, lo_).cast("double"), T.XSD_DOUBLE))
+            dlat = _field_decoded(lex, lat_i, la, ser)
+            dlon = _field_decoded(lex, lon_i, lo_, ser)
+            out_var("locationValue", ser.location(dlat, dlon))
+            out_var("latValue", ser.latitude(dlat))
+            out_var("lonValue", ser.longitude(dlon))
             if time_i is not None:
                 out_var(
                     "locationAndTimeValue",
-                    plain_lit(
-                        F.concat_ws(
-                            "#",
-                            _decoded_str(lex, lat_i, la),
-                            _decoded_str(lex, lon_i, lo_),
-                            _decoded_str(lex, time_i, dtc.fields[time_i]),
-                        )
+                    ser.location_time(
+                        dlat, dlon,
+                        _field_decoded(lex, time_i, dtc.fields[time_i], ser),
                     ),
                 )
         if time_i is not None:
-            out_var("timeValue", typed_lit(_field_decoded(lex, time_i, dtc.fields[time_i]), T.XSD_LONG))
+            out_var("timeValue", ser.time(_field_decoded(lex, time_i, dtc.fields[time_i], ser)))
         if cs_i is not None:
-            out_var("coordSystemValue", plain_lit(_decoded_str(lex, cs_i, dtc.fields[cs_i])))
+            out_var("coordSystemValue", ser.coord_system(_field_decoded(lex, cs_i, dtc.fields[cs_i], ser)))
         if cf is not None:
             idxs = dtc.custom_indices(cf.split("#"))
             out_var(
                 "customFieldsValues",
-                plain_lit(F.concat_ws("#", *[_decoded_str(lex, i, dtc.fields[i]) for i in idxs])),
+                ser.custom_fields([_field_decoded(lex, i, dtc.fields[i], ser) for i in idxs]),
             )
         out_var("literalValue", F.col("ot"))
         if distance_col is not None:
@@ -584,7 +767,7 @@ def make_geo_service(datatype_configs: list | None = None, default_datatype: str
             d_units = distance_col / F.lit(_UNIT_TO_KM.get(unit, 1.0))
             out_var(
                 "distanceValue",
-                typed_lit(F.round(d_units * 100) / F.lit(100.0), T.XSD_DOUBLE),
+                _typed_lit(F.round(d_units * 100) / F.lit(100.0), T.XSD_DOUBLE),
             )
         for name, col in extra_terms:
             cols.append(col.alias(name))
@@ -621,7 +804,8 @@ def canonicalize_literal_lex(lex: str, dtc: GeoDatatypeConfig, strict: bool = Fa
     reference stores these literals as z-order keys and always
     rematerializes the decoded form (GeoSpatialLiteralExtension
     asValue), so the original lexical form is NOT preserved."""
-    parts = lex.split("#")
+    ser = dtc.serializer
+    parts = ser.split_py(lex)
     if len(parts) != len(dtc.fields):
         if strict:
             # the reference raises InvalidGeoSpatialLiteralError at
@@ -641,7 +825,7 @@ def canonicalize_literal_lex(lex: str, dtc: GeoDatatypeConfig, strict: bool = Fa
             out.append(repr(enc / f.multiplier))
         else:
             out.append(str(enc // f.multiplier if f.multiplier != 1 else enc))
-    return "#".join(out)
+    return ser.join_py(out)
 
 
 def geo_registry(datatype_configs: list | None = None, include_builtins: bool = True) -> dict:

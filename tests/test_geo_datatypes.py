@@ -89,3 +89,48 @@ def test_unregistered_datatype_rejected(engine):
                    geo:spatialRectangleSouthWest "0#0" ;
                    geo:spatialRectangleNorthEast "1#1" . } }"""
         ).df.collect()
+
+
+WKT_CFG = (
+    '{"config": {"uri": "http://ex/wkt", '
+    '"literalSerializer": "com.bigdata.rdf.sparql.ast.eval.service.'
+    'GeoSpatialTestWKTLiteralSerializer", "fields": ['
+    '{"valueType":"DOUBLE","multiplier":"1000000","serviceMapping":"LATITUDE"},'
+    '{"valueType":"DOUBLE","multiplier":"100000","serviceMapping":"LONGITUDE"}]}}'
+)
+
+
+def test_custom_literal_serializer(spark):
+    """IGeoSpatialLiteralSerializer surface: a datatype config naming a
+    registered serializer parses Point(lat,lon) literals, filters in
+    the encoded domain, and emits locationValue back through the
+    serializer (typed with the geo datatype)."""
+    from database_spark.search.geospatial import canonicalize_literal_lex, geo_registry
+
+    trips = [
+        (Term.iri("http://a"), Term.iri("http://p"),
+         Term.literal("Point(0.5,1.0)", "http://ex/wkt"), None),
+        (Term.iri("http://b"), Term.iri("http://p"),
+         Term.literal("Point(5.0,5.0)", "http://ex/wkt"), None),
+    ]
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(spark, trips),
+        geo_datatype_configs=[WKT_CFG],
+    )
+    res = eng.select(GEO + """
+        SELECT ?s ?loc WHERE {
+          SERVICE geo:search {
+            ?s geo:searchDatatype <http://ex/wkt> .
+            ?s geo:search "inRectangle" .
+            ?s geo:predicate <http://p> .
+            ?s geo:spatialRectangleSouthWest "0#0" .
+            ?s geo:spatialRectangleNorthEast "2#2" .
+            ?s geo:locationValue ?loc .
+          }
+        }""")
+    rows = res.df.collect()
+    assert [r["s"]["lex"] for r in rows] == ["http://a"]
+    assert rows[0]["loc"]["lex"] == "Point(0.5,1.0)"
+    # canonicalization round-trips through the serializer
+    reg = geo_registry([WKT_CFG], include_builtins=False)
+    assert canonicalize_literal_lex("Point(2,3)", reg["http://ex/wkt"]) == "Point(2.0,3.0)"

@@ -473,8 +473,9 @@ def run_one(spark, stem: str) -> tuple[str, str]:
             return "skip", "result file missing from the reference checkout"
         expected = parse_srx((EVAL_DIR / srx_name).read_text(encoding="utf-8"))
         geo_kw = geo_config_map().get(stem)
-        if geo_kw and geo_kw.get("custom_serializer"):
-            return "skip", "custom Java literalSerializer class (WKT/test serializer)"
+        # custom literalSerializer classes resolve through the
+        # serializer registry (WKT/dummy test serializers ship as
+        # functional equivalents) — those fixtures RUN
         engine_kw = {
             k: v
             for k, v in (geo_kw or {}).items()
