@@ -157,6 +157,37 @@ def results_equal(expected: list, got: list, ordered: bool = False) -> bool:
         bij: dict = {}
         rev: dict = {}
         return all(_row_eq(e, g, bij, rev) for e, g in zip(expected, got))
+    # bnode-free fast path (large fixtures like lubm-q06 with 6k+
+    # rows would blow the recursive matcher): canonicalize each term
+    # exactly as _term_eq compares it and compare multisets
+    def has_bnode(rows):
+        return any(
+            t is not None and t.kind == T.KIND_BNODE
+            for row in rows
+            for t in row.values()
+        )
+
+    if not has_bnode(expected) and not has_bnode(got):
+        def canon_term(t):
+            if t is None:
+                return None
+            if t.kind == T.KIND_LITERAL:
+                v = _numeric_value(t)
+                if v is not None:
+                    return ("num", _NUM_FAMILY.get(t.dt), v)
+                tv = _temporal_value(t)
+                if tv is not None:
+                    return ("tmp", t.dt, tv)
+                return ("lit", t.lex, t.dt, (t.lang or "").lower())
+            return (t.kind, t.lex)
+
+        def canon_row(row):
+            return tuple(sorted((k, canon_term(t)) for k, t in row.items()))
+
+        from collections import Counter
+
+        return Counter(map(canon_row, expected)) == Counter(map(canon_row, got))
+
     # cheap pre-sort to keep the backtracking shallow
     def key(row):
         return sorted(

@@ -139,8 +139,65 @@ def _include_named_sets(spark, stem):
     return {"solutionSet1": df}
 
 
+# Orphaned fixtures: rq+srx exist but no surviving Java test wires
+# data/config (the datatype URIs still live in GeoSpatialTestVocabulary).
+# Reconstructed from the data files' own shapes; validated against the
+# published srx.
+_CS4_CFG = (
+    '{"config": {"uri": "http://my.custom.datatype/lat-lon-time-coordsystem",'
+    ' "fields": ['
+    '{"valueType": "DOUBLE", "multiplier": "1000000", "serviceMapping": "LATITUDE"},'
+    '{"valueType": "DOUBLE", "multiplier": "100000", "serviceMapping": "LONGITUDE"},'
+    '{"valueType": "LONG", "serviceMapping": "TIME"},'
+    '{"valueType": "LONG", "serviceMapping": "COORD_SYSTEM"}]}}'
+)
+_CS3_CFG = (
+    '{"config": {"uri": "http://my.custom.datatype/lat-lon-coordsystem",'
+    ' "fields": ['
+    '{"valueType": "DOUBLE", "multiplier": "1000000", "serviceMapping": "LATITUDE"},'
+    '{"valueType": "DOUBLE", "multiplier": "100000", "serviceMapping": "LONGITUDE"},'
+    '{"valueType": "LONG", "serviceMapping": "COORD_SYSTEM"}]}}'
+)
+#: resources dir of the reference test tree (data/lehigh holds the
+#: fully-materialized LUBM-U1 export used by workbench1 and the
+#: orphaned lubm-q* fixtures — instance types are pre-expanded, so no
+#: runtime inference is needed)
+RESOURCES_DIR = EVAL_DIR.parents[6] / "resources"
+_LUBM = RESOURCES_DIR / "data/lehigh/LUBM-U1.rdf.gz"
+
+DATA_OVERRIDES = {
+    "workbench1": [_LUBM],  # TestTickets.testTicketBigdataGPU368
+    # orphaned fixture: sibling a-e run against empty.trig
+    "bindingsAndValuesMix01f": [EVAL_DIR / "empty.trig"],
+    # orphaned fixture: the quads family shares 01's trig (expected
+    # p1 = GRAPH g1's only predicate there)
+    "distinctTermScan_quads_03": [EVAL_DIR / "distinctTermScan_quads_01.trig"],
+    **{f"lubm-q{i:02d}": [_LUBM] for i in range(1, 14)},
+}
+
+STEM_OVERRIDES = {
+    "geo-coordSystem01": {
+        "data": ["geo-coordSystem.nt"],
+        "geo_datatype_configs": [_CS4_CFG, _CS3_CFG],
+        "geo_include_builtins": True,
+    },
+    "geo-coordSystem02": {
+        "data": ["geo-coordSystem.nt"],
+        "geo_datatype_configs": [_CS4_CFG, _CS3_CFG],
+        "geo_include_builtins": True,
+    },
+}
+
+
 # fixtures whose harness installs state outside the query/data files
 STEM_SKIPS = {
+    "geo-realworld-rectangle02": (
+        "orphaned fixture whose published srx contradicts its own query: "
+        "lon range [2.1, 3.1] over geo-realworld-cities.nt matches "
+        "Barcelona (2.17694) AND Johannesburg (2.77777) but the srx "
+        "lists only Johannesburg (the in-query comment claims yet a "
+        "third answer set); no surviving Java test runs it"
+    ),
     "bsbm-bi-q5": (
         "AVG over xsd:float: the reference accumulates the running sum in "
         "32-bit float arithmetic (MathBOp pairwise type promotion), an "
@@ -340,6 +397,24 @@ def geo_config_map() -> dict:
             stem = m.group(1).split("/")[-1]
             if stem not in mapping:
                 mapping[stem] = dict(kwargs, custom_serializer=custom_serializer)
+    for stem, ov in STEM_OVERRIDES.items():
+        if "like" in ov:
+            base = dict(mapping.get(ov["like"], {}))
+            base.update(
+                rq=f"{stem}.rq", srx=f"{stem}.srx", expect_error=False
+            )
+            mapping[stem] = base
+        else:
+            mapping[stem] = {
+                "rq": f"{stem}.rq",
+                "srx": f"{stem}.srx",
+                "data": ov.get("data", []),
+                "expect_error": False,
+                "custom_serializer": False,
+                "geo_datatype_configs": ov.get("geo_datatype_configs"),
+                "geo_default_datatype": ov.get("geo_default_datatype"),
+                "geo_include_builtins": ov.get("geo_include_builtins", True),
+            }
     _GEO_MAP = mapping
     return mapping
 
@@ -373,9 +448,13 @@ def discover(families: list[str] | None = None) -> list[str]:
 
 
 def data_files(stem: str) -> list[Path] | None:
-    """Data files for a stem: the Java harness mapping first, then the
-    same-stem / suffix-stripped conventions.  None = no data anywhere
-    (the Java test builds its statements in code)."""
+    """Data files for a stem: explicit overrides, the Java harness
+    mapping, then the same-stem / suffix-stripped conventions.  None =
+    no data anywhere (the Java test builds its statements in code)."""
+    if stem in DATA_OVERRIDES:
+        found = [p for p in DATA_OVERRIDES[stem] if p.exists()]
+        if found:
+            return found
     ginfo = geo_config_map().get(stem)
     if ginfo and ginfo.get("data"):
         found = [EVAL_DIR / d for d in ginfo["data"] if (EVAL_DIR / d).exists()]
@@ -421,9 +500,19 @@ def load_store(spark, paths: list[Path] | None, geo_reg: dict | None = None):
             )
         return t
 
+    cache_key = (tuple(str(p) for p in paths or []), id(geo_reg) if geo_reg else None)
+    cached = _STORE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     quads = []
     for path in paths or []:
-        text = path.read_text(encoding="utf-8")
+        if path.suffix == ".gz":
+            import gzip
+
+            text = gzip.decompress(path.read_bytes()).decode("utf-8")
+            path = path.with_suffix("")  # inner suffix drives the parser
+        else:
+            text = path.read_text(encoding="utf-8")
         ctx = Term.iri(path.as_uri())
         if path.suffix in (".ttl", ".trig", ".n3"):
             file_quads = TurtleParser(text).parse()
@@ -439,7 +528,20 @@ def load_store(spark, paths: list[Path] | None, geo_reg: dict | None = None):
             (s, p, geo_canon(o), g if g is not None else ctx)
             for s, p, o, g in file_quads
         ]
-    return TripleStore.from_python_triples(spark, quads)
+    store = TripleStore.from_python_triples(spark, quads)
+    if len(quads) > 50000:
+        # big fixtures (LUBM-U1 ~100k statements) are reused by many
+        # stems: materialize once, cache across run_one calls
+        from database_spark.operators import lifecycle as L
+
+        store = TripleStore(
+            spark, L.protect(L.checkpoint(store.df)), has_named=store.has_named
+        )
+        _STORE_CACHE[cache_key] = store
+    return store
+
+
+_STORE_CACHE: dict = {}
 
 
 def run_one(spark, stem: str) -> tuple[str, str]:
