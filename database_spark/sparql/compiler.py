@@ -1104,9 +1104,23 @@ class Compiler:
             elif o_const is not None:
                 seed = T.lit_term(o_const)
                 seed_side = "b"
+            # Adaptive strategy for a bound endpoint (the static analog
+            # of the reference's RTO sampling): a frontier BFS takes
+            # diameter-many barrier rounds — on a deep cycle that is
+            # the whole cost.  If the step relation is tiny, all-pairs
+            # path doubling converges in log2(diameter) rounds and the
+            # endpoint filter below prunes to the same result; for big
+            # relations the O(V^2) pair set would dominate, so the
+            # O(V)-state frontier walk stays the scale path.
+            SMALL_STEP_RELATION = 512
+            use_bfs = seed is not None
+            if use_bfs:
+                probe = step_df.limit(SMALL_STEP_RELATION + 1).count()
+                if probe <= SMALL_STEP_RELATION:
+                    use_bfs = False
             closed = (
                 reachable_pairs(self.spark, step_df, a, b, seed, seed_side, gcol=gv)
-                if seed is not None
+                if use_bfs
                 else transitive_closure(self.spark, step_df, a, b, gcol=gv)
             )
             if path.mod == "*":

@@ -696,8 +696,8 @@ def main():
         "wall_sec": round(wall, 1),
     }
     print(json.dumps(summary))
-    if only:
-        return  # targeted debug run — don't clobber the full TCK.json
+    if only or families:
+        return  # targeted/family run — don't clobber the full TCK.json
     out = Path(__file__).resolve().parent.parent / "TCK.json"
     out.write_text(json.dumps({"summary": summary, "results": results}, indent=1))
     print(f"wrote {out}")
