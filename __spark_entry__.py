@@ -1063,6 +1063,54 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing, end-to-end and exact: one
+    deterministic solid-color 24-bit BMP per document is ENCODED and
+    then DECODED inside the same Arrow-batched ``mapInPandas`` path
+    ``pipeline.multimodal.extract_features`` uses (media_codec
+    decode_image), emitting decoded geometry + the (0,0) pixel; the
+    oracle recomputes those facts arithmetically from doc_id."""
+    import pandas as _pd
+
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        from database_spark.pipeline.media_codec import decode_image
+
+        def bmp(w, h, r, g, b):
+            import struct
+
+            row = (bytes([b, g, r]) * w) + b"\x00" * ((4 - (w * 3) % 4) % 4)
+            px = row * h
+            header = struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + len(px), 0, 0, 14 + 40
+            ) + struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+            )
+            return header + px
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [],
+                   "r": [], "g": [], "b": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                r, g, b = did * 37 % 256, did * 59 % 256, did * 83 % 256
+                px = decode_image(bmp(w, h, r, g, b))
+                out["doc_id"].append(did)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["r"].append(int(px[0, 0, 0]))
+                out["g"].append(int(px[0, 0, 1]))
+                out["b"].append(int(px[0, 0, 2]))
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, width long, height long, r long, g long, b long",
+    )
+
+
 def q_text_stats(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     return d.select(
@@ -1127,6 +1175,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_top_order": q_window_top_order,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
+    "multimodal_decode": q_multimodal_decode,
     "similarity_topk": q_similarity_topk,
     "sparql_fts": q_sparql_fts,
     "sparql_geo_rect": q_sparql_geo_rect,
@@ -1462,6 +1511,15 @@ ORACLES: dict[str, str] = {
     "dedup_exact": """
         SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keep_id
         FROM documents GROUP BY md5(text)
+    """,
+    "multimodal_decode": """
+        SELECT doc_id,
+               4 + doc_id % 13 AS width,
+               3 + doc_id % 7 AS height,
+               (doc_id * 37) % 256 AS r,
+               (doc_id * 59) % 256 AS g,
+               (doc_id * 83) % 256 AS b
+        FROM documents
     """,
     "text_stats": """
         SELECT doc_id,
