@@ -79,7 +79,13 @@ class Compiler:
         named_sets: dict | None = None,
         default_triples: DataFrame | None = None,
         named_graph_ids: list | None = None,
+        backchain_maps: "tuple[dict, dict] | None" = None,
     ):
+        #: (sub_classes, sub_properties) IRI-closure maps for
+        #: query-time backchained entailments (BackchainAccessPath):
+        #: a bound class/predicate expands to the id-set of its
+        #: sub-hierarchy at scan time; None = no backchaining
+        self.backchain_maps = backchain_maps
         self.spark = spark
         self.triples = triples
         # union-default-graph view for unscoped scans (falls back to the
@@ -219,6 +225,28 @@ class Compiler:
         bucketed = self.p_buckets and "p_bucket" in df.columns
         binds: dict[str, str] = {}  # var name -> first position bound
         conds: list[Column] = []
+        def backchain_ids(pos, node) -> list | None:
+            """Sub-hierarchy expansion for a bound class (o of an
+            rdf:type pattern → rdfs9/11) or a bound predicate (rdfs7)
+            when backchaining is on; None = no expansion applies."""
+            if self.backchain_maps is None or node.term.kind != T.KIND_IRI:
+                return None
+            sub_c, sub_p = self.backchain_maps
+            if pos == "p":
+                subs = sub_p.get(node.term.lex)
+            elif pos == "o" and (
+                isinstance(tp.p, A.Const)
+                and tp.p.term.lex == T.RDF + "type"
+            ):
+                subs = sub_c.get(node.term.lex)
+            else:
+                subs = None
+            if not subs or subs == {node.term.lex}:
+                return None
+            return [
+                T.term_id(T.lit_term(T.Term.iri(u))) for u in sorted(subs)
+            ]
+
         for pos, node in (("s", tp.s), ("p", tp.p), ("o", tp.o)):
             if isinstance(node, A.Var):
                 if node.name in binds:
@@ -227,6 +255,16 @@ class Compiler:
                     binds[node.name] = pos
             elif isinstance(node, A.Const):
                 term_id = T.term_id(T.lit_term(node.term))
+                expansion = backchain_ids(pos, node)
+                if expansion is not None:
+                    conds.append(F.col(pos).isin(*expansion))
+                    if pos == "p" and bucketed:
+                        conds.append(
+                            F.col("p_bucket").isin(
+                                *[F.pmod(e, F.lit(self.p_buckets)) for e in expansion]
+                            )
+                        )
+                    continue
                 conds.append(F.col(pos) == term_id)
                 if pos == "p" and bucketed:
                     # predicate-partitioned layout (TripleStore.save

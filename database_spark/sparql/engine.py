@@ -68,11 +68,19 @@ class SparqlEngine:
         store: TripleStore,
         services: dict | None = None,
         maintain_entailments: bool = False,
+        backchain: bool = False,
         geo_datatype_configs: list | None = None,
         geo_default_datatype: str | None = None,
         geo_include_builtins: bool = True,
     ):
         self.store = store
+        # query-time backchained entailments (reference:
+        # BackchainAccessPath.java — rdfs9/11 via the class hierarchy,
+        # rdfs7 via the property hierarchy) instead of a materialized
+        # closure: bound-class type patterns and bound predicates
+        # expand through the driver-cached schema closure at scan time
+        self.backchain = backchain
+        self._backchain_maps = None
         self.services = default_services()
         if (
             geo_datatype_configs is not None
@@ -202,7 +210,66 @@ class SparqlEngine:
                 default_df if default_df is not None else self.store.default_graph()
             ),
             named_graph_ids=named_graphs,
+            backchain_maps=self._backchain() if self.backchain else None,
         )
+
+    def _backchain(self) -> tuple[dict, dict]:
+        """Schema-closure maps for query-time backchaining
+        (``BackchainAccessPath.java``): class/property IRI → the set of
+        IRIs of its sub-classes / sub-properties (reflexive,
+        transitive, equivalence folded in).  The schema relation is
+        ontology-sized, so one bounded driver-side collect + a Python
+        closure is the analog of the reference walking the class
+        hierarchy per access path."""
+        if self._backchain_maps is not None:
+            return self._backchain_maps
+        import functools
+        import operator
+
+        import pyspark.sql.functions as F
+
+        from .. import terms as T
+
+        preds = {
+            T.RDFS + "subClassOf": ("c", False),
+            T.OWL + "equivalentClass": ("c", True),
+            T.RDFS + "subPropertyOf": ("p", False),
+            T.OWL + "equivalentProperty": ("p", True),
+        }
+        cond = functools.reduce(
+            operator.or_,
+            [
+                F.col("p") == T.term_id(T.lit_term(T.Term.iri(u)))
+                for u in preds
+            ],
+        )
+        rows = self.store.df.where(cond).select("st", "pt", "ot").collect()
+        sub_edges: dict[str, list] = {"c": [], "p": []}
+        for r in rows:
+            fam, sym = preds[r["pt"]["lex"]]
+            s_lex, o_lex = r["st"]["lex"], r["ot"]["lex"]
+            sub_edges[fam].append((o_lex, s_lex))
+            if sym:
+                sub_edges[fam].append((s_lex, o_lex))
+
+        def close(edges):
+            down: dict[str, set] = {}
+            for sup, sub in edges:
+                down.setdefault(sup, set()).add(sub)
+            out: dict[str, set] = {}
+            for start in down:
+                seen = {start}
+                stack = [start]
+                while stack:
+                    for nxt in down.get(stack.pop(), ()):
+                        if nxt not in seen:
+                            seen.add(nxt)
+                            stack.append(nxt)
+                out[start] = seen
+            return out
+
+        self._backchain_maps = (close(sub_edges["c"]), close(sub_edges["p"]))
+        return self._backchain_maps
 
     _VIRTUAL_GRAPH = "http://www.bigdata.com/rdf#virtualGraph"
 
