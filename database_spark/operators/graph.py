@@ -27,6 +27,68 @@ from . import lifecycle as L
 from .iterate import fixpoint_rounds
 
 
+#: below this edge count a traversal runs driver-locally (the iterative
+#: analog of Catalyst collapsing a tiny relation to a LocalTableScan):
+#: per-round Spark barriers are pure overhead when the whole graph fits
+#: in one probe.  The frontier walk (O(V) distributed state) stays the
+#: 100 TB path.
+SMALL_GRAPH_EDGES = 512
+SMALL_SEED_SET = 1024
+
+
+def _local_small_graph(e: DataFrame, seeds: DataFrame):
+    """(edge_rows, seed_rows) when the graph AND seed set are probe-
+    small, else None.  One bounded collect each — same contract as the
+    reference's in-memory GAS runtime, which materializes the frontier
+    driver-side anyway."""
+    edge_rows = e.limit(SMALL_GRAPH_EDGES + 1).collect()
+    if len(edge_rows) > SMALL_GRAPH_EDGES:
+        return None
+    seed_rows = seeds.select("node").limit(SMALL_SEED_SET + 1).collect()
+    if len(seed_rows) > SMALL_SEED_SET:
+        return None
+    return edge_rows, seed_rows
+
+
+def _values_df(spark: SparkSession, rows: list, node_col: str, val_col: str) -> DataFrame:
+    """Tiny driver-computed result → a pure-JVM LocalRelation via a
+    VALUES query.  createDataFrame over a Python list would route
+    through the Python-RDD path, whose per-action Python-worker
+    round-trip costs seconds — the exact overhead the driver-local
+    strategy exists to avoid."""
+    if not rows:
+        return spark.sql(
+            f"SELECT CAST(NULL AS BIGINT) AS {node_col}, "
+            f"CAST(NULL AS DOUBLE) AS {val_col} WHERE FALSE"
+        )
+    vals = ",".join(f"(CAST({n} AS BIGINT), CAST({v!r} AS DOUBLE))" for n, v in rows)
+    df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({node_col}, __v)")
+    out_type = "int" if all(isinstance(v, int) for _, v in rows) else "double"
+    return df.select(node_col, F.col("__v").cast(out_type).alias(val_col))
+
+
+def _local_sssp(edge_rows, seed_rows) -> list:
+    """Multi-source Dijkstra over the collected edge list: the exact
+    distances the distributed Bellman-Ford converges to."""
+    import heapq
+
+    adj: dict = {}
+    for r in edge_rows:
+        adj.setdefault(r["src"], []).append((r["dst"], float(r["weight"])))
+    dist: dict = {}
+    heap = [(0.0, r["node"]) for r in seed_rows]
+    heapq.heapify(heap)
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, w in adj.get(n, ()):
+            if m not in dist:
+                heapq.heappush(heap, (d + w, m))
+    return sorted(dist.items())
+
+
 def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> DataFrame:
     """Breadth-first search (GAS/analytics/BFS.java).
 
@@ -39,6 +101,11 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Data
     session never accumulates dead checkpoint blocks.
     """
     e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    small = _local_small_graph(e.withColumn("weight", F.lit(1.0)), seeds)
+    if small is not None:
+        L.free(e)
+        rows = [(n, int(d)) for n, d in _local_sssp(*small)]
+        return _values_df(edges.sparkSession, rows, "node", "depth")
     frontier = L.checkpoint(
         seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
     )
@@ -71,9 +138,15 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
     """Single-source shortest paths, weighted (GAS/analytics/SSSP.java).
 
     edges needs `weight`; returns (node, dist). Frontier-based
-    Bellman-Ford: only improved nodes scatter next round.
+    Bellman-Ford: only improved nodes scatter next round; small graphs
+    switch to min-plus doubling (log2 rounds).
     """
     e = L.checkpoint(edges.select("src", "dst", "weight"))
+    small = _local_small_graph(e, seeds)
+    if small is not None:
+        L.free(e)
+        rows = [(n, float(d)) for n, d in _local_sssp(*small)]
+        return _values_df(edges.sparkSession, rows, "node", "dist")
     dist = L.checkpoint(
         seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
     )

@@ -182,8 +182,6 @@ def parse_jsonld(text: str) -> list:
 def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
     with open(path, encoding="utf-8") as f:
         text = f.read()
-    rows = [
-        (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
-        for s, p, o, g in parse_jsonld(text)
-    ]
-    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    from .reader import quads_to_df
+
+    return quads_to_df(spark, parse_jsonld(text))

@@ -192,7 +192,8 @@ def parse_rdfxml(text: str, base: str = "") -> list[tuple[Term, Term, Term]]:
 def read_rdfxml(spark: SparkSession, path: str, base: str = "") -> DataFrame:
     with open(path, encoding="utf-8") as f:
         text = f.read()
-    rows = [
-        (s.as_row(), p.as_row(), o.as_row(), None) for s, p, o in parse_rdfxml(text, base)
-    ]
-    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    from .reader import quads_to_df
+
+    return quads_to_df(
+        spark, [(s, p, o, None) for s, p, o in parse_rdfxml(text, base)]
+    )

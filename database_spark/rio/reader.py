@@ -31,6 +31,27 @@ TRIPLE_SCHEMA = StructType(
     ]
 )
 
+def quads_to_df(spark: SparkSession, quads) -> DataFrame:
+    """(Term, Term, Term, Term|None) iterable → TRIPLE_SCHEMA DataFrame
+    through pandas + Arrow: a pure-JVM local relation, so downstream
+    actions never pay the Python-RDD worker round-trip of a list-based
+    createDataFrame."""
+    import pandas as pd
+
+    def d(t):
+        return (
+            None
+            if t is None
+            else {"kind": t.kind, "lex": t.lex, "dt": t.dt, "lang": t.lang}
+        )
+
+    rows = [(d(s), d(p), d(o), d(g)) for s, p, o, g in quads]
+    if not rows:
+        return spark.createDataFrame([], TRIPLE_SCHEMA)
+    pdf = pd.DataFrame(rows, columns=["st", "pt", "ot", "gt"])
+    return spark.createDataFrame(pdf, TRIPLE_SCHEMA)
+
+
 _NT_TERM = re.compile(
     r"""\s*(?:
         <(?P<iri>[^>]*)>
@@ -100,9 +121,8 @@ def read_ntriples(spark: SparkSession, path: str, distributed: bool = False) -> 
             for line in f:
                 q = parse_nt_line(line)
                 if q:
-                    s, p, o, g = q
-                    rows.append((s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None))
-        return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+                    rows.append(q)
+        return quads_to_df(spark, rows)
 
     lines = spark.read.text(path)
 
@@ -363,11 +383,7 @@ class TurtleParser:
 
 
 def _quads_df(spark: SparkSession, quads) -> DataFrame:
-    rows = [
-        (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
-        for s, p, o, g in quads
-    ]
-    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    return quads_to_df(spark, quads)
 
 
 def read_turtle(spark: SparkSession, path: str) -> DataFrame:

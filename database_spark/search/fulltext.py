@@ -144,10 +144,14 @@ def search_literals(
         counts[t] = counts.get(t, 0) + 1
     qmag = math.sqrt(sum(c * c for c in counts.values()))
     spark = triples.sparkSession
-    qdf = spark.createDataFrame(
-        [(t, c / qmag) for t, c in sorted(counts.items())],
-        "qtok string, qw double",
+    # pure-JVM LocalRelation (tokens are alnum-only post-split, safe to
+    # inline) — createDataFrame over a Python list would pay a
+    # Python-worker round-trip on every action touching this plan
+    vals = ",".join(
+        f"('{t}', CAST({c / qmag!r} AS DOUBLE))"
+        for t, c in sorted(counts.items())
     )
+    qdf = spark.sql(f"SELECT * FROM VALUES {vals} AS t(qtok, qw)")
     idx = text_index(triples)
     if prefix:
         # prefix scan: at scale this is a range scan on the

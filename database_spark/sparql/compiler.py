@@ -874,12 +874,8 @@ class Compiler:
         return Sol(df, sol.vars | {name}, sol.maybe_unbound | {name})
 
     def values_sol(self, vp: A.ValuesPattern) -> Sol:
-        from pyspark.sql.types import StructField, StructType
-
         names = [v.name for v in vp.vars]
-        schema = StructType([StructField(n, T.TERM_TYPE, True) for n in names])
-        rows = [tuple(t.as_row() if t else None for t in row) for row in vp.rows]
-        df = self.spark.createDataFrame(rows, schema)
+        df = T.terms_df(self.spark, vp.rows, names)
         for n in names:
             df = df.withColumn(
                 n + "__id", F.when(F.col(n).isNotNull(), T.term_id(F.col(n)))

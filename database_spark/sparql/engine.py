@@ -628,18 +628,8 @@ class SparqlEngine:
             raise TypeError(f"unsupported update {type(op)}")
 
     def _quads_df(self, quads: list) -> DataFrame:
-        from pyspark.sql.types import StructField, StructType
-
-        rows = [
-            (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
-            for (s, p, o, g) in quads
-        ]
-        schema = StructType(
-            [
-                StructField("st", T.TERM_TYPE, False),
-                StructField("pt", T.TERM_TYPE, False),
-                StructField("ot", T.TERM_TYPE, False),
-                StructField("gt", T.TERM_TYPE, True),
-            ]
+        return T.terms_df(
+            self.store.spark,
+            [(s, p, o, g) for (s, p, o, g) in quads],
+            ["st", "pt", "ot", "gt"],
         )
-        return self.store.spark.createDataFrame(rows, schema)

@@ -48,18 +48,18 @@ def http_fetcher(endpoint: str, query: str) -> dict:
         return json.loads(resp.read().decode())
 
 
-def _json_term(b: dict) -> tuple:
-    """One W3C JSON binding → TERM struct row tuple."""
+def _json_term(b: dict) -> "T.Term":
+    """One W3C JSON binding → driver Term."""
     t = b.get("type")
     if t == "uri":
-        return (T.KIND_IRI, b["value"], None, None)
+        return T.Term.iri(b["value"])
     if t == "bnode":
-        return (T.KIND_BNODE, b["value"], None, None)
+        return T.Term.bnode(b["value"])
     lang = b.get("xml:lang")
     dt = b.get("datatype")
     if lang:
-        return (T.KIND_LITERAL, b["value"], T.RDF_LANGSTRING, lang)
-    return (T.KIND_LITERAL, b["value"], dt or T.XSD_STRING, None)
+        return T.Term.literal(b["value"], lang=lang)
+    return T.Term.literal(b["value"], dt or T.XSD_STRING)
 
 
 def _values_clause(vars_: list, rows: list) -> str:
@@ -133,10 +133,7 @@ def make_remote_service(fetcher=http_fetcher, max_bindings: int = MAX_BINDINGS):
             rows.append(
                 tuple(_json_term(b[v]) if v in b else None for v in out_vars)
             )
-        schema = StructType(
-            [StructField(v, T.TERM_TYPE, True) for v in out_vars]
-        )
-        df = compiler.spark.createDataFrame(rows, schema)
+        df = T.terms_df(compiler.spark, rows, out_vars)
         for v in out_vars:
             df = df.withColumn(
                 v + "__id", F.when(F.col(v).isNotNull(), T.term_id(F.col(v)))

@@ -94,14 +94,27 @@ class TripleStore:
 
     @staticmethod
     def from_python_triples(spark: SparkSession, triples: list) -> "TripleStore":
-        """triples: list of (Term, Term, Term) or (Term, Term, Term, Term)."""
+        """triples: list of (Term, Term, Term) or (Term, Term, Term, Term).
+
+        Routed through pandas + Arrow: the resulting plan is a pure-JVM
+        local relation, so later actions never pay the Python-RDD
+        worker round-trip a list-based ``createDataFrame`` would incur
+        (seconds per action on an otherwise sub-second query).
+        """
+        import pandas as pd
+
+        def d(t):
+            return (
+                None
+                if t is None
+                else {"kind": t.kind, "lex": t.lex, "dt": t.dt, "lang": t.lang}
+            )
+
         rows = []
         for t in triples:
             s, p, o = t[0], t[1], t[2]
             g = t[3] if len(t) > 3 else None
-            rows.append(
-                (s.as_row(), p.as_row(), o.as_row(), g.as_row() if g else None)
-            )
+            rows.append((d(s), d(p), d(o), d(g)))
         from pyspark.sql.types import StructField, StructType
 
         schema = StructType(
@@ -112,9 +125,14 @@ class TripleStore:
                 StructField("gt", T.TERM_TYPE, True),
             ]
         )
+        pdf = pd.DataFrame(rows, columns=["st", "pt", "ot", "gt"])
+        if not rows:
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.createDataFrame(pdf, schema)
         return TripleStore(
             spark,
-            _with_ids(spark.createDataFrame(rows, schema)),
+            _with_ids(df),
             has_named=any(r[3] is not None for r in rows),
         )
 

@@ -275,6 +275,30 @@ def sid_col(st: Column, pt: Column, ot: Column) -> Column:
     )
 
 
+def terms_df(spark, rows, names, nullable: bool = True):
+    """Rows of (Term|None, ...) per ``names`` → DataFrame of TERM
+    structs, routed through pandas + Arrow so the plan is a pure-JVM
+    local relation (a list-based createDataFrame would re-enter the
+    Python-RDD path and pay a Python-worker round-trip on every later
+    action over the plan)."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField(n, TERM_TYPE, nullable) for n in names])
+
+    def d(t):
+        return (
+            None
+            if t is None
+            else {"kind": t.kind, "lex": t.lex, "dt": t.dt, "lang": t.lang}
+        )
+
+    data = [tuple(d(t) for t in row) for row in rows]
+    if not data:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pd.DataFrame(data, columns=names), schema)
+
+
 def register_datatype(uri: str, family: str = "integer") -> None:
     """General custom-datatype registration — the public surface of the
     reference's ``IExtension`` mechanism (``IExtension.java``; concrete

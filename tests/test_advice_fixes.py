@@ -101,12 +101,18 @@ def test_fixpoint_rounds_raises_at_cap():
         next(it)
 
 
-def test_bfs_runs_to_fixpoint_and_raises_on_cap(spark):
+def test_bfs_runs_to_fixpoint_and_raises_on_cap(spark, monkeypatch):
     # 4-node chain 0→1→2→3
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
     seeds = spark.createDataFrame([(0,)], "node long")
     out = {r["node"]: r["depth"] for r in bfs(edges, seeds).collect()}
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+    # the iteration cap only governs the DISTRIBUTED frontier walk —
+    # the driver-local small-graph path is exact by construction, so
+    # force the distributed path to exercise the truncation guard
+    from database_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES", 0)
     with pytest.raises(RuntimeError, match="bfs: no fixpoint"):
         bfs(edges, seeds, max_iter=2)
 
