@@ -50,21 +50,26 @@ def _local_small_graph(e: DataFrame, seeds: DataFrame):
     return edge_rows, seed_rows
 
 
-def _values_df(spark: SparkSession, rows: list, node_col: str, val_col: str) -> DataFrame:
+def _values_df(
+    spark: SparkSession, rows: list, node_col: str, val_col: str,
+    val_type: str | None = None,
+) -> DataFrame:
     """Tiny driver-computed result → a pure-JVM LocalRelation via a
     VALUES query.  createDataFrame over a Python list would route
     through the Python-RDD path, whose per-action Python-worker
     round-trip costs seconds — the exact overhead the driver-local
     strategy exists to avoid."""
+    val_type = val_type or (
+        "int" if all(isinstance(v, int) for _, v in rows) else "double"
+    )
     if not rows:
         return spark.sql(
             f"SELECT CAST(NULL AS BIGINT) AS {node_col}, "
-            f"CAST(NULL AS DOUBLE) AS {val_col} WHERE FALSE"
+            f"CAST(NULL AS {val_type}) AS {val_col} WHERE FALSE"
         )
     vals = ",".join(f"(CAST({n} AS BIGINT), CAST({v!r} AS DOUBLE))" for n, v in rows)
     df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({node_col}, __v)")
-    out_type = "int" if all(isinstance(v, int) for _, v in rows) else "double"
-    return df.select(node_col, F.col("__v").cast(out_type).alias(val_col))
+    return df.select(node_col, F.col("__v").cast(val_type).alias(val_col))
 
 
 def _local_sssp(edge_rows, seed_rows) -> list:
@@ -138,8 +143,8 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
     """Single-source shortest paths, weighted (GAS/analytics/SSSP.java).
 
     edges needs `weight`; returns (node, dist). Frontier-based
-    Bellman-Ford: only improved nodes scatter next round; small graphs
-    switch to min-plus doubling (log2 rounds).
+    Bellman-Ford: only improved nodes scatter next round; probe-small
+    graphs run a driver-local Dijkstra instead.
     """
     e = L.checkpoint(edges.select("src", "dst", "weight"))
     small = _local_small_graph(e, seeds)
@@ -188,6 +193,31 @@ def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataF
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates()
     )
+    probe = sym.limit(SMALL_GRAPH_EDGES + 1).collect()
+    if len(probe) <= SMALL_GRAPH_EDGES:
+        # driver-local union-find: min-label components are
+        # deterministic integers, so the result is bit-identical to
+        # the distributed propagation's fixpoint
+        L.free(sym)
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in probe:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((n, find(n)) for n in parent)
+        return _values_df(
+            edges.sparkSession, rows, "node", "component", val_type="bigint"
+        )
     labels = L.checkpoint(
         sym.select(F.col("src").alias("node"))
         .dropDuplicates()
