@@ -100,18 +100,16 @@ def _include_named_sets(spark, stem):
     LIMIT 1 of it); include_03/03a: {x=Mike,y=2}, {x=Bryan,y=4},
     {x=DC,y=1}.
     """
-    from pyspark.sql.types import StructField, StructType
-
     from database_spark import terms as T
     from database_spark.terms import Term
 
     XSD_INT = T.XSD + "int"
 
     def lit(n):
-        return Term.literal(str(n), XSD_INT).as_row()
+        return Term.literal(str(n), XSD_INT)
 
     def iri(u):
-        return Term.iri(u).as_row()
+        return Term.iri(u)
 
     if stem in ("include_01", "include_02"):
         rows = [
@@ -126,14 +124,7 @@ def _include_named_sets(spark, stem):
             (iri(B + "Bryan"), lit(4), None),
             (iri(B + "DC"), lit(1), None),
         ]
-    schema = StructType(
-        [
-            StructField("x", T.TERM_TYPE, True),
-            StructField("y", T.TERM_TYPE, True),
-            StructField("z", T.TERM_TYPE, True),
-        ]
-    )
-    df = spark.createDataFrame(rows, schema)
+    df = T.terms_df(spark, rows, ["x", "y", "z"])
     if stem not in ("include_01", "include_02"):
         df = df.drop("z")
     return {"solutionSet1": df}
