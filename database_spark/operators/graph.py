@@ -260,6 +260,33 @@ def pagerank(
     to N like the classic formulation (1-d) + d*sum.
     """
     e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    probe = e.limit(SMALL_GRAPH_EDGES + 1).collect()
+    if len(probe) <= SMALL_GRAPH_EDGES:
+        # driver-local power iteration — same update rule, summing
+        # inflow over sorted sources for determinism
+        L.free(e)
+        out_adj: dict = {}
+        in_adj: dict = {}
+        node_set = set()
+        for r in probe:
+            node_set.update((r["src"], r["dst"]))
+            out_adj.setdefault(r["src"], []).append(r["dst"])
+            in_adj.setdefault(r["dst"], []).append(r["src"])
+        rank = {n: 1.0 for n in node_set}
+        for _ in range(iters):
+            rank = {
+                n: (1.0 - damping)
+                + damping
+                * sum(
+                    rank[s] / len(out_adj[s])
+                    for s in sorted(in_adj.get(n, ()))
+                )
+                for n in sorted(node_set)
+            }
+        return _values_df(
+            edges.sparkSession, sorted(rank.items()), "node", "rank",
+            val_type="double",
+        )
     nodes = L.checkpoint(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
