@@ -67,7 +67,14 @@ def _values_df(
             f"SELECT CAST(NULL AS BIGINT) AS {node_col}, "
             f"CAST(NULL AS {val_type}) AS {val_col} WHERE FALSE"
         )
-    vals = ",".join(f"(CAST({n} AS BIGINT), CAST({v!r} AS DOUBLE))" for n, v in rows)
+    # Emit integer-family values as exact literals: routing a 64-bit id
+    # (e.g. an xxhash64 component label) through a DOUBLE literal would
+    # drop low bits above 2^53 and corrupt the label join downstream.
+    if val_type in ("double", "float"):
+        lit = lambda v: f"CAST({float(v)!r} AS DOUBLE)"  # noqa: E731
+    else:
+        lit = lambda v: f"CAST({int(v)} AS {val_type.upper()})"  # noqa: E731
+    vals = ",".join(f"(CAST({n} AS BIGINT), {lit(v)})" for n, v in rows)
     df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({node_col}, __v)")
     return df.select(node_col, F.col("__v").cast(val_type).alias(val_col))
 
@@ -106,7 +113,12 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Data
     session never accumulates dead checkpoint blocks.
     """
     e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
-    small = _local_small_graph(e.withColumn("weight", F.lit(1.0)), seeds)
+    # max_iter is the caller's no-fixpoint safety valve (it RAISES in
+    # the distributed walk); the local path explores everything, which
+    # would silently bypass the guard — take the distributed path then.
+    small = None if max_iter is not None else _local_small_graph(
+        e.withColumn("weight", F.lit(1.0)), seeds
+    )
     if small is not None:
         L.free(e)
         rows = [(n, int(d)) for n, d in _local_sssp(*small)]
@@ -147,7 +159,10 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
     graphs run a driver-local Dijkstra instead.
     """
     e = L.checkpoint(edges.select("src", "dst", "weight"))
-    small = _local_small_graph(e, seeds)
+    # With a round budget the distributed loop's semantics are
+    # "shortest path using <= max_iter relaxation rounds", which
+    # Dijkstra does not emulate — take the distributed path then.
+    small = None if max_iter is not None else _local_small_graph(e, seeds)
     if small is not None:
         L.free(e)
         rows = [(n, float(d)) for n, d in _local_sssp(*small)]

@@ -76,10 +76,21 @@ class SparqlEndpoint:
                 self.end_headers()
                 self.wfile.write(data)
 
-            def _run(self, params: dict):
+            def _run(self, params: dict, allow_update: bool = True):
                 accept = self.headers.get("Accept", "")
                 try:
                     if "update" in params:
+                        # SPARQL 1.1 Protocol §2.2: update is POST-only.
+                        # A mutating GET would be cacheable/prefetchable
+                        # and CSRF-able (reference: UpdateServlet only
+                        # registers doPost).
+                        if not allow_update:
+                            self._reply(
+                                405,
+                                "SPARQL UPDATE requires POST",
+                                "text/plain",
+                            )
+                            return
                         endpoint.engine.update(params["update"])
                         self._reply(200, "", "text/plain")
                         return
@@ -100,7 +111,7 @@ class SparqlEndpoint:
                     k: v[0]
                     for k, v in urllib.parse.parse_qs(u.query).items()
                 }
-                self._run(params)
+                self._run(params, allow_update=False)
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))

@@ -524,6 +524,10 @@ class SparqlEngine:
                 op, (A.InsertData, A.DeleteData, A.Modify, A.LoadUpdate, A.ClearUpdate, A.DropUpdate, A.CopyMoveAdd)
             )
             self._update_one(op)
+            if mutates:
+                # the memoized sub-class/sub-property closure may now be
+                # stale (e.g. an inserted rdfs:subClassOf edge)
+                self._backchain_maps = None
             if self.maintain_entailments and mutates:
                 self._recompute_entailments()
 

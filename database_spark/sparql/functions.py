@@ -558,16 +558,21 @@ class ExprCompiler:
             return pack_numeric(F.abs(T.numeric_value(args[0])), rank_dt(dt_rank(args[0])))
         if n in ("CEIL", "FLOOR", "ROUND"):
             # result datatype families mirror MathUtility.numericalFunc
-            # (not XPath): decimal stays decimal; otherwise ROUND is
-            # Math.round → integer family, CEIL/FLOOR are Math.ceil/
-            # floor → double (search-2: round(double)/int = decimal)
+            # (not XPath): integer-family operands pass through UNCHANGED
+            # (NumericBOp.get short-circuit — ceil(2^^xsd:int) stays in
+            # the integer family); decimal stays decimal; otherwise
+            # ROUND is Math.round → integer family, CEIL/FLOOR are
+            # Math.ceil/floor → DOUBLE
             fn = {"CEIL": F.ceil, "FLOOR": F.floor, "ROUND": F.round}[n]
-            v = fn(T.numeric_value(args[0])).cast("double")
-            is_dec = dt_of(args[0]) == T.XSD_DECIMAL
+            a = args[0]
+            v = fn(T.numeric_value(a)).cast("double")
+            is_dec = dt_of(a) == T.XSD_DECIMAL
             rank = F.when(is_dec, F.lit(1)).otherwise(
-                F.lit(0) if n == "ROUND" else F.lit(2)
+                F.lit(0) if n == "ROUND" else F.lit(3)
             )
-            return pack_numeric(v, rank_dt(rank))
+            return F.when(
+                is_numeric(a) & (dt_rank(a) == 0), a
+            ).otherwise(pack_numeric(v, rank_dt(rank)))
         if n == "STRLEN":
             return F.when(str_value(args[0]).isNotNull(), pack_integer(F.length(str_value(args[0]))))
         if n == "SUBSTR":
