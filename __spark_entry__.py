@@ -724,6 +724,90 @@ def q_gas_pagerank(spark, sf_dir):
     )
 
 
+def _large_graph_edges(spark, sf_dir, kind: str):
+    """>512-edge deterministic graphs derived from events.event_id so
+    the GAS gates exercise the DISTRIBUTED frontier loops: the ≤512-
+    edge probe in operators/graph.py collapses smaller graphs to the
+    driver-local path, which had left the scale path result-unverified
+    (VERDICT r3 #1).  Doubling-style edge sets keep the diameter small
+    (≤ ~11 rounds) so the iterative joins stay bench-cheap."""
+    key = (sf_dir, "__large_graph__", kind)
+    if key not in _GRAPH_CACHE:
+        from database_spark.operators import lifecycle as L
+
+        ev = _read(spark, sf_dir, "events").select(
+            (F.col("event_id") % 2000).alias("src")
+        )
+        if kind == "bfs":
+            # u -> (4u+r) % 2000, r in 0..3: 8000 edges, diameter 6
+            e = ev.withColumn(
+                "r", F.explode(F.array(*[F.lit(i) for i in range(4)]))
+            ).select("src", ((F.col("src") * 4 + F.col("r")) % 2000).alias("dst"))
+        elif kind == "cc":
+            # parity-preserving doubling (4000 edges): two components
+            # (even/odd), each a diameter-~10 doubling graph, so min-
+            # label propagation genuinely runs multi-round
+            i = F.floor(F.col("src") / 2)
+            c = F.col("src") % 2
+            e = ev.withColumn("r", F.explode(F.array(F.lit(0), F.lit(1)))).select(
+                "src", (((i * 2 + F.col("r")) % 1000) * 2 + c).alias("dst")
+            )
+        else:
+            # permutation ring u -> (u+7) % 2000: 1-regular in AND out,
+            # so every PageRank is exactly 1.0 at every iteration
+            e = ev.select("src", ((F.col("src") + 7) % 2000).alias("dst"))
+        _GRAPH_CACHE[key] = L.protect(
+            L.checkpoint(e.select(F.col("src").cast("long"), F.col("dst").cast("long")).dropDuplicates())
+        )
+    return _GRAPH_CACHE[key]
+
+
+def q_gas_bfs_large(spark, sf_dir):
+    """Distributed-path BFS over the 8000-edge base-4 doubling graph;
+    oracle = recursive-CTE min-depth (TestBFS.java parity at scale)."""
+    from database_spark.operators.graph import bfs
+
+    e = _large_graph_edges(spark, sf_dir, "bfs")
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return bfs(e, seeds).select("node", F.col("depth").cast("long").alias("depth"))
+
+
+def q_gas_sssp_large(spark, sf_dir):
+    """Distributed-path weighted SSSP on the doubling graph with
+    src-derived weights 1|2|3 — exercises the frontier Bellman-Ford's
+    min-aggregation over genuinely unequal path costs."""
+    from database_spark.operators.graph import sssp
+
+    e = _large_graph_edges(spark, sf_dir, "bfs").select(
+        "src",
+        "dst",
+        (F.lit(1.0) + (F.col("src") % 3).cast("double")).alias("weight"),
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    return sssp(e, seeds).select("node", "dist")
+
+
+def q_gas_cc_large(spark, sf_dir):
+    """Distributed-path connected components: two 1000-node components
+    whose min labels (0 and 1) take ~11 propagation rounds to reach
+    every member."""
+    from database_spark.operators.graph import connected_components
+
+    e = _large_graph_edges(spark, sf_dir, "cc")
+    return connected_components(e).select("node", "component")
+
+
+def q_gas_pagerank_large(spark, sf_dir):
+    """Distributed-path PageRank on the 2000-edge permutation ring:
+    1-regular in/out degree keeps every rank exactly 1.0 (IEEE-exact,
+    (1-d) + d*1.0 == 1.0 by Sterbenz), so the oracle is exact."""
+    from database_spark.operators.graph import pagerank
+
+    return pagerank(_large_graph_edges(spark, sf_dir, "pr"), iters=5).select(
+        "node", "rank"
+    )
+
+
 def q_stream_hourly(spark, sf_dir):
     """The hourly rollup through REAL Structured Streaming (availableNow
     over a staged copy of events, memory sink) — must equal the static
@@ -1196,6 +1280,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fast_count": q_fast_count,
     "gas_cc_derived": q_gas_cc_derived,
     "gas_pagerank": q_gas_pagerank,
+    "gas_bfs_large": q_gas_bfs_large,
+    "gas_sssp_large": q_gas_sssp_large,
+    "gas_cc_large": q_gas_cc_large,
+    "gas_pagerank_large": q_gas_pagerank_large,
     "stream_hourly": q_stream_hourly,
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
@@ -1636,6 +1724,49 @@ ORACLES: dict[str, str] = {
     "gas_pagerank": """
         SELECT 'urn:g:' || CAST(x AS VARCHAR) AS node, CAST(1.0 AS DOUBLE) AS rank
         FROM range(0, 16) t(x)
+    """,
+    "gas_bfs_large": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT a, (4*a + r) % 2000 AS b
+          FROM (SELECT event_id % 2000 AS a FROM events),
+               (VALUES (0),(1),(2),(3)) t(r)
+        ), walk(node, depth) AS (
+          SELECT 0, 0
+          UNION
+          SELECT e.b, w.depth + 1 FROM walk w JOIN e ON w.node = e.a
+          WHERE w.depth < 8
+        )
+        SELECT node, CAST(min(depth) AS BIGINT) AS depth
+        FROM walk GROUP BY node
+    """,
+    "gas_sssp_large": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT a, (4*a + r) % 2000 AS b,
+                 CAST(1 + (a % 3) AS DOUBLE) AS w
+          FROM (SELECT event_id % 2000 AS a FROM events),
+               (VALUES (0),(1),(2),(3)) t(r)
+        ), walk(node, dist, hops) AS (
+          SELECT 0, CAST(0 AS DOUBLE), 0
+          UNION
+          SELECT e.b, w.dist + e.w, w.hops + 1 FROM walk w JOIN e ON w.node = e.a
+          WHERE w.hops < 12 AND w.dist < 12
+        )
+        SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+    "gas_cc_large": """
+        WITH e AS (
+          SELECT DISTINCT a, ((2*(a//2) + r) % 1000)*2 + (a % 2) AS b
+          FROM (SELECT event_id % 2000 AS a FROM events),
+               (VALUES (0),(1)) t(r)
+        ), n AS (SELECT a FROM e UNION SELECT b AS a FROM e)
+        SELECT a AS node, a % 2 AS component FROM n
+    """,
+    "gas_pagerank_large": """
+        WITH e AS (
+          SELECT DISTINCT a, (a+7) % 2000 AS b
+          FROM (SELECT event_id % 2000 AS a FROM events)
+        ), n AS (SELECT a FROM e UNION SELECT b AS a FROM e)
+        SELECT a AS node, CAST(1.0 AS DOUBLE) AS rank FROM n
     """,
     "stream_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

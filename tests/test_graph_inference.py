@@ -56,6 +56,31 @@ def test_pagerank(spark, edges):
     assert got[1] == pytest.approx(0.15, abs=1e-6)
 
 
+def test_golden_graphs_through_distributed_loops(spark, edges, monkeypatch):
+    """The ≤512-edge probe collapses every golden graph to the driver-
+    local path; force the DISTRIBUTED frontier loops (VERDICT r3 #1)
+    and assert they produce the same golden results."""
+    from database_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES", 0)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs(edges, seeds).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=30).collect()}
+    assert got[4] > got[2]
+    assert got[1] == pytest.approx(0.15, abs=1e-6)
+    # and the driver-local path agrees with the distributed one
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES", 512)
+    local_cc = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert local_cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
 def test_gas_service_sparql(spark):
     knows = Term.iri(EX + "knows")
     trips = [
