@@ -893,8 +893,13 @@ def q_sparql_ask(spark, sf_dir):
     e = _graph(spark, sf_dir)
     yes = e.ask(f"{PREFIX} ASK {{ ?c a t:Customer ; t:acctbal ?b . FILTER(?b > 9990) }}")
     no = e.ask(f"{PREFIX} ASK {{ ?c a t:Customer ; t:acctbal ?b . FILTER(?b > 99999) }}")
-    return spark.createDataFrame(
-        [("gt_9990", yes), ("gt_99999", no)], "probe string, ask boolean"
+    # pure-JVM VALUES relation — createDataFrame over a Python list
+    # routes through the Python-RDD path and spawns the whole Python
+    # worker pool just to ship 2 rows (graph.py's documented rule)
+    return spark.sql(
+        "SELECT probe, CAST(ask AS BOOLEAN) AS ask FROM VALUES "
+        f"('gt_9990', {str(yes).lower()}), ('gt_99999', {str(no).lower()}) "
+        "AS t(probe, ask)"
     )
 
 

@@ -132,8 +132,13 @@ def lsh_similar_pairs(
         for t in range(n_tables)
         for i in range(n_planes)
     ]
+    # pandas+Arrow local relation: a list-based createDataFrame would
+    # route the tiny plane table through the Python-RDD worker path
+    import pandas as pd
+
     planes = spark.createDataFrame(
-        plane_rows, "table int, plane_i int, plane array<double>"
+        pd.DataFrame(plane_rows, columns=["table", "plane_i", "plane"]),
+        "table int, plane_i int, plane array<double>",
     )
     signed = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -180,3 +180,209 @@ def ntriples_lines(triples: DataFrame) -> DataFrame:
 def write_ntriples(triples: DataFrame, path: str) -> None:
     """Distributed N-Triples dump (any size; one file per partition)."""
     ntriples_lines(triples).write.mode("overwrite").text(path)
+
+
+# ------------------------------------------------------- abbreviated Turtle
+#
+# Reference: ``rio/turtle/BigdataTurtleWriter.java`` (prefixed,
+# subject-grouped, predicate-list abbreviated Turtle).  Spark design:
+# term→Turtle rendering and subject-block assembly are pure column
+# expressions over two hash aggregations ((s,p)→objects, s→predicate
+# list), so the dump scales like any groupBy; only the @prefix header
+# is driver-side.
+
+RDF_TYPE = T.RDF + "type"
+
+#: conservative PN_LOCAL / PN_PREFIX shapes — anything outside falls
+#: back to the full <IRI> form, which is always valid
+_PN_LOCAL_RE = "^[A-Za-z_][A-Za-z0-9_-]*$"
+_INT_RE = "^[+-]?[0-9]+$"
+_DEC_RE = r"^[+-]?[0-9]*\.[0-9]+$"
+_DBL_RE = r"^[+-]?([0-9]+\.[0-9]*|\.?[0-9]+)[eE][+-]?[0-9]+$"
+
+
+def infer_prefixes(triples: DataFrame, max_prefixes: int = 8) -> dict:
+    """Namespace table for the dump: top-N namespaces by triple count
+    (bounded aggregate + driver collect of N rows), named ns1..nsN,
+    merged under the well-known table (rdf:/rdfs:/xsd:/…)."""
+    iris = None
+    for c in ("st", "pt", "ot"):
+        one = triples.select(F.col(c).getField("lex").alias("iri")).where(
+            F.col(c).getField("kind") == T.KIND_IRI
+        )
+        iris = one if iris is None else iris.unionByName(one)
+    ns = (
+        iris.select(
+            F.regexp_extract("iri", r"^(.*[/#])[^/#]*$", 1).alias("ns")
+        )
+        .where(F.length("ns") > 1)
+        .groupBy("ns")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "ns")
+        .limit(max_prefixes)
+        .collect()
+    )
+    known = {v: k for k, v in T.WELL_KNOWN_PREFIXES.items()}
+    out: dict[str, str] = {}
+    i = 0
+    for r in ns:
+        if r["ns"] in known:
+            out[known[r["ns"]]] = r["ns"]
+        else:
+            i += 1
+            out[f"ns{i}"] = r["ns"]
+    return out
+
+
+def _ttl_iri(lex: Column, prefixes: dict) -> Column:
+    """IRI lexical → prefixed name where a namespace matches and the
+    local part is PN_LOCAL-safe, else <IRI>."""
+    out = F.concat(F.lit("<"), lex, F.lit(">"))
+    # longest namespace first so nested namespaces pick the tightest
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+        local = F.substring(lex, len(ns) + 1, 2_000_000_000)
+        out = F.when(
+            lex.startswith(ns) & local.rlike(_PN_LOCAL_RE),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(out)
+    return out
+
+
+def ttl_term(t: Column, prefixes: dict) -> Column:
+    """Term struct → abbreviated Turtle token (bare numeric/boolean
+    literals, prefixed names, N3 fallback)."""
+    lex = t.getField("lex")
+    dt = t.getField("dt")
+    bare = (
+        ((dt == T.XSD_INTEGER) & lex.rlike(_INT_RE))
+        | ((dt == T.XSD_DECIMAL) & lex.rlike(_DEC_RE))
+        | ((dt == T.XSD_DOUBLE) & lex.rlike(_DBL_RE))
+        | ((dt == T.XSD_BOOLEAN) & lex.isin("true", "false"))
+    )
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(lex, r"\\", r"\\\\"), '"', '\\\\"'
+        ),
+        "\n",
+        r"\\n",
+    )
+    return (
+        F.when(t.getField("kind") == T.KIND_IRI, _ttl_iri(lex, prefixes))
+        .when(t.getField("kind") == T.KIND_BNODE, F.concat(F.lit("_:"), lex))
+        .when(bare, lex)
+        .when(
+            t.getField("lang").isNotNull(),
+            F.concat(F.lit('"'), esc, F.lit('"@'), t.getField("lang")),
+        )
+        .when(
+            dt.isNotNull() & (dt != T.XSD_STRING),
+            F.concat(
+                F.lit('"'), esc, F.lit('"^^'), _ttl_iri(dt, prefixes)
+            ),
+        )
+        .otherwise(F.concat(F.lit('"'), esc, F.lit('"')))
+    )
+
+
+def _with_xsd(prefixes: dict) -> dict:
+    """Datatype positions almost always need xsd:; declare it unless
+    the namespace is already bound under some prefix."""
+    if T.XSD in prefixes.values() or "xsd" in prefixes:
+        return prefixes
+    return {**prefixes, "xsd": T.XSD}
+
+
+def turtle_header(prefixes: dict) -> str:
+    return "".join(
+        f"@prefix {p}: <{ns}> .\n" for p, ns in sorted(prefixes.items())
+    )
+
+
+def turtle_blocks(triples: DataFrame, prefixes: dict) -> DataFrame:
+    """(st, pt, ot) → one-column DataFrame `value`, one subject block
+    per row::
+
+        ex:s a ex:T ;
+            ex:p "v1", "v2" .
+
+    Deterministic: objects sorted within a predicate, predicates sorted
+    with rdf:type (`a`) first, blocks sortable by subject."""
+    p_lex = F.col("pt").getField("lex")
+    pred = F.when(p_lex == F.lit(RDF_TYPE), F.lit("a")).otherwise(
+        ttl_term(F.col("pt"), prefixes)
+    )
+    po = (
+        triples.select(
+            ttl_term(F.col("st"), prefixes).alias("s"),
+            pred.alias("p"),
+            # rdf:type sorts before every other predicate
+            F.when(p_lex == F.lit(RDF_TYPE), F.lit(" a")).otherwise(
+                ttl_term(F.col("pt"), prefixes)
+            ).alias("p_key"),
+            ttl_term(F.col("ot"), prefixes).alias("o"),
+        )
+        .groupBy("s", "p", "p_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("o")), ", ").alias("os"))
+    )
+    return (
+        po.groupBy("s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("p_key"), F.col("p"), F.col("os")))
+            ).alias("ps")
+        )
+        .select(
+            F.concat(
+                F.col("s"),
+                F.lit(" "),
+                F.array_join(
+                    F.transform(
+                        "ps", lambda x: F.concat(x["p"], F.lit(" "), x["os"])
+                    ),
+                    " ;\n    ",
+                ),
+                F.lit(" ."),
+            ).alias("value")
+        )
+    )
+
+
+def turtle_string(triples: DataFrame, prefixes: dict | None = None) -> str:
+    """Full Turtle document as a driver-side string (header + blocks);
+    for protocol responses and round-trip tests.  Human-sized results —
+    use write_turtle for bulk dumps."""
+    prefixes = _with_xsd(
+        infer_prefixes(triples) if prefixes is None else prefixes
+    )
+    blocks = [
+        r["value"]
+        for r in turtle_blocks(triples, prefixes).orderBy("value").toLocalIterator()
+    ]
+    header = turtle_header(prefixes)
+    return header + ("\n" if blocks else "") + "\n\n".join(blocks) + (
+        "\n" if blocks else ""
+    )
+
+
+def write_turtle(
+    triples: DataFrame, path: str, prefixes: dict | None = None
+) -> None:
+    """Distributed Turtle dump: subject blocks stream through the
+    aggregation pipeline; every output partition file carries the
+    @prefix header (each part is then a standalone Turtle document).
+    Arrow-batched mapInPandas only prepends the header per partition —
+    block assembly itself is pure column expressions."""
+    import pandas as pd
+
+    prefixes = _with_xsd(
+        infer_prefixes(triples) if prefixes is None else prefixes
+    )
+    header = turtle_header(prefixes)
+
+    def with_header(batches):
+        yield pd.DataFrame({"value": [header]})
+        yield from batches
+
+    turtle_blocks(triples, prefixes).mapInPandas(
+        with_header, "value string"
+    ).write.mode("overwrite").text(path)

@@ -159,6 +159,16 @@ class SparqlEndpoint:
                 if isinstance(q, A.ConstructQuery)
                 else self.engine.describe(query)
             )
+            # graph content negotiation (BigdataTurtleWriter /
+            # ConnegUtil): text/turtle → abbreviated Turtle, otherwise
+            # N-Triples
+            wants_ttl = any(
+                part.split(";")[0].strip().lower()
+                in ("text/turtle", "application/x-turtle")
+                for part in (accept or "").split(",")
+            )
+            if wants_ttl:
+                return W.turtle_string(df), "text/turtle"
             lines = [r["value"] for r in W.ntriples_lines(df).toLocalIterator()]
             return "\n".join(lines) + ("\n" if lines else ""), "application/n-triples"
         res = self.engine.select(query)

@@ -105,3 +105,113 @@ def test_describe_cbd(spark):
     got_sym = sorted((r["st"]["lex"], r["ot"]["lex"]) for r in sym.collect())
     assert (EX + "other", EX + "r") in got_sym  # backward included
     assert ("b1", "b2") not in got_sym  # but no recursion
+
+
+# ------------------------------------------------------------- turtle
+def _triple_set(df):
+    def key(t):
+        return (t["kind"], t["lex"], t["dt"], t["lang"]) if t else None
+
+    return {
+        (key(r["st"]), key(r["pt"]), key(r["ot"]))
+        for r in df.select("st", "pt", "ot").collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def ttl_store(spark):
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    trips = [
+        (Term.iri(EX + "a"), Term.iri(RDF + "type"), Term.iri(EX + "Person")),
+        (Term.iri(EX + "a"), Term.iri(EX + "name"), Term.literal('Ann "A"\nx')),
+        (Term.iri(EX + "a"), Term.iri(EX + "age"), Term.integer(30)),
+        (Term.iri(EX + "a"), Term.iri(EX + "score"), Term.double(1.5)),
+        (Term.iri(EX + "a"), Term.iri(EX + "note"), Term.literal("salut", lang="fr")),
+        (Term.iri(EX + "a"), Term.iri(EX + "knows"), Term.iri(EX + "b")),
+        (Term.iri(EX + "b"), Term.iri(EX + "name"), Term.literal("Bee")),
+        (Term.bnode("x"), Term.iri(EX + "name"), Term.literal("Anon")),
+        # IRI whose local name is not PN_LOCAL-safe -> <...> fallback
+        (Term.iri(EX + "weird/loc.al"), Term.iri(EX + "name"), Term.literal("W")),
+    ]
+    return TripleStore.from_python_triples(spark, trips)
+
+
+def test_turtle_roundtrip(spark, ttl_store, tmp_path):
+    from database_spark.rio.reader import read_turtle
+    from database_spark.rio.writers import turtle_string
+
+    doc = turtle_string(ttl_store.df)
+    assert "@prefix" in doc
+    p = tmp_path / "dump.ttl"
+    p.write_text(doc, encoding="utf-8")
+    back = read_turtle(spark, str(p))
+    want = _triple_set(ttl_store.df)
+    got = _triple_set(back)
+    # bnode labels are renamed on parse; compare modulo bnode identity
+    def blur(s):
+        return {
+            tuple(
+                (0, "_", None, None) if k and k[0] == 2 else k for k in trip
+            )
+            for trip in s
+        }
+
+    assert blur(got) == blur(want)
+
+
+def test_turtle_abbreviations(ttl_store):
+    from database_spark.rio.writers import turtle_string
+
+    doc = turtle_string(ttl_store.df, prefixes={"ex": EX})
+    assert "ex:a a ex:Person" in doc        # rdf:type as `a`, first
+    assert "ex:age 30" in doc               # bare integer
+    # "1.5" without exponent would re-parse as xsd:decimal, so the
+    # writer must keep the typed form for doubles
+    assert '"1.5"^^xsd:double' in doc
+    assert '"salut"@fr' in doc              # lang literal
+    assert f"<{EX}weird/loc.al>" in doc     # non-PN_LOCAL falls back
+
+
+def test_write_turtle_partition_headers(spark, ttl_store, tmp_path):
+    from database_spark.rio.reader import read_turtle
+    from database_spark.rio.writers import write_turtle
+
+    out = tmp_path / "ttl_dump"
+    write_turtle(ttl_store.df.repartition(3), str(out), prefixes={"ex": EX})
+    parts = sorted(out.glob("part-*"))
+    assert parts
+    total = set()
+    for part in parts:
+        text = part.read_text(encoding="utf-8")
+        if not text.strip():
+            continue
+        assert text.startswith("@prefix")  # standalone document
+        total |= _triple_set(read_turtle(spark, str(part)))
+    want = _triple_set(ttl_store.df)
+    assert len(total) == len(want)
+
+
+def test_server_turtle_negotiation(spark, ttl_store):
+    import urllib.request
+
+    from database_spark.server import SparqlEndpoint
+
+    eng = SparqlEngine(ttl_store)
+    ep = SparqlEndpoint(eng).start()
+    try:
+        q = f"PREFIX ex: <{EX}> CONSTRUCT {{ ?s ex:name ?o }} WHERE {{ ?s ex:name ?o }}"
+        import urllib.parse
+
+        url = ep.url + "?" + urllib.parse.urlencode({"query": q})
+        req = urllib.request.Request(url, headers={"Accept": "text/turtle"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Type", "").startswith("text/turtle")
+            body = r.read().decode()
+        assert "@prefix" in body and "Bee" in body
+        req = urllib.request.Request(url, headers={"Accept": "application/n-triples"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get("Content-Type", "").startswith(
+                "application/n-triples"
+            )
+    finally:
+        ep.stop()
