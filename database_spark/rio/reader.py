@@ -109,6 +109,22 @@ def parse_nt_line(line: str):
     return (s, p, o, g)
 
 
+def parse_term(text: str) -> Term:
+    """One N-Triples-syntax term (``<iri>``, ``"lit"^^<dt>``, ``"lit"@lang``,
+    ``_:b``) → Term; the REST protocol's s/p/o/c parameter syntax
+    (reference: BigdataRDFServlet.decodeValue)."""
+    m = _NT_TERM.match(text)
+    if not m or m.end() != len(text.rstrip()):
+        raise ValueError(f"bad term syntax: {text!r}")
+    if m.group("iri") is not None:
+        return Term.iri(_unescape(m.group("iri")))
+    if m.group("bnode") is not None:
+        return Term.bnode(m.group("bnode"))
+    return Term.literal(
+        _unescape(m.group("lit")), dt=m.group("dt"), lang=m.group("lang")
+    )
+
+
 def read_ntriples(spark: SparkSession, path: str, distributed: bool = False) -> DataFrame:
     """N-Triples/N-Quads file → triples DataFrame (term structs).
 

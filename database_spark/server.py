@@ -79,6 +79,22 @@ class SparqlEndpoint:
             def _run(self, params: dict, allow_update: bool = True):
                 accept = self.headers.get("Accept", "")
                 try:
+                    # ---- REST probes (QueryServlet.java:122-265):
+                    # ESTCARD (fast range count), HASSTMT (limit-1
+                    # existence), CONTEXTS (distinct graphs).  All
+                    # read-only, so legal on GET and POST.
+                    if "ESTCARD" in params:
+                        body = endpoint.estcard(params)
+                        self._reply(200, body, "application/xml")
+                        return
+                    if "HASSTMT" in params:
+                        body = endpoint.hasstmt(params)
+                        self._reply(200, body, "application/xml")
+                        return
+                    if "CONTEXTS" in params:
+                        body = endpoint.contexts()
+                        self._reply(200, body, "application/xml")
+                        return
                     if "update" in params:
                         # SPARQL 1.1 Protocol §2.2: update is POST-only.
                         # A mutating GET would be cacheable/prefetchable
@@ -109,7 +125,7 @@ class SparqlEndpoint:
                 u = urllib.parse.urlparse(self.path)
                 params = {
                     k: v[0]
-                    for k, v in urllib.parse.parse_qs(u.query).items()
+                    for k, v in urllib.parse.parse_qs(u.query, keep_blank_values=True).items()
                 }
                 self._run(params, allow_update=False)
 
@@ -124,12 +140,52 @@ class SparqlEndpoint:
                 else:
                     params = {
                         k: v[0]
-                        for k, v in urllib.parse.parse_qs(raw).items()
+                        for k, v in urllib.parse.parse_qs(raw, keep_blank_values=True).items()
                     }
                 self._run(params)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
+
+    # ----------------------------------------------------- REST probes
+    @staticmethod
+    def _spoc(params: dict) -> dict:
+        from .rio.reader import parse_term
+
+        out = {}
+        for key, arg in (("s", "s"), ("p", "p"), ("o", "o"), ("c", "g")):
+            if params.get(key):
+                out[arg] = parse_term(params[key])
+        return out
+
+    def estcard(self, params: dict) -> str:
+        """Fast range count of a (s,p,o,c) pattern — XML contract of the
+        reference's ESTCARD servlet (rangeCount attribute)."""
+        import time as _t
+
+        t0 = _t.time()
+        n = self.engine.store.count_pattern(**self._spoc(params))
+        ms = int((_t.time() - t0) * 1000)
+        return (
+            '<?xml version="1.0"?>'
+            f'<data rangeCount="{n}" milliseconds="{ms}"/>'
+        )
+
+    def hasstmt(self, params: dict) -> str:
+        got = self.engine.store.has_statement(**self._spoc(params))
+        return (
+            '<?xml version="1.0"?>'
+            f'<data result="{str(got).lower()}"/>'
+        )
+
+    def contexts(self) -> str:
+        from xml.sax.saxutils import quoteattr
+
+        items = "".join(
+            f"<context uri={quoteattr(t['lex'])}/>"
+            for t in self.engine.store.contexts()
+        )
+        return f'<?xml version="1.0"?><contexts>{items}</contexts>'
 
     # ------------------------------------------------------------ eval
     def evaluate(self, query: str, accept: str = "") -> tuple[str, str]:

@@ -306,6 +306,7 @@ class Compiler:
     MAGIC_SERVICE_NS = (
         "http://www.bigdata.com/rdf/geospatial#",
         "http://www.bigdata.com/rdf/search#",
+        "http://www.bigdata.com/rdf/fts#",
     )
 
     def _lift_magic_services(self, group: A.GroupPattern) -> A.GroupPattern:

@@ -52,6 +52,7 @@ def default_services() -> dict:
     (bds:search), geospatial (geo:search) — the reference's built-in
     services (`ServiceRegistry.java` defaults)."""
     from ..operators.graph import make_gas_service
+    from ..search.external_fts import make_fts_service
     from ..search.fulltext import make_search_service
     from ..search.geospatial import make_geo_service
 
@@ -59,6 +60,7 @@ def default_services() -> dict:
     out.update(make_gas_service())
     out.update(make_search_service())
     out.update(make_geo_service())
+    out.update(make_fts_service())
     return out
 
 

@@ -311,6 +311,28 @@ class TripleStore:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
         return df.count()
 
+    def has_statement(self, s=None, p=None, o=None, g=None) -> bool:
+        """Limit-1 existence probe (HASSTMT servlet): the scan stops at
+        the first matching row-group hit, no full count."""
+        df = self.df
+        for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
+            if val is not None:
+                df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
+        return bool(df.limit(1).count())
+
+    def contexts(self) -> list:
+        """Distinct named-graph terms (CONTEXTS servlet).  Bounded by
+        the graph count, which is catalog-sized, not data-sized."""
+        if self.has_named is False:
+            return []
+        return [
+            r["gt"]
+            for r in self.df.where(F.col("g").isNotNull())
+            .select("gt")
+            .dropDuplicates(["gt"])
+            .collect()
+        ]
+
     def explicit(self) -> DataFrame:
         return self.df.where(F.col("inferred") == EXPLICIT)
 

@@ -96,3 +96,40 @@ def test_bad_query_is_400(endpoint):
         raise AssertionError("expected HTTPError")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_estcard_hasstmt_contexts(spark):
+    """REST probes (reference QueryServlet.java:122-265 ESTCARD/HASSTMT,
+    and the CONTEXTS servlet)."""
+    import xml.etree.ElementTree as ET
+
+    from database_spark.terms import Term as T2
+
+    name = T2.iri(EX + "name")
+    g1 = T2.iri(EX + "g1")
+    quads = [
+        (T2.iri(EX + "a"), name, T2.literal("Alice"), None),
+        (T2.iri(EX + "b"), name, T2.literal("Bob"), g1),
+        (T2.iri(EX + "b"), T2.iri(EX + "age"), T2.integer(7), g1),
+    ]
+    from database_spark.store import TripleStore as TS
+
+    st = TS.from_python_triples(spark, quads)
+    ep = SparqlEndpoint(SparqlEngine(st)).start()
+    try:
+        status, ctype, body = _get(ep.url, {"ESTCARD": "", "p": f"<{EX}name>"})
+        assert status == 200 and "xml" in ctype
+        assert ET.fromstring(body).get("rangeCount") == "2"
+        status, _, body = _get(ep.url, {"ESTCARD": ""})
+        assert ET.fromstring(body).get("rangeCount") == "3"
+        status, _, body = _get(
+            ep.url, {"HASSTMT": "", "s": f"<{EX}a>", "o": '"Alice"'}
+        )
+        assert ET.fromstring(body).get("result") == "true"
+        status, _, body = _get(ep.url, {"HASSTMT": "", "s": f"<{EX}zzz>"})
+        assert ET.fromstring(body).get("result") == "false"
+        status, _, body = _get(ep.url, {"CONTEXTS": ""})
+        uris = [c.get("uri") for c in ET.fromstring(body)]
+        assert uris == [EX + "g1"]
+    finally:
+        ep.stop()

@@ -41,7 +41,7 @@ SKIP_PATTERNS = [
     # query hints (hint:) are parsed and ignored — those fixtures RUN
     # bds: full-text fixtures RUN (reference-exact cosine scoring)
     (re.compile(r"<http://www\.bigdata\.com/rdf/gas#"), "gas: fixture (separate gate)"),
-    (re.compile(r"fts:"), "external full-text SERVICE"),
+    # fts: fixtures RUN (hermetic mock Solr transport, see _fts_transport)
     (re.compile(r"SERVICE\s+<http"), "remote SERVICE endpoint"),
     (re.compile(r"SERVICE\s+wikibase:|wikibase:label"), "external wikibase label SERVICE"),
     (re.compile(r"sameTerm\s*\(\s*\?\w+\s*,\s*<<"), "RDF* in query position"),
@@ -220,6 +220,66 @@ STEM_SKIPS = {
         "unification semantics, matching 03b/05/06"
     ),
 }
+
+# ------------------------------------------------------- external fts
+# TestFulltextSearch.java wraps these stems in try/catch asserting a
+# FulltextSearchException whose message carries the given suffix —
+# correct REJECTION is the pass condition.
+FTS_EXPECT_ERROR = {
+    "fts-rejectEmptySearchString": "Search string not specified or empty",
+    "fts-rejectNoSearchString": "Search string not specified or empty",
+    "fts-rejectEmptyEndpoint": "Endpoint not specified or empty",
+    "fts-rejectNoEndpoint": "Endpoint not specified or empty",
+    "fts-typeCastException": "Casting of result to URI failed",
+    "fts-variableInjectionFailing": "Service magic variable unbound at runtime",
+}
+
+_FTS_TRANSPORT = None
+
+
+def _fts_transport():
+    """Hermetic stand-in for the Solr index the reference test suite
+    requires at localhost:8983 (TestFulltextSearch.java:30-35 documents
+    the manual setup; fts-solr-collection.xml is the collection).  A
+    copy-all keyword matcher over the collection's fields reproduces
+    the published match sets; the TF-IDF scores the fixtures embed are
+    index artifacts, so they are carried as the collection's canned
+    response for the one scored query."""
+    global _FTS_TRANSPORT
+    if _FTS_TRANSPORT is not None:
+        return _FTS_TRANSPORT
+    import xml.etree.ElementTree as ET
+
+    docs = []
+    for d in ET.parse(EVAL_DIR / "fts-solr-collection.xml").getroot():
+        docs.append({f.get("name"): (f.text or "") for f in d})
+    scores = {
+        "metaphacts | SYSTAP": {"metaphacts": 0.29942045, "SYSTAP": 0.23953636}
+    }
+
+    def transport(endpoint, query, params, timeout_ms, search_field):
+        kws = [k.strip() for k in query.split("|") if k.strip()]
+        out = []
+        for doc in docs:
+            text = " ".join(str(v) for v in doc.values())
+            if any(
+                re.search(
+                    r"(?<![A-Za-z0-9])" + re.escape(k) + r"(?![A-Za-z0-9])",
+                    text,
+                    re.I,
+                )
+                for k in kws
+            ):
+                d2 = dict(doc)
+                sc = scores.get(query, {}).get(doc.get("id"))
+                if sc is not None:
+                    d2["score"] = sc
+                out.append(d2)
+        return out
+
+    _FTS_TRANSPORT = transport
+    return transport
+
 
 _DATA_MAP: dict | None = None
 _CHECK_ORDER: set | None = None
@@ -547,9 +607,25 @@ def run_one(spark, stem: str) -> tuple[str, str]:
     query = (EVAL_DIR / rq_name).read_text(encoding="utf-8")
     if stem in STEM_SKIPS:
         return "skip", STEM_SKIPS[stem]
-    for pat, reason in SKIP_PATTERNS:
-        if pat.search(query):
-            return "skip", reason
+    is_fts = stem.startswith("fts-")
+    if is_fts:
+        from database_spark.search import external_fts as XF
+
+        XF.set_transport(_fts_transport())
+        if stem in FTS_EXPECT_ERROR:
+            try:
+                store = load_store(spark, data_files(stem), None)
+                engine = SparqlEngine(store)
+                engine.select(query).df.collect()
+            except Exception as e:  # noqa: BLE001 — rejection IS the pass
+                if FTS_EXPECT_ERROR[stem] in str(e):
+                    return "pass", "correctly rejected"
+                return "fail", f"wrong rejection: {type(e).__name__}: {e}"
+            return "fail", "expected FulltextSearchException not raised"
+    else:
+        for pat, reason in SKIP_PATTERNS:
+            if pat.search(query):
+                return "skip", reason
     paths = data_files(stem)
     if paths is None and stem not in harness_data_map():
         # query+result exist but no data file and no TestHelper mapping:
