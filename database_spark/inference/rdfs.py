@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .. import terms as T
 from ..operators import lifecycle as L
 from ..operators.iterate import fixpoint_rounds
-from ..store import INFERRED, TripleStore
+from ..store import EXPLICIT, INFERRED, TripleStore
 
 RDF_TYPE = T.Term.iri(T.RDF + "type")
 SUBCLASS = T.Term.iri(T.RDFS + "subClassOf")
@@ -66,16 +66,41 @@ def _mk(s_cols, p_term: T.Term, o_cols) -> list:
     ]
 
 
-def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore:
+def _p3(s, p, o):
+    """One justification premise as a (s,p,o) id struct."""
+    return F.struct(s.alias("s"), p.alias("p"), o.alias("o"))
+
+
+JUST_SCHEMA = "s long, p long, o long, prem array<struct<s:long,p:long,o:long>>"
+
+
+def rdfs_closure(
+    store: TripleStore,
+    max_iter: int | None = None,
+    with_justifications: bool = False,
+):
     """Compute the closure; returns a store whose df includes inferred
     statements (inferred=1).  Default graph only (g null), like the
-    reference's per-namespace closure."""
+    reference's per-namespace closure.
+
+    with_justifications=True additionally returns a justification table
+    ``(s, p, o, prem: array<struct<s,p,o>>)`` — one row per rule firing
+    with the statement ids of its premises (the Spark analog of the
+    reference's JUST index, ``Justification.java``) — and the result is
+    the tuple (store, justifications).  Because every round re-runs all
+    active rules over the FULL closure, the final (empty-delta) round's
+    firings enumerate every derivation the closure supports, so the
+    table is complete, not just first-proof."""
     spark = store.spark
     base = store.df.where(F.col("g").isNull()).select("s", "p", "o", "st", "pt", "ot")
     total = L.checkpoint(base)
 
-    def head_df(df: DataFrame, cols: list) -> DataFrame:
-        return df.select(*cols).select("s", "p", "o", "st", "pt", "ot")
+    def head_df(df: DataFrame, cols: list, prem=None) -> DataFrame:
+        sel = cols + ([prem.alias("prem")] if prem is not None else [])
+        out_cols = ["s", "p", "o", "st", "pt", "ot"] + (
+            ["prem"] if prem is not None else []
+        )
+        return df.select(*sel).select(*out_cols)
 
     # Evaluate the schema-term hash ids to plain longs once (the _pid
     # expressions are Columns; the probe below needs literal values).
@@ -164,7 +189,11 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
                 t.join(subp, t["p"] == subp["sp_s"]).select(
                     "st", F.col("sp_ot").alias("pt"), "ot",
                     "s", F.col("sp_o").alias("p"), "o",
-                ).select("s", "p", "o", "st", "pt", "ot")
+                    F.array(
+                        _p3(F.col("s"), F.col("p"), F.col("o")),
+                        _p3(F.col("p"), F.lit(ids["subp"]), F.col("sp_o")),
+                    ).alias("prem"),
+                ).select("s", "p", "o", "st", "pt", "ot", "prem")
             )
             # rdfs5: subP transitivity
             sp2 = subp.select(
@@ -173,7 +202,14 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
                 subp.select(F.col("sp_s").alias("b"), F.col("sp_o").alias("c"), F.col("sp_ot").alias("ct")),
                 "b",
             )
-            heads.append(head_df(sp2, _mk((F.col("at"), F.col("a")), SUBPROP, (F.col("ct"), F.col("c")))))
+            heads.append(head_df(
+                sp2,
+                _mk((F.col("at"), F.col("a")), SUBPROP, (F.col("ct"), F.col("c"))),
+                F.array(
+                    _p3(F.col("a"), F.lit(ids["subp"]), F.col("b")),
+                    _p3(F.col("b"), F.lit(ids["subp"]), F.col("c")),
+                ),
+            ))
         if "subc" in active:
             # rdfs11: subC transitivity
             sc2 = subc.select(
@@ -182,36 +218,76 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
                 subc.select(F.col("sc_s").alias("b"), F.col("sc_o").alias("c"), F.col("sc_ot").alias("ct")),
                 "b",
             )
-            heads.append(head_df(sc2, _mk((F.col("at"), F.col("a")), SUBCLASS, (F.col("ct"), F.col("c")))))
+            heads.append(head_df(
+                sc2,
+                _mk((F.col("at"), F.col("a")), SUBCLASS, (F.col("ct"), F.col("c"))),
+                F.array(
+                    _p3(F.col("a"), F.lit(ids["subc"]), F.col("b")),
+                    _p3(F.col("b"), F.lit(ids["subc"]), F.col("c")),
+                ),
+            ))
         if "dom" in active:
             # rdfs2: p dom c & s p o → s type c
             d = t.join(dom, t["p"] == dom["d_p"])
-            heads.append(head_df(d, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("d_ct"), F.col("d_c")))))
+            heads.append(head_df(
+                d,
+                _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("d_ct"), F.col("d_c"))),
+                F.array(
+                    _p3(F.col("s"), F.col("p"), F.col("o")),
+                    _p3(F.col("p"), F.lit(ids["dom"]), F.col("d_c")),
+                ),
+            ))
         if "rng" in active:
             # rdfs3: p rng c & s p o (o resource) → o type c
             r = t.join(rng, t["p"] == rng["r_p"]).where(F.col("ot").getField("kind") != T.KIND_LITERAL)
-            heads.append(head_df(r, _mk((F.col("ot"), F.col("o")), RDF_TYPE, (F.col("r_ct"), F.col("r_c")))))
+            heads.append(head_df(
+                r,
+                _mk((F.col("ot"), F.col("o")), RDF_TYPE, (F.col("r_ct"), F.col("r_c"))),
+                F.array(
+                    _p3(F.col("s"), F.col("p"), F.col("o")),
+                    _p3(F.col("p"), F.lit(ids["rng"]), F.col("r_c")),
+                ),
+            ))
         if "subc" in active:
             # rdfs9: s type c & c subC d → s type d
             t9 = types.join(subc, types["o"] == subc["sc_s"])
-            heads.append(head_df(t9, _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("sc_ot"), F.col("sc_o")))))
+            heads.append(head_df(
+                t9,
+                _mk((F.col("st"), F.col("s")), RDF_TYPE, (F.col("sc_ot"), F.col("sc_o"))),
+                F.array(
+                    _p3(F.col("s"), F.col("p"), F.col("o")),
+                    _p3(F.col("o"), F.lit(ids["subc"]), F.col("sc_o")),
+                ),
+            ))
         if "inv" in active:
             # owl:inverseOf: s p o & p inv q → o q s (and reverse direction)
             iv1 = t.join(inv, t["p"] == inv["i_p"]).select(
                 F.col("ot").alias("st"), F.col("i_qt").alias("pt"), F.col("st").alias("ot"),
                 F.col("o").alias("s"), F.col("i_q").alias("p"), F.col("s").alias("o"),
-            ).select("s", "p", "o", "st", "pt", "ot")
+                F.array(
+                    _p3(F.col("s"), F.col("p"), F.col("o")),
+                    _p3(F.col("p"), F.lit(ids["inv"]), F.col("i_q")),
+                ).alias("prem"),
+            ).select("s", "p", "o", "st", "pt", "ot", "prem")
             iv2 = t.join(inv, t["p"] == inv["i_q"]).select(
                 F.col("ot").alias("st"), F.col("i_pt").alias("pt"), F.col("st").alias("ot"),
                 F.col("o").alias("s"), F.col("i_p").alias("p"), F.col("s").alias("o"),
-            ).select("s", "p", "o", "st", "pt", "ot")
+                F.array(
+                    _p3(F.col("s"), F.col("p"), F.col("o")),
+                    _p3(F.col("i_p"), F.lit(ids["inv"]), F.col("p")),
+                ).alias("prem"),
+            ).select("s", "p", "o", "st", "pt", "ot", "prem")
             heads += [iv1, iv2]
         if "sym" in active:
             # symmetric: s p o & p type Symmetric → o p s
             sy = t.join(sym, t["p"] == sym["y_p"]).select(
                 F.col("ot").alias("st"), F.col("pt"), F.col("st").alias("ot"),
                 F.col("o").alias("s"), F.col("p"), F.col("s").alias("o"),
-            ).select("s", "p", "o", "st", "pt", "ot")
+                F.array(
+                    _p3(F.col("s"), F.col("p"), F.col("o")),
+                    _p3(F.col("p"), F.lit(type_id), F.lit(sym_id)),
+                ).alias("prem"),
+            ).select("s", "p", "o", "st", "pt", "ot", "prem")
             heads.append(sy)
         if "trans" in active:
             # transitive: s p o & o p z & p type Transitive → s p z
@@ -222,22 +298,35 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
             ).select(
                 F.col("L.s").alias("s"), F.col("L.p").alias("p"), F.col("R.o").alias("o"),
                 F.col("L.st").alias("st"), F.col("L.pt").alias("pt"), F.col("R.ot").alias("ot"),
+                F.array(
+                    _p3(F.col("L.s"), F.col("L.p"), F.col("L.o")),
+                    _p3(F.col("R.s"), F.col("R.p"), F.col("R.o")),
+                    _p3(F.col("L.p"), F.lit(type_id), F.lit(tr_id)),
+                ).alias("prem"),
             )
             heads.append(tr2)
         if "eqc" in active:
             # equivalentClass ↔ mutual subClassOf
-            heads.append(head_df(eqc, _mk((F.col("ec_st"), F.col("ec_s")), SUBCLASS, (F.col("ec_ot"), F.col("ec_o")))))
-            heads.append(head_df(eqc, _mk((F.col("ec_ot"), F.col("ec_o")), SUBCLASS, (F.col("ec_st"), F.col("ec_s")))))
+            eqc_prem = F.array(
+                _p3(F.col("ec_s"), F.lit(ids["eqc"]), F.col("ec_o"))
+            )
+            heads.append(head_df(eqc, _mk((F.col("ec_st"), F.col("ec_s")), SUBCLASS, (F.col("ec_ot"), F.col("ec_o"))), eqc_prem))
+            heads.append(head_df(eqc, _mk((F.col("ec_ot"), F.col("ec_o")), SUBCLASS, (F.col("ec_st"), F.col("ec_s"))), eqc_prem))
         if "eqp" in active:
             # equivalentProperty ↔ mutual subPropertyOf
-            heads.append(head_df(eqp, _mk((F.col("ep_st"), F.col("ep_s")), SUBPROP, (F.col("ep_ot"), F.col("ep_o")))))
-            heads.append(head_df(eqp, _mk((F.col("ep_ot"), F.col("ep_o")), SUBPROP, (F.col("ep_st"), F.col("ep_s")))))
+            eqp_prem = F.array(
+                _p3(F.col("ep_s"), F.lit(ids["eqp"]), F.col("ep_o"))
+            )
+            heads.append(head_df(eqp, _mk((F.col("ep_st"), F.col("ep_s")), SUBPROP, (F.col("ep_ot"), F.col("ep_o"))), eqp_prem))
+            heads.append(head_df(eqp, _mk((F.col("ep_ot"), F.col("ep_o")), SUBPROP, (F.col("ep_st"), F.col("ep_s"))), eqp_prem))
 
-        new = heads[0]
+        fires = heads[0]
         for h in heads[1:]:
-            new = new.unionByName(h)
+            fires = fires.unionByName(h)
+        last_fires = fires  # complete on the final (empty-delta) round
         new = L.checkpoint(
-            new.dropDuplicates(["s", "p", "o"]).join(
+            fires.select("s", "p", "o", "st", "pt", "ot")
+            .dropDuplicates(["s", "p", "o"]).join(
                 total.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
             )
         )
@@ -248,8 +337,9 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
         L.free(total, new)
         total = new_total
 
+    explicit_keys = store.df.where(F.col("g").isNull()).select("s", "p", "o")
     inferred = total.join(
-        store.df.where(F.col("g").isNull()).select("s", "p", "o"),
+        explicit_keys,
         ["s", "p", "o"],
         "left_anti",
     ).select(
@@ -259,5 +349,207 @@ def rdfs_closure(store: TripleStore, max_iter: int | None = None) -> TripleStore
         F.lit(None).cast(T.TERM_TYPE).alias("gt"),
         F.lit(INFERRED).cast("tinyint").alias("inferred"),
     ).select("s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred")
-    out = store.df.unionByName(inferred)
-    return TripleStore(spark, out)
+    out_store = TripleStore(spark, store.df.unionByName(inferred))
+    if not with_justifications:
+        return out_store
+    # justification table: every derivation of every statement —
+    # including explicitly-asserted ones, whose proofs matter when the
+    # explicit assertion is later retracted but remains entailed
+    # (StatementEnum demotion to Inferred).  The last loop round ran
+    # all active rules over the converged closure, so `last_fires`
+    # enumerates the complete proof set.
+    if "last_fires" in locals():
+        justs = L.checkpoint(
+            last_fires.select("s", "p", "o", "prem")  # noqa: F821
+            .dropDuplicates()
+        )
+    else:  # no schema → no rules ever fired
+        justs = spark.createDataFrame([], JUST_SCHEMA)
+    return out_store, justs
+
+
+# ----------------------------------------------------- truth maintenance
+def tm_retract(
+    store: TripleStore,
+    justs: DataFrame,
+    deleted: DataFrame,
+    max_iter: int | None = None,
+):
+    """Justification-based truth maintenance for retraction — the DRed
+    (delete-and-rederive) algorithm over the justification table, the
+    Spark analog of the reference's ``Justification.java`` +
+    ``TruthMaintenance.java`` retraction path.
+
+    ``store``   — the store AFTER the explicit statements were removed
+                  (still carrying the now-possibly-unsupported inferred
+                  rows).
+    ``justs``   — the justification table from
+                  ``rdfs_closure(..., with_justifications=True)``.
+    ``deleted`` — DataFrame with term columns st/pt/ot of the retracted
+                  explicit statements (ids derived content-hash-side).
+
+    Returns ``(new_store, new_justs)``.
+
+    Cost: every job is a hash join keyed on statement ids between the
+    checkpointed justification table and the (cone-sized) frontier —
+    no rule re-evaluation over the data, no closure recompute.  At
+    100 TB the justs table would be bucketed by premise id so these
+    joins partition-prune; the reference pays the same storage in its
+    JUST index.
+    """
+    from ..store import _with_ids
+
+    spark = store.spark
+    D = L.checkpoint(
+        _with_ids(deleted.select("st", "pt", "ot"))
+        .select("s", "p", "o")
+        .dropDuplicates()
+    )
+    jid = F.xxhash64("s", "p", "o", "prem")
+    je = L.checkpoint(
+        justs.select(
+            "s", "p", "o", jid.alias("jid"), F.explode("prem").alias("q")
+        ).select(
+            "s", "p", "o", "jid",
+            F.col("q").getField("s").alias("qs"),
+            F.col("q").getField("p").alias("qp"),
+            F.col("q").getField("o").alias("qo"),
+        )
+    )
+
+    def keys(df, names=("s", "p", "o")):
+        return df.select(*names)
+
+    # -- 1. overdelete: transitively mark statements that have SOME
+    # justification consuming a deleted/overdeleted statement.  An
+    # EXPLICITLY asserted statement never loses support, so the walk
+    # neither marks nor propagates through one.
+    explicit_now = L.checkpoint(
+        store.df.where(F.col("g").isNull() & (F.col("inferred") == EXPLICIT))
+        .select("s", "p", "o")
+        .dropDuplicates()
+    )
+    over = D
+    frontier = D
+    for _ in fixpoint_rounds(max_iter, "tm_overdelete"):
+        f = frontier.select(
+            F.col("s").alias("fs"), F.col("p").alias("fp"), F.col("o").alias("fo")
+        )
+        hit = (
+            je.join(
+                f,
+                (F.col("qs") == F.col("fs"))
+                & (F.col("qp") == F.col("fp"))
+                & (F.col("qo") == F.col("fo")),
+            )
+            .select("s", "p", "o")
+            .dropDuplicates()
+            .join(explicit_now, ["s", "p", "o"], "left_anti")
+        )
+        new = L.checkpoint(hit.join(over, ["s", "p", "o"], "left_anti"))
+        if new.isEmpty():
+            L.free(new)
+            break
+        new_over = L.checkpoint(over.unionByName(new))
+        if over is not D:
+            L.free(over)
+        if frontier is not D:
+            L.free(frontier)
+        over, frontier = new_over, new
+    if frontier is not D and frontier is not over:
+        L.free(frontier)
+
+    # -- 2. rederive: a statement in `over` survives if some
+    # justification has ALL premises outside the final removed set
+    total_keys = store.df.where(F.col("g").isNull()).select("s", "p", "o")
+    remaining = L.checkpoint(
+        total_keys.join(over, ["s", "p", "o"], "left_anti").dropDuplicates()
+    )
+    for _ in fixpoint_rounds(max_iter, "tm_rederive"):
+        rem = remaining.select(
+            F.col("s").alias("rs"), F.col("p").alias("rp"), F.col("o").alias("ro")
+        )
+        bad_jids = (
+            je.join(
+                rem,
+                (F.col("qs") == F.col("rs"))
+                & (F.col("qp") == F.col("rp"))
+                & (F.col("qo") == F.col("ro")),
+                "left_anti",
+            )
+            .select("jid")
+            .dropDuplicates()
+        )
+        good_heads = (
+            je.select("s", "p", "o", "jid")
+            .dropDuplicates()
+            .join(bad_jids, "jid", "left_anti")
+            .select("s", "p", "o")
+            .dropDuplicates()
+        )
+        add = L.checkpoint(
+            good_heads.join(remaining, ["s", "p", "o"], "left_anti")
+        )
+        if add.isEmpty():
+            L.free(add)
+            break
+        new_remaining = L.checkpoint(remaining.unionByName(add))
+        L.free(remaining, add)
+        remaining = new_remaining
+
+    removed = L.checkpoint(
+        over.join(remaining, ["s", "p", "o"], "left_anti")
+    )
+    # deleted explicit statements that are still derivable come back as
+    # INFERRED rows (their terms travel on `deleted`)
+    resurrected = (
+        _with_ids(deleted.select("st", "pt", "ot"))
+        .join(remaining, ["s", "p", "o"])
+        .select(
+            "s", "p", "o",
+            F.lit(None).cast("long").alias("g"),
+            "st", "pt", "ot",
+            F.lit(None).cast(T.TERM_TYPE).alias("gt"),
+            F.lit(INFERRED).cast("tinyint").alias("inferred"),
+        )
+    )
+    rm = removed.select(
+        F.col("s").alias("xs"), F.col("p").alias("xp"), F.col("o").alias("xo")
+    )
+    kept = store.df.join(
+        rm,
+        F.col("g").isNull()
+        & (F.col("s") == F.col("xs"))
+        & (F.col("p") == F.col("xp"))
+        & (F.col("o") == F.col("xo")),
+        "left_anti",
+    )
+    new_df = kept.unionByName(resurrected.select(*kept.columns))
+    # prune dead justifications: any row whose head or some premise is
+    # in the removed set, or was a deleted explicit support that did
+    # NOT survive as inferred
+    gone = removed.unionByName(
+        D.join(remaining, ["s", "p", "o"], "left_anti")
+    ).dropDuplicates()
+    g2 = gone.select(
+        F.col("s").alias("gs"), F.col("p").alias("gp"), F.col("o").alias("go")
+    )
+    dead_jids = (
+        je.join(
+            g2,
+            ((F.col("qs") == F.col("gs")) & (F.col("qp") == F.col("gp")) & (F.col("qo") == F.col("go")))
+            | ((F.col("s") == F.col("gs")) & (F.col("p") == F.col("gp")) & (F.col("o") == F.col("go"))),
+        )
+        .select("jid")
+        .dropDuplicates()
+    )
+    new_justs = L.checkpoint(
+        justs.withColumn("jid", jid)
+        .join(dead_jids, "jid", "left_anti")
+        .drop("jid")
+    )
+    out_df = L.checkpoint(new_df)
+    L.free(D, je, remaining, removed, explicit_now)
+    if over is not D:
+        L.free(over)
+    return TripleStore(spark, out_df), new_justs

@@ -83,6 +83,9 @@ class SparqlEngine:
         # expand through the driver-cached schema closure at scan time
         self.backchain = backchain
         self._backchain_maps = None
+        #: justification table (JUST index analog) feeding the
+        #: retraction fast path; populated by _recompute_entailments
+        self._tm_justs = None
         self.services = default_services()
         if (
             geo_datatype_configs is not None
@@ -531,17 +534,36 @@ class SparqlEngine:
                 # stale (e.g. an inserted rdfs:subClassOf edge)
                 self._backchain_maps = None
             if self.maintain_entailments and mutates:
-                self._recompute_entailments()
+                if (
+                    isinstance(op, A.DeleteData)
+                    and self._tm_justs is not None
+                    and all(q[3] is None for q in op.triples)
+                ):
+                    # justification-based retraction (DRed over the
+                    # JUST table): cost scales with the affected cone,
+                    # not the closure — no rule re-evaluation
+                    self._tm_retract(self._quads_df(op.triples))
+                else:
+                    self._recompute_entailments()
+
+    def _tm_retract(self, deleted) -> None:
+        from ..inference.rdfs import tm_retract
+
+        self.store, self._tm_justs = tm_retract(
+            self.store, self._tm_justs, deleted
+        )
 
     def _recompute_entailments(self) -> None:
-        """Re-derive the closure from the current explicit statements.
-        DELETE of a supporting statement invalidates its entailments
-        (TruthMaintenance.java semantics, recompute strategy)."""
+        """Re-derive the closure from the current explicit statements,
+        refreshing the justification table that the retraction fast
+        path (``tm_retract``) consumes."""
         from ..inference.rdfs import rdfs_closure
         from ..store import TripleStore as TS
 
         explicit = TS(self.store.spark, self.store.explicit())
-        self.store = rdfs_closure(explicit)
+        self.store, self._tm_justs = rdfs_closure(
+            explicit, with_justifications=True
+        )
 
     def _update_one(self, op) -> None:
         spark = self.store.spark
