@@ -1,10 +1,23 @@
 """Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line {"metric", "value", "unit", "queries", "sf"}.
+JSON line {"metric", "value", "unit", "queries", "compile_sec",
+"exec_sec", "sf"}.
 
 Each query is forced to full materialization with the `noop` sink (no
 driver collect, no disk write — pure execution time).  A tiny warmup
 job amortizes JVM/codegen startup out of the first measurement.
+
+Variance note (root cause of the r3 per-query "regressions"): the
+first entry to touch a Python/Arrow path paid the ~5-10 s worker-pool
+spawn, and that cost LANDED ON A DIFFERENT QUERY each round (r3:
+sparql_bind 10.5 s and ngram_jaccard 6.2 s with bit-identical code;
+re-measured locally the same entries ran 3.2 s / 2.2 s while
+sparql_ask absorbed 12.6 s).  The pool is now spawned in warmup, and
+q_sparql_ask's list-based createDataFrame (the other Python-path
+trigger) was replaced with a SQL VALUES relation.  Residual run-to-run
+jitter of a few seconds on checkpoint-heavy iterative entries
+(paths/closure) tracks JVM GC, not plan changes — compare totals, not
+single entries.
 """
 
 from __future__ import annotations

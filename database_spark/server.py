@@ -60,8 +60,18 @@ class SparqlEndpoint:
     ... requests.get(ep.url, params={"query": "SELECT ..."})
     """
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
-        self.engine = engine
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        namespace: str = "kb",
+    ):
+        # multi-tenancy (MultiTenancyServlet.java): one engine per
+        # namespace, all sharing the SparkSession; the ctor engine is
+        # the default namespace ("kb", like the reference default)
+        self.default_namespace = namespace
+        self.engines = {namespace: engine}
         endpoint = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -76,23 +86,40 @@ class SparqlEndpoint:
                 self.end_headers()
                 self.wfile.write(data)
 
-            def _run(self, params: dict, allow_update: bool = True):
+            def _route_engine(self):
+                """/sparql → default ns; /namespace/<ns>/sparql → <ns>;
+                returns None (and replies 404) for unknown namespaces."""
+                parts = [
+                    p
+                    for p in urllib.parse.urlparse(self.path).path.split("/")
+                    if p
+                ]
+                if len(parts) == 3 and parts[0] == "namespace" and parts[2] == "sparql":
+                    eng = endpoint.engines.get(parts[1])
+                    if eng is None:
+                        self._reply(404, f"no such namespace {parts[1]}", "text/plain")
+                    return eng
+                return endpoint.engines[endpoint.default_namespace]
+
+            def _run(self, params: dict, allow_update: bool = True, engine=None):
                 accept = self.headers.get("Accept", "")
+                if engine is None:
+                    return
                 try:
                     # ---- REST probes (QueryServlet.java:122-265):
                     # ESTCARD (fast range count), HASSTMT (limit-1
                     # existence), CONTEXTS (distinct graphs).  All
                     # read-only, so legal on GET and POST.
                     if "ESTCARD" in params:
-                        body = endpoint.estcard(params)
+                        body = endpoint.estcard(params, engine)
                         self._reply(200, body, "application/xml")
                         return
                     if "HASSTMT" in params:
-                        body = endpoint.hasstmt(params)
+                        body = endpoint.hasstmt(params, engine)
                         self._reply(200, body, "application/xml")
                         return
                     if "CONTEXTS" in params:
-                        body = endpoint.contexts()
+                        body = endpoint.contexts(engine)
                         self._reply(200, body, "application/xml")
                         return
                     if "update" in params:
@@ -107,7 +134,7 @@ class SparqlEndpoint:
                                 "text/plain",
                             )
                             return
-                        endpoint.engine.update(params["update"])
+                        engine.update(params["update"])
                         self._reply(200, "", "text/plain")
                         return
                     query = params.get("query")
@@ -116,22 +143,28 @@ class SparqlEndpoint:
                             400, "missing query parameter", "text/plain"
                         )
                         return
-                    body, ctype = endpoint.evaluate(query, accept)
+                    body, ctype = endpoint.evaluate(query, accept, engine)
                     self._reply(200, body, ctype)
                 except Exception as e:  # noqa: BLE001 — protocol error path
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
 
             def do_GET(self):
                 u = urllib.parse.urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
+                if parts == ["namespace"]:
+                    self._reply(200, endpoint.list_namespaces(), "application/xml")
+                    return
                 params = {
                     k: v[0]
                     for k, v in urllib.parse.parse_qs(u.query, keep_blank_values=True).items()
                 }
-                self._run(params, allow_update=False)
+                self._run(params, allow_update=False, engine=self._route_engine())
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n).decode()
+                u = urllib.parse.urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 if ctype == "application/sparql-query":
                     params = {"query": raw}
@@ -142,7 +175,32 @@ class SparqlEndpoint:
                         k: v[0]
                         for k, v in urllib.parse.parse_qs(raw, keep_blank_values=True).items()
                     }
-                self._run(params)
+                if parts == ["namespace"]:
+                    name = params.get("name", "")
+                    try:
+                        endpoint.create_namespace(name)
+                        self._reply(201, f"CREATED: {name}", "text/plain")
+                    except Exception as e:  # noqa: BLE001
+                        self._reply(409, str(e), "text/plain")
+                    return
+                self._run(params, engine=self._route_engine())
+
+            def do_DELETE(self):
+                parts = [
+                    p
+                    for p in urllib.parse.urlparse(self.path).path.split("/")
+                    if p
+                ]
+                if len(parts) == 2 and parts[0] == "namespace":
+                    try:
+                        endpoint.delete_namespace(parts[1])
+                        self._reply(200, f"DELETED: {parts[1]}", "text/plain")
+                    except KeyError:
+                        self._reply(404, "no such namespace", "text/plain")
+                    except ValueError as e:
+                        self._reply(409, str(e), "text/plain")
+                    return
+                self._reply(404, "not found", "text/plain")
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
@@ -158,38 +216,81 @@ class SparqlEndpoint:
                 out[arg] = parse_term(params[key])
         return out
 
-    def estcard(self, params: dict) -> str:
+    def estcard(self, params: dict, engine=None) -> str:
         """Fast range count of a (s,p,o,c) pattern — XML contract of the
         reference's ESTCARD servlet (rangeCount attribute)."""
         import time as _t
 
+        engine = engine or self.engine
         t0 = _t.time()
-        n = self.engine.store.count_pattern(**self._spoc(params))
+        n = engine.store.count_pattern(**self._spoc(params))
         ms = int((_t.time() - t0) * 1000)
         return (
             '<?xml version="1.0"?>'
             f'<data rangeCount="{n}" milliseconds="{ms}"/>'
         )
 
-    def hasstmt(self, params: dict) -> str:
-        got = self.engine.store.has_statement(**self._spoc(params))
+    def hasstmt(self, params: dict, engine=None) -> str:
+        engine = engine or self.engine
+        got = engine.store.has_statement(**self._spoc(params))
         return (
             '<?xml version="1.0"?>'
             f'<data result="{str(got).lower()}"/>'
         )
 
-    def contexts(self) -> str:
+    def contexts(self, engine=None) -> str:
         from xml.sax.saxutils import quoteattr
 
+        engine = engine or self.engine
         items = "".join(
             f"<context uri={quoteattr(t['lex'])}/>"
-            for t in self.engine.store.contexts()
+            for t in engine.store.contexts()
         )
         return f'<?xml version="1.0"?><contexts>{items}</contexts>'
 
+    # ------------------------------------------------------- namespaces
+    @property
+    def engine(self):
+        """The default namespace's engine (back-compat accessor)."""
+        return self.engines[self.default_namespace]
+
+    def list_namespaces(self) -> str:
+        from xml.sax.saxutils import quoteattr
+
+        items = "".join(
+            f"<namespace name={quoteattr(n)}/>" for n in sorted(self.engines)
+        )
+        return f'<?xml version="1.0"?><namespaces>{items}</namespaces>'
+
+    def create_namespace(self, name: str):
+        """CREATE-NAMESPACE (MultiTenancyServlet doPost): a fresh empty
+        engine over the shared SparkSession."""
+        import re as _re
+
+        from .sparql.engine import SparqlEngine
+        from .store import TripleStore
+
+        if not _re.fullmatch(r"[A-Za-z0-9_.-]+", name or ""):
+            raise ValueError(f"invalid namespace name {name!r}")
+        if name in self.engines:
+            raise ValueError(f"namespace {name!r} already exists")
+        spark = self.engine.store.spark
+        self.engines[name] = SparqlEngine(
+            TripleStore.from_python_triples(spark, [])
+        )
+        return self.engines[name]
+
+    def delete_namespace(self, name: str) -> None:
+        """DELETE-NAMESPACE (MultiTenancyServlet doDelete); the default
+        namespace is not deletable, matching the reference's guard."""
+        if name == self.default_namespace:
+            raise ValueError("cannot delete the default namespace")
+        del self.engines[name]
+
     # ------------------------------------------------------------ eval
-    def evaluate(self, query: str, accept: str = "") -> tuple[str, str]:
+    def evaluate(self, query: str, accept: str = "", engine=None) -> tuple[str, str]:
         """Run one protocol request; returns (body, content_type)."""
+        engine = engine or self.engine
         from .rio import writers as W
         from .sparql import ast as A
         from .sparql.parser import parse_query
@@ -197,7 +298,7 @@ class SparqlEndpoint:
         q = parse_query(query)
         fmt = _negotiate(accept)
         if isinstance(q, A.AskQuery):
-            got = self.engine.ask(query)
+            got = engine.ask(query)
             if fmt == "xml":
                 return (
                     '<?xml version="1.0"?><sparql xmlns="http://www.w3.org/'
@@ -211,9 +312,9 @@ class SparqlEndpoint:
             )
         if isinstance(q, (A.ConstructQuery, A.DescribeQuery)):
             df = (
-                self.engine.construct(query)
+                engine.construct(query)
                 if isinstance(q, A.ConstructQuery)
-                else self.engine.describe(query)
+                else engine.describe(query)
             )
             # graph content negotiation (BigdataTurtleWriter /
             # ConnegUtil): text/turtle → abbreviated Turtle, otherwise
@@ -227,7 +328,7 @@ class SparqlEndpoint:
                 return W.turtle_string(df), "text/turtle"
             lines = [r["value"] for r in W.ntriples_lines(df).toLocalIterator()]
             return "\n".join(lines) + ("\n" if lines else ""), "application/n-triples"
-        res = self.engine.select(query)
+        res = engine.select(query)
         writer = {
             "json": W.results_json,
             "xml": W.results_xml,

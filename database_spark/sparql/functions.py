@@ -264,55 +264,125 @@ def term_equal(a: Column, b: Column) -> Column:
     )
 
 
-def compare(a: Column, b: Column, op: str) -> Column:
+def const_info(e) -> dict | None:
+    """Static category of an A.Const operand (compile-time type
+    narrowing, the analog of the reference comparing INLINE IVs without
+    the cross-category machinery).  None = not statically known."""
+    from . import ast as A  # local alias to avoid cycle at import time
+
+    if not isinstance(e, A.Const):
+        return None
+    t = e.term
+    if t.kind != T.KIND_LITERAL:
+        return {"cat": "nonlit"}
+    dt = t.dt or T.XSD_STRING
+    if dt in T.NUMERIC_DATATYPES:
+        try:
+            rank = (
+                0
+                if T.NUMERIC_DATATYPES[dt] == "integer"
+                else 1
+                if dt == T.XSD_DECIMAL
+                else 2
+                if dt == T.XSD_FLOAT
+                else 3
+            )
+            return {"cat": "num", "val": float(t.lex), "rank": rank}
+        except (TypeError, ValueError):
+            return None
+    if dt == T.XSD_STRING:
+        return {"cat": "str"}
+    if dt == T.RDF_LANGSTRING:
+        return {"cat": "lang"}
+    if dt == T.XSD_BOOLEAN:
+        return {"cat": "bool"}
+    if dt in (T.XSD_DATETIME, T.XSD_DATE):
+        return {"cat": "dt"}
+    return None
+
+
+def compare(a: Column, b: Column, op: str, ia: dict | None = None, ib: dict | None = None) -> Column:
     """SPARQL operator mapping w/ type promotion (CompareBOp.java:59).
 
     Value comparison within numeric / string / boolean / dateTime
     categories; `=`/`!=` additionally defined on IRIs & bnodes as term
     identity; anything else is a type error (null).
+
+    ia/ib: optional static operand categories (``const_info``).  A
+    known category prunes every impossible branch from the CASE tree —
+    the common ``?x > 900`` filter then compiles to the numeric branch
+    alone instead of the full cross-category ladder (smaller plan,
+    faster driver-side build, tighter codegen).
     """
     f = _CMP[op]
-    num = f(T.numeric_value(a), T.numeric_value(b))
-    both_num = is_numeric(a) & is_numeric(b)
-    simple_a = is_literal(a) & (dt_of(a) == T.XSD_STRING)
-    simple_b = is_literal(b) & (dt_of(b) == T.XSD_STRING)
-    lang_pair = (
-        is_literal(a) & is_literal(b)
-        & (dt_of(a) == T.RDF_LANGSTRING) & (dt_of(b) == T.RDF_LANGSTRING)
-        & (lang_of(a) == lang_of(b))
-    )
-    both_bool = (dt_of(a) == T.XSD_BOOLEAN) & (dt_of(b) == T.XSD_BOOLEAN)
-    both_dt = T.datetime_value(a).isNotNull() & T.datetime_value(b).isNotNull()
-    result = (
-        F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
-        .when(both_num, num)
-        .when(simple_a & simple_b, f(lex(a), lex(b)))
-        .when(lang_pair, f(lex(a), lex(b)))
-        .when(both_bool, f(T.boolean_value(a), T.boolean_value(b)))
-        .when(both_dt, f(T.datetime_value(a), T.datetime_value(b)))
-    )
+
+    def feasible(cat_set) -> bool:
+        ok_a = ia is None or ia["cat"] in cat_set
+        ok_b = ib is None or ib["cat"] in cat_set
+        return ok_a and ok_b
+
+    result = F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
+    if feasible({"num"}):
+        va = F.lit(ia["val"]) if ia else T.numeric_value(a)
+        vb = F.lit(ib["val"]) if ib else T.numeric_value(b)
+        both_num = (
+            (F.lit(True) if ia else is_numeric(a))
+            & (F.lit(True) if ib else is_numeric(b))
+        )
+        result = result.when(both_num, f(va, vb))
+    if feasible({"str"}):
+        simple_a = is_literal(a) & (dt_of(a) == T.XSD_STRING)
+        simple_b = is_literal(b) & (dt_of(b) == T.XSD_STRING)
+        result = result.when(simple_a & simple_b, f(lex(a), lex(b)))
+    if feasible({"lang"}):
+        lang_pair = (
+            is_literal(a) & is_literal(b)
+            & (dt_of(a) == T.RDF_LANGSTRING) & (dt_of(b) == T.RDF_LANGSTRING)
+            & (lang_of(a) == lang_of(b))
+        )
+        result = result.when(lang_pair, f(lex(a), lex(b)))
+    if feasible({"bool"}):
+        both_bool = (dt_of(a) == T.XSD_BOOLEAN) & (dt_of(b) == T.XSD_BOOLEAN)
+        result = result.when(both_bool, f(T.boolean_value(a), T.boolean_value(b)))
+    if feasible({"dt"}):
+        both_dt = T.datetime_value(a).isNotNull() & T.datetime_value(b).isNotNull()
+        result = result.when(both_dt, f(T.datetime_value(a), T.datetime_value(b)))
     if op in ("=", "!="):
+        # static substitutions for a known-const side
+        a_is_lit = F.lit(ia["cat"] != "nonlit") if ia else is_literal(a)
+        b_is_lit = F.lit(ib["cat"] != "nonlit") if ib else is_literal(b)
+        a_lang = F.lit(ia["cat"] == "lang") if ia else (dt_of(a) == T.RDF_LANGSTRING)
+        b_lang = F.lit(ib["cat"] == "lang") if ib else (dt_of(b) == T.RDF_LANGSTRING)
         ident = term_equal(a, b)
-        non_lit = (kind(a) != T.KIND_LITERAL) & (kind(b) != T.KIND_LITERAL)
-        result = result.when(non_lit, ident if op == "=" else ~ident)
+        if (ia is None or ia["cat"] == "nonlit") and (
+            ib is None or ib["cat"] == "nonlit"
+        ):
+            non_lit = (kind(a) != T.KIND_LITERAL) & (kind(b) != T.KIND_LITERAL)
+            result = result.when(non_lit, ident if op == "=" else ~ident)
         # RDFterm-equal: terms of different kinds (IRI vs literal vs bnode)
         # are never equal — '=' is false, '!=' true. Only both-literal
         # mismatches can remain a type error (values might still coincide).
-        result = result.when(kind(a) != kind(b), F.lit(op == "!="))
+        if ia is None or ib is None or (
+            (ia["cat"] == "nonlit") != (ib["cat"] == "nonlit")
+        ):
+            result = result.when(kind(a) != kind(b), F.lit(op == "!="))
         # same unknown-datatype literals: identical term => equal;
         # different terms of unsupported types remain an error for '='
-        result = result.when(
-            is_literal(a) & is_literal(b) & ident, F.lit(op == "=")
-        )
-        # a language-tagged literal is provably distinct from any
-        # non-lang literal, and from a lang literal with another tag —
-        # false, not a type error (W3C open-eq-12: x2/x3 rows are
-        # excluded, not error→unbound)
-        a_lang = dt_of(a) == T.RDF_LANGSTRING
-        b_lang = dt_of(b) == T.RDF_LANGSTRING
-        result = result.when(
-            is_literal(a) & is_literal(b) & (a_lang != b_lang), F.lit(op == "!=")
-        ).when(a_lang & b_lang, F.lit(op == "!="))
+        if (ia is None or ia["cat"] != "nonlit") and (
+            ib is None or ib["cat"] != "nonlit"
+        ):
+            result = result.when(a_is_lit & b_is_lit & ident, F.lit(op == "="))
+            # a language-tagged literal is provably distinct from any
+            # non-lang literal, and from a lang literal with another tag —
+            # false, not a type error (W3C open-eq-12: x2/x3 rows are
+            # excluded, not error→unbound)
+            result = result.when(
+                a_is_lit & b_is_lit & (a_lang != b_lang), F.lit(op == "!=")
+            )
+            if (ia is None or ia["cat"] == "lang") and (
+                ib is None or ib["cat"] == "lang"
+            ):
+                result = result.when(a_lang & b_lang, F.lit(op == "!="))
     return result
 
 
@@ -382,10 +452,16 @@ class ExprCompiler:
             if e.op == "!":
                 return ~self.bool(e.args[0])
             if e.op in _CMP:
-                return compare(self.term(e.args[0]), self.term(e.args[1]), e.op)
+                return compare(
+                    self.term(e.args[0]), self.term(e.args[1]), e.op,
+                    const_info(e.args[0]), const_info(e.args[1]),
+                )
         if isinstance(e, A.InExpr):
             t = self.term(e.expr)
-            tests = [compare(t, self.term(o), "=") for o in e.options]
+            tests = [
+                compare(t, self.term(o), "=", const_info(e.expr), const_info(o))
+                for o in e.options
+            ]
             if not tests:
                 return F.lit(not e.negated) & t.isNotNull()
             acc = tests[0]
@@ -417,9 +493,21 @@ class ExprCompiler:
                 simple=[_is_simple(e.args[0])],
             )
 
+        # compile-time narrowing: a numeric-constant operand skips its
+        # parse ladder, rank CASE and is_numeric probe entirely
+        _ia, _ib = const_info(e.args[0]), const_info(e.args[1])
+        ia = _ia if _ia and _ia["cat"] == "num" else None
+        ib = _ib if _ib and _ib["cat"] == "num" else None
+
         def body(a: Column, b: Column) -> Column:
-            va, vb = T.numeric_value(a), T.numeric_value(b)
-            rank = F.greatest(dt_rank(a), dt_rank(b))
+            va = F.lit(ia["val"]) if ia else T.numeric_value(a)
+            vb = F.lit(ib["val"]) if ib else T.numeric_value(b)
+            ra = F.lit(ia["rank"]) if ia else dt_rank(a)
+            rb = F.lit(ib["rank"]) if ib else dt_rank(b)
+            if ia and ib:
+                rank = F.lit(max(ia["rank"], ib["rank"]))
+            else:
+                rank = F.greatest(ra, rb)
             if e.op == "+":
                 v = va + vb
             elif e.op == "-":
@@ -432,9 +520,11 @@ class ExprCompiler:
                 rank = F.greatest(rank, F.lit(1))  # int/int -> decimal
             else:
                 raise SparqlCompileError(f"unknown arithmetic op {e.op}")
-            return pack_numeric(
-                F.when(is_numeric(a) & is_numeric(b), v), rank_dt(rank)
+            both_num = (
+                (F.lit(True) if ia else is_numeric(a))
+                & (F.lit(True) if ib else is_numeric(b))
             )
+            return pack_numeric(F.when(both_num, v), rank_dt(rank))
 
         return _let(
             [self.term(e.args[0]), self.term(e.args[1])],

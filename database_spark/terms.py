@@ -219,8 +219,27 @@ def literal_col(lex: Column, dt: str = XSD_STRING) -> Column:
     return F.when(lex.isNotNull(), t)
 
 
+#: Column expressions are immutable, so the struct/hash columns of
+#: constant terms are memoized by value — every py4j Column build is a
+#: gateway round-trip (~0.2 ms each, ~10 per literal struct), and the
+#: same schema IRIs recur in every query of a session.
+_LIT_TERM_CACHE: dict = {}
+_LIT_ID_CACHE: dict = {}
+# id(column) → term key for cache-owned columns.  The cache holds a
+# strong reference forever, so those ids are never reused; a plain
+# attribute won't do because Column.__getattr__ turns any attribute
+# access into a field-accessor Column.
+_LITKEY_BY_COLID: dict = {}
+
+
 def lit_term(t: Term) -> Column:
-    return term_struct(F.lit(t.kind), F.lit(t.lex), F.lit(t.dt), F.lit(t.lang))
+    key = (t.kind, t.lex, t.dt, t.lang)
+    c = _LIT_TERM_CACHE.get(key)
+    if c is None:
+        c = term_struct(F.lit(t.kind), F.lit(t.lex), F.lit(t.dt), F.lit(t.lang))
+        _LIT_TERM_CACHE[key] = c
+        _LITKEY_BY_COLID[id(c)] = key
+    return c
 
 
 def term_id(term: Column) -> Column:
@@ -231,6 +250,16 @@ def term_id(term: Column) -> Column:
     xxhash64, hence the coalesce — `dt`/`lang` are only null for
     IRIs/bnodes whose `kind` differs from any literal's.
     """
+    key = _LITKEY_BY_COLID.get(id(term))
+    if key is not None:
+        hit = _LIT_ID_CACHE.get(key)
+        if hit is None:
+            hit = _LIT_ID_CACHE[key] = _term_id_raw(term)
+        return hit
+    return _term_id_raw(term)
+
+
+def _term_id_raw(term: Column) -> Column:
     return F.xxhash64(
         term.getField("kind"),
         term.getField("lex"),

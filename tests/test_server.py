@@ -133,3 +133,77 @@ def test_estcard_hasstmt_contexts(spark):
         assert uris == [EX + "g1"]
     finally:
         ep.stop()
+
+
+def test_multitenancy_namespaces(spark):
+    """MultiTenancyServlet surface: create/list/delete namespaces and
+    per-namespace /namespace/<ns>/sparql routing with isolated stores."""
+    import urllib.error
+    import urllib.request
+    import xml.etree.ElementTree as ET
+
+    from database_spark.terms import Term as T2
+
+    name = T2.iri(EX + "name")
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(
+            spark, [(T2.iri(EX + "a"), name, T2.literal("Alice"))]
+        )
+    )
+    ep = SparqlEndpoint(eng).start()
+    base = ep.url.rsplit("/", 1)[0]
+    try:
+        # create
+        req = urllib.request.Request(
+            base + "/namespace",
+            data=urllib.parse.urlencode({"name": "tenant1"}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        assert urllib.request.urlopen(req).status == 201
+        # list
+        with urllib.request.urlopen(base + "/namespace") as r:
+            names = [n.get("name") for n in ET.fromstring(r.read().decode())]
+        assert names == ["kb", "tenant1"]
+        # tenant1 starts empty and is isolated from kb
+        q = f"PREFIX ex: <{EX}> SELECT ?n WHERE {{ ?s ex:name ?n }}"
+        import json as _json
+
+        def ask(ns_url):
+            with urllib.request.urlopen(
+                ns_url + "?" + urllib.parse.urlencode({"query": q})
+            ) as r:
+                doc = _json.loads(r.read().decode())
+            return [b["n"]["value"] for b in doc["results"]["bindings"]]
+
+        assert ask(base + "/namespace/tenant1/sparql") == []
+        assert ask(ep.url) == ["Alice"]
+        # update routed to tenant1 only
+        upd = f'PREFIX ex: <{EX}> INSERT DATA {{ ex:t ex:name "Tina" }}'
+        req = urllib.request.Request(
+            base + "/namespace/tenant1/sparql",
+            data=urllib.parse.urlencode({"update": upd}).encode(),
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        assert urllib.request.urlopen(req).status == 200
+        assert ask(base + "/namespace/tenant1/sparql") == ["Tina"]
+        assert ask(ep.url) == ["Alice"]
+        # unknown namespace -> 404
+        try:
+            ask(base + "/namespace/nope/sparql")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        # delete
+        req = urllib.request.Request(
+            base + "/namespace/tenant1", method="DELETE"
+        )
+        assert urllib.request.urlopen(req).status == 200
+        # default namespace protected
+        req = urllib.request.Request(base + "/namespace/kb", method="DELETE")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+    finally:
+        ep.stop()
