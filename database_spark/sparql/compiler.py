@@ -829,9 +829,16 @@ class Compiler:
                 produced_before |= self._produced_vars(el)
             elif isinstance(el, A.ServicePattern):
                 flush_bgp()
-                sol = self.join(
-                    sol, self._as_bound_service(el, graph, sol, const_env)
-                )
+                fn = self._service_handler(el)
+                if getattr(fn, "transforms_sol", False):
+                    # solution-transforming service (wikibase:label):
+                    # rewrites the running solution instead of joining
+                    # an independent one
+                    sol = fn(self, el, graph, sol)
+                else:
+                    sol = self.join(
+                        sol, self._as_bound_service(el, graph, sol, const_env)
+                    )
                 produced_before |= self._produced_vars(el)
             else:
                 raise SparqlCompileError(f"unsupported pattern {el!r}")
@@ -1384,6 +1391,8 @@ class Compiler:
             self._named_set_asts[name] = sub
         for name, _sub in q.named_subqueries:
             self._named_set(name)
+        # projected names feed the label service's ?x → ?xLabel pairing
+        self.projection_var_names = {v.name for v, _ in q.projections}
         sol = self.compile_group(q.where, graph)
         if q.values is not None:
             sol = self.join(sol, self.values_sol(q.values))

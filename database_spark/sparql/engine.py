@@ -56,11 +56,16 @@ def default_services() -> dict:
     from ..search.fulltext import make_search_service
     from ..search.geospatial import make_geo_service
 
+    from .labels import make_label_service
+    from .storedquery import make_stored_query_service
+
     out: dict = {}
     out.update(make_gas_service())
     out.update(make_search_service())
     out.update(make_geo_service())
     out.update(make_fts_service())
+    out.update(make_stored_query_service())
+    out.update(make_label_service())
     return out
 
 
