@@ -23,7 +23,9 @@ effect on instance data):
   rdfs11 subClassOf transitivity
   owl:inverseOf (both directions), owl:SymmetricProperty,
   owl:TransitiveProperty, owl:equivalentClass (↔ subClassOf),
-  owl:equivalentProperty (↔ subPropertyOf)
+  owl:equivalentProperty (↔ subPropertyOf),
+  owl:sameAs (RuleOwlSameAs1/1b/2/3: symmetry, transitivity, and
+  subject/object rewriting of non-sameAs statements)
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ SUBPROP = T.Term.iri(T.RDFS + "subPropertyOf")
 DOMAIN = T.Term.iri(T.RDFS + "domain")
 RANGE = T.Term.iri(T.RDFS + "range")
 INVERSE = T.Term.iri(T.OWL + "inverseOf")
+SAMEAS = T.Term.iri(T.OWL + "sameAs")
 SYMMETRIC = T.Term.iri(T.OWL + "SymmetricProperty")
 TRANSITIVE = T.Term.iri(T.OWL + "TransitiveProperty")
 EQ_CLASS = T.Term.iri(T.OWL + "equivalentClass")
@@ -108,7 +111,7 @@ def rdfs_closure(
         ("subp", SUBPROP), ("subc", SUBCLASS), ("dom", DOMAIN),
         ("rng", RANGE), ("inv", INVERSE), ("eqc", EQ_CLASS),
         ("eqp", EQ_PROP), ("type", RDF_TYPE), ("sym", SYMMETRIC),
-        ("tr", TRANSITIVE),
+        ("tr", TRANSITIVE), ("sameas", SAMEAS),
     )
     ids = spark.range(1).select(
         *[_pid(term).alias(name) for name, term in _names]
@@ -116,7 +119,7 @@ def rdfs_closure(
     type_id, sym_id, tr_id = ids["type"], ids["sym"], ids["tr"]
     schema_ids = {
         name: ids[name]
-        for name in ("subp", "subc", "dom", "rng", "inv", "eqc", "eqp")
+        for name in ("subp", "subc", "dom", "rng", "inv", "eqc", "eqp", "sameas")
     }
 
     for _ in fixpoint_rounds(max_iter, "rdfs_closure"):
@@ -179,6 +182,10 @@ def rdfs_closure(
         eqp = t.where(F.col("p") == _pid(EQ_PROP)).select(
             F.col("s").alias("ep_s"), F.col("o").alias("ep_o"),
             F.col("st").alias("ep_st"), F.col("ot").alias("ep_ot"),
+        )
+        sa = t.where(F.col("p") == _pid(SAMEAS)).select(
+            F.col("s").alias("sa_x"), F.col("o").alias("sa_y"),
+            F.col("st").alias("sa_xt"), F.col("ot").alias("sa_yt"),
         )
         types = t.where(F.col("p") == _pid(RDF_TYPE))
 
@@ -319,6 +326,58 @@ def rdfs_closure(
             )
             heads.append(head_df(eqp, _mk((F.col("ep_st"), F.col("ep_s")), SUBPROP, (F.col("ep_ot"), F.col("ep_o"))), eqp_prem))
             heads.append(head_df(eqp, _mk((F.col("ep_ot"), F.col("ep_o")), SUBPROP, (F.col("ep_st"), F.col("ep_s"))), eqp_prem))
+
+        if "sameas" in active:
+            sameas_id = ids["sameas"]
+            # owl:sameAs1 — (x sameAs y) → (y sameAs x)
+            heads.append(head_df(
+                sa.where(F.col("sa_x") != F.col("sa_y")),
+                _mk((F.col("sa_yt"), F.col("sa_y")), SAMEAS, (F.col("sa_xt"), F.col("sa_x"))),
+                F.array(_p3(F.col("sa_x"), F.lit(sameas_id), F.col("sa_y"))),
+            ))
+            # owl:sameAs1b — (x sameAs y),(y sameAs z) → (x sameAs z)
+            sa2 = sa.select(
+                F.col("sa_x").alias("a"), F.col("sa_y").alias("b"), F.col("sa_xt").alias("at")
+            ).join(
+                sa.select(F.col("sa_x").alias("b"), F.col("sa_y").alias("c"), F.col("sa_yt").alias("ct")),
+                "b",
+            ).where(F.col("a") != F.col("c"))
+            heads.append(head_df(
+                sa2,
+                _mk((F.col("at"), F.col("a")), SAMEAS, (F.col("ct"), F.col("c"))),
+                F.array(
+                    _p3(F.col("a"), F.lit(sameas_id), F.col("b")),
+                    _p3(F.col("b"), F.lit(sameas_id), F.col("c")),
+                ),
+            ))
+            # owl:sameAs2 — (x sameAs y),(x a z) → (y a z), a != sameAs
+            s2 = t.join(sa, (t["s"] == sa["sa_x"]) & (t["p"] != sameas_id)).where(
+                F.col("sa_x") != F.col("sa_y")
+            )
+            heads.append(
+                s2.select(
+                    F.col("sa_yt").alias("st"), F.col("pt"), F.col("ot"),
+                    F.col("sa_y").alias("s"), F.col("p"), F.col("o"),
+                    F.array(
+                        _p3(F.col("sa_x"), F.lit(sameas_id), F.col("sa_y")),
+                        _p3(F.col("s"), F.col("p"), F.col("o")),
+                    ).alias("prem"),
+                ).select("s", "p", "o", "st", "pt", "ot", "prem")
+            )
+            # owl:sameAs3 — (x sameAs y),(z a x) → (z a y), a != sameAs
+            s3 = t.join(sa, (t["o"] == sa["sa_x"]) & (t["p"] != sameas_id)).where(
+                F.col("sa_x") != F.col("sa_y")
+            )
+            heads.append(
+                s3.select(
+                    F.col("st"), F.col("pt"), F.col("sa_yt").alias("ot"),
+                    F.col("s"), F.col("p"), F.col("sa_y").alias("o"),
+                    F.array(
+                        _p3(F.col("sa_x"), F.lit(sameas_id), F.col("sa_y")),
+                        _p3(F.col("s"), F.col("p"), F.col("o")),
+                    ).alias("prem"),
+                ).select("s", "p", "o", "st", "pt", "ot", "prem")
+            )
 
         fires = heads[0]
         for h in heads[1:]:

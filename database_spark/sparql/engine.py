@@ -91,6 +91,9 @@ class SparqlEngine:
         #: justification table (JUST index analog) feeding the
         #: retraction fast path; populated by _recompute_entailments
         self._tm_justs = None
+        #: DESCRIBE plan cache (DescribeCacheServlet analog), keyed by
+        #: (query text, mode); cleared on every mutation
+        self._describe_cache: dict = {}
         self.services = default_services()
         if (
             geo_datatype_configs is not None
@@ -110,12 +113,11 @@ class SparqlEngine:
                 )
             )
         # truth maintenance (reference: TruthMaintenance.java): when on,
-        # inserts/deletes keep the RDFS+ closure current.  Retraction is
-        # recompute-over-explicit — without per-statement justification
-        # chains this is the only sound strategy (an inferred statement
-        # may lose ALL support when one explicit statement goes); the
-        # closure itself is the rule-pruned semi-naive fixpoint, so the
-        # recompute touches only rule-relevant predicates.
+        # inserts/deletes keep the RDFS+ closure current.  DELETE DATA
+        # takes the justification-based DRed fast path (tm_retract over
+        # the JUST table — cone-bounded cost); other mutations recompute
+        # the rule-pruned semi-naive closure, which also refreshes the
+        # justification table.
         self.maintain_entailments = maintain_entailments
         if services:
             self.services.update(services)
@@ -411,6 +413,20 @@ class SparqlEngine:
         subjects.  A ``hint:describeMode`` in the query overrides the
         argument.
         """
+        # DESCRIBE cache (DescribeCacheServlet analog): the compiled
+        # plan is memoized per (query, mode) and invalidated on any
+        # mutation — dashboards that re-DESCRIBE the same resources
+        # skip the parse+compile entirely; materialization stays
+        # Spark's job (persist the returned df for a hot cache).
+        key = (text, mode)
+        hit = self._describe_cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._describe_uncached(text, mode)
+        self._describe_cache[key] = out
+        return out
+
+    def _describe_uncached(self, text: str, mode: str) -> DataFrame:
         q = parse_query(text)
         if not isinstance(q, A.DescribeQuery):
             raise TypeError("not a DESCRIBE query")
@@ -538,6 +554,7 @@ class SparqlEngine:
                 # the memoized sub-class/sub-property closure may now be
                 # stale (e.g. an inserted rdfs:subClassOf edge)
                 self._backchain_maps = None
+                self._describe_cache.clear()
             if self.maintain_entailments and mutates:
                 if (
                     isinstance(op, A.DeleteData)

@@ -160,3 +160,37 @@ def test_salted_join_matches_plain(spark):
     assert left.count() == big.count()  # left join preserves big side
     hist = key_histogram(big, "k", top=1).collect()[0]
     assert hist["k"] == 0 and hist["share"] > 0.8
+
+
+def test_owl_sameas_rules(spark):
+    """RuleOwlSameAs1/1b/2/3: symmetry, transitivity, subject/object
+    rewriting (FullClosure.java:130-141)."""
+    OWL_ = "http://www.w3.org/2002/07/owl#"
+    same = Term.iri(OWL_ + "sameAs")
+    name = Term.iri(EX + "name")
+    knows = Term.iri(EX + "knows")
+    trips = [
+        (Term.iri(EX + "clark"), same, Term.iri(EX + "superman")),
+        (Term.iri(EX + "superman"), same, Term.iri(EX + "kal-el")),
+        (Term.iri(EX + "clark"), name, Term.literal("Clark")),
+        (Term.iri(EX + "lois"), knows, Term.iri(EX + "superman")),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    closed = rdfs_closure(store)
+    eng = SparqlEngine(closed)
+
+    def ask(q):
+        return eng.ask(f"PREFIX ex: <{EX}> PREFIX owl: <{OWL_}> ASK {{ {q} }}")
+
+    # sameAs1 symmetry + 1b transitivity
+    assert ask("ex:superman owl:sameAs ex:clark")
+    assert ask("ex:clark owl:sameAs ex:kal-el")
+    assert ask("ex:kal-el owl:sameAs ex:clark")
+    # sameAs2: subject rewrite
+    assert ask('ex:superman ex:name "Clark"')
+    assert ask('ex:kal-el ex:name "Clark"')
+    # sameAs3: object rewrite
+    assert ask("ex:lois ex:knows ex:clark")
+    assert ask("ex:lois ex:knows ex:kal-el")
+    # no reflexive sameAs is derived for unrelated nodes
+    assert not ask("ex:lois owl:sameAs ex:clark")

@@ -215,3 +215,22 @@ def test_server_turtle_negotiation(spark, ttl_store):
             )
     finally:
         ep.stop()
+
+
+def test_describe_cache_hits_and_invalidates(spark):
+    """DESCRIBE plan cache (DescribeCacheServlet analog): identical
+    DESCRIBEs reuse the compiled plan; any UPDATE invalidates."""
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(
+            spark,
+            [(Term.iri(EX + "a"), Term.iri(EX + "name"), Term.literal("Ann"))],
+        )
+    )
+    q = f"DESCRIBE <{EX}a>"
+    d1 = eng.describe(q)
+    assert eng.describe(q) is d1  # same plan object = cache hit
+    assert d1.count() == 1
+    eng.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:age "7" }}')
+    d2 = eng.describe(q)
+    assert d2 is not d1
+    assert d2.count() == 2
