@@ -860,6 +860,19 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING end-to-end: LSH pairs → connected components
+    → canonical representative (longest text, smallest-id tiebreak).
+    The oracle replays it with quadratic pairs + a recursive-CTE
+    closure + a window-ranked representative."""
+    from database_spark.pipeline import dedup
+
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return dedup.near_dup_clusters(
+        d, "doc_id", "text", num_hashes=24, bands=24, threshold=0.5
+    ).select(F.col("id").alias("doc_id"), "cluster", "keep")
+
+
 def q_update_roundtrip(spark, sf_dir):
     """SPARQL UPDATE verbs end-to-end: INSERT DATA, DELETE/INSERT
     WHERE, then a grouped count.  The oracle replays the same sequence
@@ -1292,6 +1305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hourly": q_stream_hourly,
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "update_roundtrip": q_update_roundtrip,
     "sparql_ask": q_sparql_ask,
     "sparql_subquery": q_sparql_subquery,
@@ -1825,6 +1839,46 @@ ORACLES: dict[str, str] = {
     # same semantic quantity as ngram_jaccard (exact trigram Jaccard
     # ≥ 0.5, pairs a < b) — the Spark side reaches it via banded
     # MinHash-LSH + exact verify, the oracle quadratically
+    "dedup_clusters": r"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> array_to_string(tk[i:i+2], ' '))) AS shs
+          FROM (SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                FROM documents WHERE doc_id < 500)
+        ), pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+                   / NULLIF(len(a.shs) + len(b.shs)
+                            - len(list_intersect(a.shs, b.shs)), 0) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE round(j, 6) >= 0.5
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), nodes AS (SELECT DISTINCT a AS n FROM sym),
+        reach(src, dst) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        ), comp AS (
+          SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+        ), labeled AS (
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id) AS cluster,
+                 length(d.text) AS len
+          FROM (SELECT doc_id, text FROM documents WHERE doc_id < 500) d
+          LEFT JOIN comp c ON d.doc_id = c.node
+        )
+        SELECT doc_id, cluster,
+               (row_number() OVER (
+                  PARTITION BY cluster ORDER BY len DESC, doc_id ASC) = 1
+               ) AS keep
+        FROM labeled
+    """,
     "minhash_pairs": r"""
         WITH sh AS (
           SELECT doc_id,

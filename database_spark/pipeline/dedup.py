@@ -321,3 +321,52 @@ def simhash_near_pairs(
     return cand.withColumn("hamming", ham).where(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING — the full training-data dedup pass:
+    MinHash-LSH candidate pairs (exact-verified) → undirected connected
+    components over the pair graph (min-id cluster label) → one
+    canonical representative per cluster (longest text, ties to the
+    smallest id).
+
+    Returns (id, cluster, keep): ``keep`` marks the representative; a
+    dedup pipeline filters ``keep`` and drops the rest.
+
+    100 TB design: pairs are banded-join candidates (never all-pairs);
+    the component walk is the frontier-based min-label propagation of
+    ``operators.graph.connected_components`` (diameter-bounded rounds);
+    the representative pick is one max_by aggregate.  Every stage is a
+    keyed shuffle — no driver materialization of the corpus.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, num_hashes, bands, threshold
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components(edges)
+    ids = df.select(
+        F.col(id_col).alias("node"), F.length(F.col(text_col)).alias("len")
+    )
+    labeled = ids.join(comps, "node", "left_outer").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("cluster"),
+        "len",
+    )
+    rep = labeled.groupBy("cluster").agg(
+        F.max_by("node", F.struct(F.col("len"), -F.col("node"))).alias("rep")
+    )
+    return labeled.join(rep, "cluster").select(
+        F.col("node").alias("id"),
+        "cluster",
+        (F.col("node") == F.col("rep")).alias("keep"),
+    )

@@ -228,3 +228,34 @@ def test_multimodal_real_decode(spark):
     out = decode_png(bytes(resized[1]))
     assert out.shape == (5, 4, 3)
     assert resized[3] is None
+
+
+def test_near_dup_clusters(spark):
+    """Pairs → components → canonical representative (longest text,
+    smallest-id tiebreak); singletons keep themselves."""
+    import pandas as pd
+
+    from database_spark.pipeline.dedup import near_dup_clusters
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog today!!",
+                "the quick brown fox jumps over the lazy dog today extra",
+                "completely different content about spark dataframes here",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    out = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in near_dup_clusters(df, "doc_id", "text").collect()
+    }
+    # 1,2,3 cluster together under min id 1; 3 has the longest text
+    assert out[1] == (1, False)
+    assert out[2] == (1, False)
+    assert out[3] == (1, True)
+    # 4 is a singleton and keeps itself
+    assert out[4] == (4, True)
