@@ -386,3 +386,120 @@ def write_turtle(
     turtle_blocks(triples, prefixes).mapInPandas(
         with_header, "value string"
     ).write.mode("overwrite").text(path)
+
+
+# ------------------------------------------------------ RDF/XML writer
+#
+# Reference: ``rio/rdfxml/BigdataRDFXMLWriter.java`` (Sesame's
+# RDFXMLWriter under the Bigdata value factory).  Subject-grouped
+# rdf:Description blocks with namespace-abbreviated property elements;
+# driver-side serialization (protocol responses are human-sized — bulk
+# dumps use the distributed N-Triples/Turtle writers).
+
+
+def _xml_split(iri: str):
+    """namespace/local split at the last NCName boundary."""
+    import re as _re
+
+    m = _re.search(r"[A-Za-z_][A-Za-z0-9_.-]*$", iri)
+    if not m or m.start() == 0:
+        return None
+    return iri[: m.start()], iri[m.start():]
+
+
+def rdfxml_string(triples: DataFrame) -> str:
+    """(st, pt, ot) → RDF/XML document string, one rdf:Description per
+    subject; property IRIs get xmlns-abbreviated (required by the
+    grammar), bnodes use rdf:nodeID."""
+    from xml.sax.saxutils import escape as esc
+    from xml.sax.saxutils import quoteattr
+
+    rows = triples.select("st", "pt", "ot").collect()
+    ns_table: dict[str, str] = {T.RDF: "rdf"}
+    by_subject: dict = {}
+    for r in rows:
+        key = (r["st"]["kind"], r["st"]["lex"])
+        by_subject.setdefault(key, (r["st"], []))[1].append((r["pt"], r["ot"]))
+
+    def prefix_for(ns: str) -> str:
+        if ns not in ns_table:
+            ns_table[ns] = f"ns{len(ns_table)}"
+        return ns_table[ns]
+
+    body = []
+    for (_, _), (st, pos) in sorted(by_subject.items()):
+        about = (
+            f" rdf:about={quoteattr(st['lex'])}"
+            if st["kind"] == T.KIND_IRI
+            else f" rdf:nodeID={quoteattr(st['lex'])}"
+        )
+        lines = [f"  <rdf:Description{about}>"]
+        for pt, ot in sorted(pos, key=lambda po: (po[0]["lex"], po[1]["lex"])):
+            split = _xml_split(pt["lex"])
+            if split is None:
+                raise ValueError(
+                    f"predicate IRI not XML-serializable: {pt['lex']}"
+                )
+            ns, local = split
+            tag = f"{prefix_for(ns)}:{local}"
+            if ot["kind"] == T.KIND_IRI:
+                lines.append(
+                    f"    <{tag} rdf:resource={quoteattr(ot['lex'])}/>"
+                )
+            elif ot["kind"] == T.KIND_BNODE:
+                lines.append(f"    <{tag} rdf:nodeID={quoteattr(ot['lex'])}/>")
+            elif ot["lang"]:
+                lines.append(
+                    f"    <{tag} xml:lang={quoteattr(ot['lang'])}>"
+                    f"{esc(ot['lex'])}</{tag}>"
+                )
+            elif ot["dt"] and ot["dt"] != T.XSD_STRING:
+                lines.append(
+                    f"    <{tag} rdf:datatype={quoteattr(ot['dt'])}>"
+                    f"{esc(ot['lex'])}</{tag}>"
+                )
+            else:
+                lines.append(f"    <{tag}>{esc(ot['lex'])}</{tag}>")
+        lines.append("  </rdf:Description>")
+        body.append("\n".join(lines))
+    xmlns = "".join(
+        f'\n    xmlns:{p}={quoteattr(ns)}' for ns, p in sorted(ns_table.items(), key=lambda kv: kv[1])
+    )
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f"<rdf:RDF{xmlns}>\n" + "\n".join(body) + "\n</rdf:RDF>\n"
+    )
+
+
+# ------------------------------------------------------ JSON-LD writer
+
+
+def jsonld_string(triples: DataFrame) -> str:
+    """(st, pt, ot) → expanded-form JSON-LD (@id / @type keyed node
+    objects in a top-level @graph array) — the shape our own reader and
+    any conformant processor accepts."""
+    import json as _json
+
+    rows = triples.select("st", "pt", "ot").collect()
+    nodes: dict = {}
+    for r in rows:
+        st, pt, ot = r["st"], r["pt"], r["ot"]
+        sid = st["lex"] if st["kind"] == T.KIND_IRI else "_:" + st["lex"]
+        node = nodes.setdefault(sid, {"@id": sid})
+        if pt["lex"] == T.RDF + "type" and ot["kind"] == T.KIND_IRI:
+            node.setdefault("@type", []).append(ot["lex"])
+            continue
+        if ot["kind"] == T.KIND_IRI:
+            val = {"@id": ot["lex"]}
+        elif ot["kind"] == T.KIND_BNODE:
+            val = {"@id": "_:" + ot["lex"]}
+        elif ot["lang"]:
+            val = {"@value": ot["lex"], "@language": ot["lang"]}
+        elif ot["dt"] and ot["dt"] != T.XSD_STRING:
+            val = {"@value": ot["lex"], "@type": ot["dt"]}
+        else:
+            val = {"@value": ot["lex"]}
+        node.setdefault(pt["lex"], []).append(val)
+    return _json.dumps(
+        {"@graph": [nodes[k] for k in sorted(nodes)]}, indent=1, sort_keys=True
+    )

@@ -316,16 +316,18 @@ class SparqlEndpoint:
                 if isinstance(q, A.ConstructQuery)
                 else engine.describe(query)
             )
-            # graph content negotiation (BigdataTurtleWriter /
-            # ConnegUtil): text/turtle → abbreviated Turtle, otherwise
-            # N-Triples
-            wants_ttl = any(
+            # graph content negotiation (ConnegUtil): Turtle, RDF/XML
+            # and JSON-LD writers; N-Triples default
+            kinds = [
                 part.split(";")[0].strip().lower()
-                in ("text/turtle", "application/x-turtle")
                 for part in (accept or "").split(",")
-            )
-            if wants_ttl:
+            ]
+            if any(k in ("text/turtle", "application/x-turtle") for k in kinds):
                 return W.turtle_string(df), "text/turtle"
+            if "application/rdf+xml" in kinds:
+                return W.rdfxml_string(df), "application/rdf+xml"
+            if "application/ld+json" in kinds:
+                return W.jsonld_string(df), "application/ld+json"
             lines = [r["value"] for r in W.ntriples_lines(df).toLocalIterator()]
             return "\n".join(lines) + ("\n" if lines else ""), "application/n-triples"
         res = engine.select(query)

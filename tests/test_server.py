@@ -207,3 +207,13 @@ def test_multitenancy_namespaces(spark):
             assert e.code == 409
     finally:
         ep.stop()
+
+
+def test_graph_negotiation_rdfxml_jsonld(endpoint):
+    q = f"PREFIX ex: <{EX}> CONSTRUCT {{ ?s ex:name ?o }} WHERE {{ ?s ex:name ?o }}"
+    status, ctype, body = _get(endpoint.url, {"query": q}, accept="application/rdf+xml")
+    assert status == 200 and ctype.startswith("application/rdf+xml")
+    assert body.startswith('<?xml version="1.0"') and "rdf:Description" in body
+    status, ctype, body = _get(endpoint.url, {"query": q}, accept="application/ld+json")
+    assert status == 200 and ctype.startswith("application/ld+json")
+    assert json.loads(body)["@graph"]

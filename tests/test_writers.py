@@ -234,3 +234,56 @@ def test_describe_cache_hits_and_invalidates(spark):
     d2 = eng.describe(q)
     assert d2 is not d1
     assert d2.count() == 2
+
+
+def test_rdfxml_roundtrip(spark, ttl_store, tmp_path):
+    from database_spark.rio.rdfxml import parse_rdfxml
+    from database_spark.rio.writers import rdfxml_string
+
+    doc = rdfxml_string(ttl_store.df)
+    assert doc.startswith('<?xml version="1.0"')
+    got = parse_rdfxml(doc)
+    want = _triple_set(ttl_store.df)
+
+    def blur(trips):
+        out = set()
+        for s, p, o in trips:
+            out.add(
+                tuple(
+                    (0, "_", None, None)
+                    if getattr(t, "kind", t[0] if isinstance(t, tuple) else None) == 2
+                    else (
+                        (t.kind, t.lex, t.dt, t.lang)
+                        if hasattr(t, "kind")
+                        else t
+                    )
+                    for t in (s, p, o)
+                )
+            )
+        return out
+
+    assert blur(got) == blur([tuple(t) for t in want])
+
+
+def test_jsonld_roundtrip(spark, ttl_store, tmp_path):
+    from database_spark.rio.reader import TRIPLE_SCHEMA  # noqa: F401
+    from database_spark.rio.jsonld import parse_jsonld
+    from database_spark.rio.writers import jsonld_string
+
+    doc = jsonld_string(ttl_store.df)
+    quads = parse_jsonld(doc)
+    got = {
+        (
+            (s.kind, s.lex if s.kind != 2 else "_", s.dt, s.lang),
+            (p.kind, p.lex, p.dt, p.lang),
+            (o.kind, o.lex if o.kind != 2 else "_", o.dt, o.lang),
+        )
+        for s, p, o, _g in quads
+    }
+    want = {
+        tuple(
+            (k[0], k[1] if k[0] != 2 else "_", k[2], k[3]) for k in trip
+        )
+        for trip in _triple_set(ttl_store.df)
+    }
+    assert got == want
