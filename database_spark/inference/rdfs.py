@@ -9,9 +9,9 @@ truth maintenance on retraction.
 Spark-native: a semi-naive fixpoint — each round evaluates every rule
 body as a DataFrame join against the current closure, unions the heads,
 anti-joins out known statements, and marks them ``inferred=1``
-(``StatementEnum`` Inferred).  Retraction = recompute closure (v1
-strategy; the reference's justification-based TM is an optimization,
-not a semantic difference).
+(``StatementEnum`` Inferred).  Retraction = justification-based DRed
+(``tm_retract`` over the JUST table the closure emits) — cost bounded
+by the affected cone, mirroring the reference's Justification index.
 
 Rules implemented (the RDFS core + OWL-lite fragment with visible
 effect on instance data):
