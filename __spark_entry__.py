@@ -293,6 +293,35 @@ def q_sparql_optional(spark, sf_dir):
     )
 
 
+def q_sparql_optional_rejoin(spark, sf_dir):
+    """Re-join a variable left NULLABLE by OPTIONAL (VERDICT r4 #1):
+    after the OPTIONAL, ?c is maybe-unbound; the orders pattern then
+    re-joins it, and SPARQL compatibility says an unbound ?c matches
+    every order.  The compiler decomposes this into a union of
+    disjoint equi-join branches (compiler._compat_join_union) so the
+    dominant bound×bound branch HASH-joins on the term id — the naive
+    isNull|isNull|eq condition would be a BroadcastNestedLoopJoin that
+    dies once both sides outgrow the broadcast threshold.  Reference
+    semantics: JVMHashJoinUtility (hash on the bound subset)."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?n_name (COUNT(?o) AS ?n_ord) (MIN(?price) AS ?min_price)
+        WHERE {{
+          ?n a t:Nation ; t:name ?n_name .
+          OPTIONAL {{ ?c a t:Customer ; t:nation ?n ; t:acctbal ?bal .
+                      FILTER(?bal > 9990) }}
+          ?o t:customer ?c ; t:totalprice ?price .
+        }} GROUP BY ?n_name""",
+        {
+            "n_name": ("n_name", "lex"),
+            "n_ord": ("n_ord", "long"),
+            "min_price": ("min_price", "double"),
+        },
+    )
+
+
 def q_sparql_union(spark, sf_dir):
     e = _graph(spark, sf_dir)
     return _sel(
@@ -816,17 +845,27 @@ def q_stream_hourly(spark, sf_dir):
 
     from database_spark.streaming.windows import hourly_event_stats, run_available_now
 
-    stage = tempfile.mkdtemp(prefix="dbspark-bench-stream-")
-    _read(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
-        stage + "/events"
-    )
+    # Stage the source copy ONCE per sf_dir (VERDICT r4 #3): the copy
+    # plus availableNow machinery was ~5 s of pure setup re-paid on
+    # every call while exec was 0.14 s.  The checkpoint dir must stay
+    # per-call (a reused checkpoint makes availableNow a no-op and the
+    # memory sink would come back empty).
+    skey = (sf_dir, "__stream_stage__")
+    if skey not in _GRAPH_CACHE:
+        stage = tempfile.mkdtemp(prefix="dbspark-bench-stream-")
+        _read(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(
+            stage + "/events"
+        )
+        _GRAPH_CACHE[skey] = stage
+    stage = _GRAPH_CACHE[skey]
+    cp = tempfile.mkdtemp(prefix="dbspark-stream-cp-")
     schema = (
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string"
     )
     stream = spark.readStream.schema(schema).parquet(stage + "/events")
     name = "q_stream_hourly"
-    q = run_available_now(hourly_event_stats(stream), name, stage + "/cp")
+    q = run_available_now(hourly_event_stats(stream), name, cp)
     q.stop()
     return spark.table(name)
 
@@ -1268,6 +1307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_filter": q_sparql_filter,
     "sparql_agg_group": q_sparql_agg_group,
     "sparql_optional": q_sparql_optional,
+    "sparql_optional_rejoin": q_sparql_optional_rejoin,
     "sparql_union": q_sparql_union,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_minus": q_sparql_minus,
@@ -1511,6 +1551,18 @@ ORACLES: dict[str, str] = {
         FROM nation LEFT JOIN
              (SELECT * FROM customer WHERE c_acctbal > 9900) c
              ON c.c_nationkey = nation.n_nationkey
+    """,
+    "sparql_optional_rejoin": """
+        WITH opt AS (
+          SELECT n.n_name, c.c_custkey
+          FROM nation n
+          LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 9990) c
+            ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT n_name, COUNT(*) AS n_ord, MIN(o_totalprice) AS min_price
+        FROM opt JOIN orders o
+          ON opt.c_custkey IS NULL OR opt.c_custkey = o.o_custkey
+        GROUP BY n_name
     """,
     "sparql_union": """
         SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'

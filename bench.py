@@ -90,20 +90,39 @@ def main() -> None:
         L.sweep(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "compile_sec": compile_sec,
-                "exec_sec": exec_sec,
-                "ingest_sec": ingest,
-                "sf": sf,
-            }
-        )
+    # The printed line is the official record and the driver captures a
+    # bounded tail of stdout, so it must stay small (the r4 record was
+    # truncated to uselessness by the 3x-sized compile/exec split):
+    # per-query walls at 2 dp only; the full compile/exec detail goes
+    # to a committed BENCH_DETAIL.json instead.
+    detail = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "compile_sec": compile_sec,
+        "exec_sec": exec_sec,
+        "ingest_sec": ingest,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+        f.write("\n")
+    line = json.dumps(
+        {
+            "metric": "total_query_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in timings.items()},
+            "ingest_sec": round(ingest, 2),
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(line)
 
 
 if __name__ == "__main__":

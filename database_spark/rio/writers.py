@@ -111,7 +111,13 @@ def _n3_py(t) -> str:
         return f"<{lex}>"
     if kind == T.KIND_BNODE:
         return f"_:{lex}"
-    esc = lex.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    esc = (
+        lex.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
     if t["lang"]:
         return f'"{esc}"@{t["lang"]}'
     if t["dt"] and t["dt"] != T.XSD_STRING:
@@ -138,17 +144,25 @@ def results_tsv(result) -> str:
 # --------------------------------------------------- distributed N-Triples
 
 
+def _esc_literal(lex: Column) -> Column:
+    """Escape a literal's lexical form for STRING_LITERAL_QUOTE (shared
+    by the N-Triples and Turtle writers).  Mirrors the reference's
+    Sesame ``TurtleUtil.encodeString``: backslash, quote, and the \\t
+    \\n \\r control characters — a raw CR/TAB inside a quoted string is
+    forbidden by the grammar, so CRLF text must be escaped or the dump
+    does not round-trip."""
+    esc = F.regexp_replace(lex, r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, '"', '\\\\"')
+    esc = F.regexp_replace(esc, "\t", r"\\t")
+    esc = F.regexp_replace(esc, "\n", r"\\n")
+    return F.regexp_replace(esc, "\r", r"\\r")
+
+
 def n3_col(t: Column) -> Column:
     """Term struct → its N3 lexical form, as a pure column expression
     (stays in codegen for arbitrarily large dumps)."""
     lex = t.getField("lex")
-    esc = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(lex, r"\\", r"\\\\"), '"', '\\\\"'
-        ),
-        "\n",
-        r"\\n",
-    )
+    esc = _esc_literal(lex)
     return (
         F.when(t.getField("kind") == T.KIND_IRI, F.concat(F.lit("<"), lex, F.lit(">")))
         .when(t.getField("kind") == T.KIND_BNODE, F.concat(F.lit("_:"), lex))
@@ -238,8 +252,12 @@ def _ttl_iri(lex: Column, prefixes: dict) -> Column:
     """IRI lexical → prefixed name where a namespace matches and the
     local part is PN_LOCAL-safe, else <IRI>."""
     out = F.concat(F.lit("<"), lex, F.lit(">"))
-    # longest namespace first so nested namespaces pick the tightest
-    for pfx, ns in sorted(prefixes.items(), key=lambda kv: -len(kv[1])):
+    # Build the CASE chain shortest-namespace-first: each later F.when
+    # wraps the previous chain, so the LAST namespace added is evaluated
+    # first at runtime — iterating shortest-first puts the longest
+    # (tightest) namespace outermost, which is what nested prefixes
+    # (ex:/exsub:) need to pick the tighter match.
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: len(kv[1])):
         local = F.substring(lex, len(ns) + 1, 2_000_000_000)
         out = F.when(
             lex.startswith(ns) & local.rlike(_PN_LOCAL_RE),
@@ -259,13 +277,7 @@ def ttl_term(t: Column, prefixes: dict) -> Column:
         | ((dt == T.XSD_DOUBLE) & lex.rlike(_DBL_RE))
         | ((dt == T.XSD_BOOLEAN) & lex.isin("true", "false"))
     )
-    esc = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(lex, r"\\", r"\\\\"), '"', '\\\\"'
-        ),
-        "\n",
-        r"\\n",
-    )
+    esc = _esc_literal(lex)
     return (
         F.when(t.getField("kind") == T.KIND_IRI, _ttl_iri(lex, prefixes))
         .when(t.getField("kind") == T.KIND_BNODE, F.concat(F.lit("_:"), lex))

@@ -45,6 +45,11 @@ CONTENT_TYPES = {
 }
 
 
+class InvalidNamespaceName(ValueError):
+    """Malformed namespace name — a 400-class client error, distinct
+    from the 409 'already exists' conflict (MultiTenancyServlet)."""
+
+
 def _negotiate(accept: str) -> str:
     for part in (accept or "").split(","):
         fmt = RESULT_MEDIA.get(part.split(";")[0].strip().lower())
@@ -180,7 +185,11 @@ class SparqlEndpoint:
                     try:
                         endpoint.create_namespace(name)
                         self._reply(201, f"CREATED: {name}", "text/plain")
+                    except InvalidNamespaceName as e:
+                        self._reply(400, str(e), "text/plain")
                     except Exception as e:  # noqa: BLE001
+                        # 409 is reserved for the duplicate-namespace
+                        # conflict (MultiTenancyServlet contract)
                         self._reply(409, str(e), "text/plain")
                     return
                 self._run(params, engine=self._route_engine())
@@ -271,7 +280,7 @@ class SparqlEndpoint:
         from .store import TripleStore
 
         if not _re.fullmatch(r"[A-Za-z0-9_.-]+", name or ""):
-            raise ValueError(f"invalid namespace name {name!r}")
+            raise InvalidNamespaceName(f"invalid namespace name {name!r}")
         if name in self.engines:
             raise ValueError(f"namespace {name!r} already exists")
         spark = self.engine.store.spark

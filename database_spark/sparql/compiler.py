@@ -419,10 +419,30 @@ class Compiler:
         return self.scan_pattern(tp, graph)
 
     # ------------------------------------------------------------- joins
+    #: decompose a maybe-unbound compatibility join into a union of
+    #: equi-join branches for up to this many nullable shared vars
+    #: (3^k branches worst case; beyond it the single OR-condition
+    #: join is used — k>2 requires ≥3 stacked OPTIONAL/UNIONs all
+    #: re-joined at once, which no observed workload produces)
+    _COMPAT_UNION_MAX_VARS = 2
+
     def join(self, left: Sol, right: Sol, how: str = "inner", extra=None) -> Sol:
-        """SPARQL join: equi on shared vars; null-compatible condition
-        only where a shared var is possibly unbound (OPTIONAL output),
-        matching the semantics of JVMHashJoinUtility solution joins."""
+        """SPARQL join: equi on shared vars; null-compatible semantics
+        where a shared var is possibly unbound (OPTIONAL/UNION output),
+        matching JVMHashJoinUtility solution joins.
+
+        Scale note: the naive encoding of compatibility —
+        ``isNull(l) | isNull(r) | (l == r)`` — is a non-equi condition
+        Catalyst cannot hash-partition, so it degrades to
+        BroadcastNestedLoopJoin the moment both sides outgrow the
+        broadcast threshold.  For inner joins we instead decompose into
+        a union of DISJOINT equi-join branches (split each side on
+        null/not-null of the nullable var): the bound×bound branch — the
+        bulk of the data — hash-joins on the id, and only the tiny
+        null-side branches pay a cross product, which is semantically
+        irreducible (an unbound var matches every row).  This is the
+        Spark analog of the reference hashing on the bound subset of
+        the join vars (``JVMHashJoinUtility.java``)."""
         if not left.vars and how == "inner" and extra is None:
             if left.df is not None and not left.df.columns:
                 return right
@@ -430,26 +450,33 @@ class Compiler:
         rdf = right.df
         for c in rdf.columns:
             rdf = rdf.withColumnRenamed(c, RPFX + c)
+        mu_vars = [
+            v
+            for v in sorted(shared)
+            if v in left.maybe_unbound or v in right.maybe_unbound
+        ]
         conds = []
-        slow = False
         for v in sorted(shared):
-            li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
-            if v in left.maybe_unbound or v in right.maybe_unbound:
-                conds.append(li.isNull() | ri.isNull() | (li == ri))
-                slow = True
-            else:
-                conds.append(li == ri)
+            if v in mu_vars:
+                continue
+            conds.append(F.col(v + "__id") == F.col(RPFX + v + "__id"))
         if extra is not None:
             conds.append(extra)
-        cond = None
-        if conds:
-            cond = conds[0]
-            for c in conds[1:]:
-                cond = cond & c
-        if cond is None:
-            joined = left.df.crossJoin(rdf) if how == "inner" else left.df.join(rdf, F.lit(True), how)
+        if mu_vars and how == "inner" and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS:
+            joined = self._compat_join_union(left, right, rdf, mu_vars, conds)
         else:
-            joined = left.df.join(rdf, cond, how)
+            for v in mu_vars:
+                li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
+                conds.append(li.isNull() | ri.isNull() | (li == ri))
+            cond = None
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+            if cond is None:
+                joined = left.df.crossJoin(rdf) if how == "inner" else left.df.join(rdf, F.lit(True), how)
+            else:
+                joined = left.df.join(rdf, cond, how)
         out_vars = left.vars | right.vars
         sel = []
         for v in sorted(out_vars):
@@ -471,8 +498,62 @@ class Compiler:
             mu -= {v for v in shared if v not in left.maybe_unbound or v not in right.maybe_unbound}
         else:  # left outer: all right-only vars become optional
             mu |= right.maybe_unbound | (right.vars - left.vars)
-        _ = slow
         return Sol(joined.select(*sel), out_vars, mu & out_vars)
+
+    def _compat_join_union(
+        self, left: Sol, right: Sol, rdf: DataFrame, mu_vars: list, base_conds: list
+    ) -> DataFrame:
+        """Inner compatibility join over possibly-unbound shared vars as
+        a union of disjoint equi-join branches (see ``join`` docstring).
+
+        Per nullable var, the (left-row, right-row) pair space splits
+        into: left-null × anything, left-bound × right-null, and
+        left-bound × right-bound with an EQUI id condition; sides where
+        the var is certainly bound skip their null branch.  Branches
+        are disjoint by construction so bag semantics are preserved,
+        and every branch containing the bound×bound case carries only
+        equi conditions — Catalyst hash-joins it."""
+        branches = [([], [], [])]  # (left filters, right filters, equi conds)
+        for v in mu_vars:
+            li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
+            lmu = v in left.maybe_unbound
+            rmu = v in right.maybe_unbound
+            cases = []
+            if lmu:
+                cases.append(([li.isNull()], [], []))
+                if rmu:
+                    cases.append(([li.isNotNull()], [ri.isNull()], []))
+                    cases.append(([li.isNotNull()], [ri.isNotNull()], [li == ri]))
+                else:
+                    cases.append(([li.isNotNull()], [], [li == ri]))
+            else:  # rmu only
+                cases.append(([], [ri.isNull()], []))
+                cases.append(([], [ri.isNotNull()], [li == ri]))
+            branches = [
+                (lf + clf, rf + crf, cs + ccs)
+                for lf, rf, cs in branches
+                for clf, crf, ccs in cases
+            ]
+        out = None
+        for lfs, rfs, cs in branches:
+            ldf = left.df
+            for f in lfs:
+                ldf = ldf.where(f)
+            rd = rdf
+            for f in rfs:
+                rd = rd.where(f)
+            conds = base_conds + cs
+            if conds:
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                b = ldf.join(rd, cond, "inner")
+            else:
+                # unbound side matches everything: the cross product is
+                # the semantics, confined to the (small) null partition
+                b = ldf.crossJoin(rd)
+            out = b if out is None else out.unionByName(b)
+        return out
 
     def leftjoin(self, left: Sol, right: Sol, filters: list, graph) -> Sol:
         """OPTIONAL: LeftJoin(left, right, F) — F evaluated as part of

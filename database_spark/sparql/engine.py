@@ -10,6 +10,7 @@ Catalyst.  Query forms SELECT/ASK/CONSTRUCT/DESCRIBE
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -92,8 +93,13 @@ class SparqlEngine:
         #: retraction fast path; populated by _recompute_entailments
         self._tm_justs = None
         #: DESCRIBE plan cache (DescribeCacheServlet analog), keyed by
-        #: (query text, mode); cleared on every mutation
-        self._describe_cache: dict = {}
+        #: (query text, mode); cleared on every mutation.  LRU-bounded:
+        #: the reference's DescribeCache is a managed index, not an
+        #: unbounded map — a long-lived endpoint fed parameterized
+        #: DESCRIBE texts must not grow driver memory (each entry pins
+        #: its compiled DataFrame lineage) without limit.
+        self._describe_cache: "OrderedDict" = OrderedDict()
+        self._describe_cache_max = 64
         self.services = default_services()
         if (
             geo_datatype_configs is not None
@@ -421,9 +427,12 @@ class SparqlEngine:
         key = (text, mode)
         hit = self._describe_cache.get(key)
         if hit is not None:
+            self._describe_cache.move_to_end(key)
             return hit
         out = self._describe_uncached(text, mode)
         self._describe_cache[key] = out
+        while len(self._describe_cache) > self._describe_cache_max:
+            self._describe_cache.popitem(last=False)
         return out
 
     def _describe_uncached(self, text: str, mode: str) -> DataFrame:

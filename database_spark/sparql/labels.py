@@ -75,8 +75,12 @@ def make_label_service() -> dict:
         new_vars = set(sol.vars)
         mu = set(sol.maybe_unbound)
         for v, lv in pairs:
+            # No explicit broadcast hint: the rdfs:label aggregate is
+            # unbounded on a label-heavy store, so forcing a broadcast
+            # risks driver/executor OOM at scale.  AQE picks broadcast
+            # automatically when the aggregate is actually small.
             df = df.join(
-                F.broadcast(best),
+                best,
                 df[v + "__id"] == best["__ls"],
                 "left_outer",
             )
