@@ -433,6 +433,7 @@ def tm_retract(
     justs: DataFrame,
     deleted: DataFrame,
     max_iter: int | None = None,
+    with_delta: bool = False,
 ):
     """Justification-based truth maintenance for retraction — the DRed
     (delete-and-rederive) algorithm over the justification table, the
@@ -447,7 +448,12 @@ def tm_retract(
     ``deleted`` — DataFrame with term columns st/pt/ot of the retracted
                   explicit statements (ids derived content-hash-side).
 
-    Returns ``(new_store, new_justs)``.
+    Returns ``(new_store, new_justs)``; with ``with_delta=True``,
+    ``(new_store, new_justs, (added_rows, removed_rows))`` where the
+    delta DataFrames carry the statements this retraction actually
+    added (explicit statements resurrected as inferences) and removed
+    (unsupported inferred statements) — the changesets API's
+    truth-maintenance feed (reference: IChangeLog + TruthMaintenance).
 
     Cost: every job is a hash join keyed on statement ids between the
     checkpointed justification table and the (cone-sized) frontier —
@@ -608,7 +614,27 @@ def tm_retract(
         .drop("jid")
     )
     out_df = L.checkpoint(new_df)
+    delta = None
+    if with_delta:
+        # materialize BEFORE freeing the checkpointed inputs they read
+        # (a lazy plan over freed blocks dies at runtime)
+        rm_rows = L.checkpoint(
+            store.df.join(
+                rm,
+                F.col("g").isNull()
+                & (F.col("s") == F.col("xs"))
+                & (F.col("p") == F.col("xp"))
+                & (F.col("o") == F.col("xo")),
+                "left_semi",
+            ).select("st", "pt", "ot", "gt", "inferred")
+        )
+        add_rows = L.checkpoint(
+            resurrected.select("st", "pt", "ot", "gt", "inferred")
+        )
+        delta = (add_rows, rm_rows)
     L.free(D, je, remaining, removed, explicit_now)
     if over is not D:
         L.free(over)
+    if with_delta:
+        return TripleStore(spark, out_df), new_justs, delta
     return TripleStore(spark, out_df), new_justs

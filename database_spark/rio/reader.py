@@ -413,6 +413,47 @@ def read_trig(spark: SparkSession, path: str) -> DataFrame:
     return read_turtle(spark, path)
 
 
+#: RDF document MIME type → parser family (InsertServlet/DeleteServlet
+#: POST-with-body content negotiation; the reference resolves these via
+#: the Sesame RDFParserRegistry)
+RDF_BODY_TYPES = {
+    "application/n-triples": "nt",
+    "text/plain": "nt",  # legacy NT mime, as in the reference
+    "application/n-quads": "nt",
+    "text/x-nquads": "nt",
+    "text/turtle": "ttl",
+    "application/x-turtle": "ttl",
+    "application/trig": "ttl",
+    "application/rdf+xml": "rdfxml",
+    "application/ld+json": "jsonld",
+}
+
+
+def parse_rdf_body(text: str, content_type: str) -> list:
+    """RDF document body → driver-side quad list [(s,p,o,g|None)],
+    dispatched on MIME type (the InsertServlet POST-with-body parse).
+    Raises ValueError for non-RDF content types."""
+    kind = RDF_BODY_TYPES.get((content_type or "").split(";")[0].strip().lower())
+    if kind is None:
+        raise ValueError(f"Content-Type not recognized as RDF: {content_type!r}")
+    if kind == "nt":
+        out = []
+        for line in text.splitlines():
+            q = parse_nt_line(line)
+            if q:
+                out.append(q)
+        return out
+    if kind == "ttl":
+        return TurtleParser(text).parse()
+    if kind == "rdfxml":
+        from .rdfxml import parse_rdfxml
+
+        return [(s, p, o, None) for (s, p, o) in parse_rdfxml(text)]
+    from .jsonld import parse_jsonld
+
+    return parse_jsonld(text)
+
+
 def read_rdf(spark: SparkSession, path: str, distributed: bool = False) -> DataFrame:
     if path.endswith((".nt", ".nq")):
         return read_ntriples(spark, path, distributed)

@@ -171,6 +171,33 @@ class SparqlEndpoint:
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                from .rio.reader import RDF_BODY_TYPES
+
+                if ctype in RDF_BODY_TYPES:
+                    # direct data POST (InsertServlet doPostWithBody):
+                    # the body IS an RDF document; insert it into the
+                    # addressed namespace, optionally into ?context-uri=
+                    eng = self._route_engine()
+                    if eng is None:
+                        return
+                    qs = {
+                        k: v[0]
+                        for k, v in urllib.parse.parse_qs(u.query).items()
+                    }
+                    try:
+                        count, ms = endpoint.insert_document(
+                            raw, ctype, engine=eng, context=qs.get("context-uri")
+                        )
+                    except ValueError as e:
+                        self._reply(400, str(e), "text/plain")
+                        return
+                    self._reply(
+                        200,
+                        '<?xml version="1.0"?>'
+                        f'<data modified="{count}" milliseconds="{ms}"/>',
+                        "application/xml",
+                    )
+                    return
                 if ctype == "application/sparql-query":
                     params = {"query": raw}
                 elif ctype == "application/sparql-update":
@@ -195,11 +222,8 @@ class SparqlEndpoint:
                 self._run(params, engine=self._route_engine())
 
             def do_DELETE(self):
-                parts = [
-                    p
-                    for p in urllib.parse.urlparse(self.path).path.split("/")
-                    if p
-                ]
+                u = urllib.parse.urlparse(self.path)
+                parts = [p for p in u.path.split("/") if p]
                 if len(parts) == 2 and parts[0] == "namespace":
                     try:
                         endpoint.delete_namespace(parts[1])
@@ -209,7 +233,37 @@ class SparqlEndpoint:
                     except ValueError as e:
                         self._reply(409, str(e), "text/plain")
                     return
-                self._reply(404, "not found", "text/plain")
+                # DeleteServlet surface on the sparql resource:
+                # * RDF body → remove exactly those statements
+                # * otherwise → access-path delete by ?s=&p=&o=&c=
+                eng = self._route_engine()
+                if eng is None:
+                    return
+                nbytes = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(nbytes).decode() if nbytes else ""
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                from .rio.reader import RDF_BODY_TYPES
+
+                params = {
+                    k: v[0]
+                    for k, v in urllib.parse.parse_qs(
+                        u.query, keep_blank_values=True
+                    ).items()
+                }
+                try:
+                    if raw and ctype in RDF_BODY_TYPES:
+                        count, ms = endpoint.delete_document(raw, ctype, engine=eng)
+                    else:
+                        count, ms = endpoint.delete_pattern(params, engine=eng)
+                except ValueError as e:
+                    self._reply(400, str(e), "text/plain")
+                    return
+                self._reply(
+                    200,
+                    '<?xml version="1.0"?>'
+                    f'<data modified="{count}" milliseconds="{ms}"/>',
+                    "application/xml",
+                )
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
@@ -224,6 +278,75 @@ class SparqlEndpoint:
             if params.get(key):
                 out[arg] = parse_term(params[key])
         return out
+
+    # ------------------------------------------- direct data endpoints
+    def _count_change(self, engine, run, side: str) -> tuple[int, int]:
+        """Run a mutation with a throwaway change listener and report
+        (modified-count, milliseconds) — the reference servlets report
+        the ACTUAL mutation count, not the parsed statement count."""
+        import time as _t
+
+        got = {"n": 0}
+
+        def _listen(cs):
+            got["n"] = (cs.added if side == "added" else cs.removed).count()
+
+        engine.add_change_listener(_listen)
+        t0 = _t.time()
+        try:
+            run()
+        finally:
+            engine.remove_change_listener(_listen)
+        return got["n"], int((_t.time() - t0) * 1000)
+
+    def insert_document(
+        self, body: str, content_type: str, engine=None, context: str | None = None
+    ) -> tuple[int, int]:
+        """POST-with-body insert (InsertServlet.doPostWithBody): parse
+        the RDF document and insert; ``context`` overrides the target
+        graph (the servlet's context-uri parameter)."""
+        from .rio.reader import parse_rdf_body
+        from .terms import Term
+
+        engine = engine or self.engine
+        quads = parse_rdf_body(body, content_type)
+        if context:
+            g = Term.iri(context)
+            quads = [(s, p, o, g) for (s, p, o, _gg) in quads]
+        return self._count_change(
+            engine, lambda: engine.insert_statements(quads), "added"
+        )
+
+    def delete_document(
+        self, body: str, content_type: str, engine=None
+    ) -> tuple[int, int]:
+        """DELETE-with-body (DeleteServlet.doDeleteWithBody): remove
+        exactly the statements in the RDF document."""
+        from .rio.reader import parse_rdf_body
+
+        engine = engine or self.engine
+        quads = parse_rdf_body(body, content_type)
+        return self._count_change(
+            engine, lambda: engine.remove_statements(quads), "removed"
+        )
+
+    def delete_pattern(self, params: dict, engine=None) -> tuple[int, int]:
+        """Access-path delete (DeleteServlet.doDeleteWithAccessPath):
+        remove every statement matching ?s=&p=&o=&c= (absent = wildcard;
+        no c wildcards the context, like the reference in quads mode)."""
+        engine = engine or self.engine
+        spoc = self._spoc(params)
+        return self._count_change(
+            engine,
+            lambda: engine.remove_pattern(
+                s=spoc.get("s"),
+                p=spoc.get("p"),
+                o=spoc.get("o"),
+                g=spoc.get("g"),
+                from_all_graphs="g" not in spoc,
+            ),
+            "removed",
+        )
 
     def estcard(self, params: dict, engine=None) -> str:
         """Fast range count of a (s,p,o,c) pattern — XML contract of the

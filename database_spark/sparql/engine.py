@@ -125,8 +125,65 @@ class SparqlEngine:
         # the rule-pruned semi-naive closure, which also refreshes the
         # justification table.
         self.maintain_entailments = maintain_entailments
+        #: changeset subscribers (reference: IChangeLog.java /
+        #: InMemChangeLog.java): each gets one ChangeSet per update()
+        #: call with the statements actually added/removed.  Delta
+        #: tracking only runs while this list is non-empty.
+        self._change_listeners: list = []
+        self._cs_added: list = []
+        self._cs_removed: list = []
         if services:
             self.services.update(services)
+
+    # --------------------------------------------------------- changesets
+    def add_change_listener(self, fn) -> None:
+        """Subscribe ``fn(ChangeSet)`` to per-commit deltas
+        (IChangeLog.changeEvent analog, batched per commit)."""
+        self._change_listeners.append(fn)
+
+    def remove_change_listener(self, fn) -> None:
+        self._change_listeners.remove(fn)
+
+    @property
+    def _track_changes(self) -> bool:
+        return bool(self._change_listeners)
+
+    _CS_COLS = ("st", "pt", "ot", "gt", "inferred")
+
+    def _cs_empty(self) -> DataFrame:
+        from pyspark.sql.types import ByteType, StructField, StructType
+
+        schema = StructType(
+            [StructField(c, T.TERM_TYPE, True) for c in ("st", "pt", "ot", "gt")]
+            + [StructField("inferred", ByteType(), True)]
+        )
+        return self.store.spark.createDataFrame([], schema)
+
+    @staticmethod
+    def _stmt_join(big: DataFrame, keys: DataFrame, anti: bool = False) -> DataFrame:
+        """Rows of ``big`` whose (s,p,o,g) statement identity is (semi)
+        / is not (anti) present in ``keys`` — null-safe on g (NULL g =
+        default graph).  ``big`` stays the streamed side: one scan of
+        the store per mutation op, candidates hash/broadcast."""
+        k = keys.select(
+            F.col("s").alias("__cs"),
+            F.col("p").alias("__cp"),
+            F.col("o").alias("__co"),
+            F.col("g").alias("__cg"),
+        ).dropDuplicates()
+        cond = (
+            (F.col("s") == F.col("__cs"))
+            & (F.col("p") == F.col("__cp"))
+            & (F.col("o") == F.col("__co"))
+            & F.col("g").eqNullSafe(F.col("__cg"))
+        )
+        return big.join(k, cond, "left_anti" if anti else "left_semi")
+
+    def _cs_track(self, added: DataFrame | None = None, removed: DataFrame | None = None) -> None:
+        if added is not None:
+            self._cs_added.append(added.select(*self._CS_COLS))
+        if removed is not None:
+            self._cs_removed.append(removed.select(*self._CS_COLS))
 
     # ------------------------------------------------------------ queries
     @staticmethod
@@ -553,8 +610,27 @@ class SparqlEngine:
     # ------------------------------------------------------------ update
     def update(self, text: str) -> None:
         """Execute SPARQL UPDATE ops in order, replacing self.store
-        (AST2BOpUpdate.convertUpdateSwitch dispatch)."""
-        for op in parse_update(text):
+        (AST2BOpUpdate.convertUpdateSwitch dispatch).
+
+        When change listeners are subscribed, the statements actually
+        added/removed across the whole call (one commit, including
+        truth-maintenance consequences) are delivered as one ChangeSet
+        after the last op (IChangeLog.transactionCommitted analog)."""
+        self._run_update_ops(parse_update(text))
+
+    def insert_statements(self, quads: list) -> None:
+        """Insert driver-parsed statements [(s,p,o,g|None) Terms] with
+        full commit bookkeeping (TM, caches, changesets) — the engine
+        half of the reference's InsertServlet POST-with-body path."""
+        self._run_update_ops([A.InsertData(triples=list(quads))])
+
+    def remove_statements(self, quads: list) -> None:
+        """Remove driver-parsed statements; DeleteServlet body path."""
+        self._run_update_ops([A.DeleteData(triples=list(quads))])
+
+    def _run_update_ops(self, ops: list) -> None:
+        self._cs_added, self._cs_removed = [], []
+        for op in ops:
             mutates = isinstance(
                 op, (A.InsertData, A.DeleteData, A.Modify, A.LoadUpdate, A.ClearUpdate, A.DropUpdate, A.CopyMoveAdd)
             )
@@ -576,35 +652,129 @@ class SparqlEngine:
                     self._tm_retract(self._quads_df(op.triples))
                 else:
                     self._recompute_entailments()
+        self._fire_changeset()
+
+    def _fire_changeset(self) -> None:
+        """Deliver the accumulated commit delta to subscribers
+        (IChangeLog.transactionCommitted analog)."""
+        if not (self._track_changes and (self._cs_added or self._cs_removed)):
+            return
+        from ..changesets import ChangeSet
+
+        def _u(parts):
+            if not parts:
+                return self._cs_empty()
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        cs = ChangeSet(added=_u(self._cs_added), removed=_u(self._cs_removed))
+        self._cs_added, self._cs_removed = [], []
+        for fn in list(self._change_listeners):
+            fn(cs)
+
+    def remove_pattern(
+        self, s=None, p=None, o=None, g=None, from_all_graphs: bool = False
+    ) -> None:
+        """Access-path delete (reference DeleteServlet
+        ``doDeleteWithAccessPath``): remove every statement matching the
+        (s,p,o,g) pattern, None = wildcard.  By default a None g means
+        the DEFAULT graph (the servlet's triples-mode behavior);
+        ``from_all_graphs=True`` wildcards the context.  Runs with full
+        commit bookkeeping: the matching set stays a DataFrame end to
+        end (never driver-enumerated), truth maintenance retracts
+        consequences, and change listeners get the exact delta."""
+        self._cs_added, self._cs_removed = [], []
+        df = self.store.df
+        cond = F.lit(True)
+        for col, term in (("s", s), ("p", p), ("o", o)):
+            if term is not None:
+                cond = cond & (F.col(col) == T.term_id(T.lit_term(term)))
+        if g is not None:
+            cond = cond & (F.col("g") == T.term_id(T.lit_term(g)))
+        elif not from_all_graphs:
+            cond = cond & F.col("g").isNull()
+        matches = df.where(cond)
+        if self._track_changes:
+            self._cs_track(removed=matches)
+        self.store = self.store.remove(matches.select("st", "pt", "ot", "gt"))
+        self._backchain_maps = None
+        self._describe_cache.clear()
+        if self.maintain_entailments:
+            if self._tm_justs is not None and g is None and not from_all_graphs:
+                self._tm_retract(matches.select("st", "pt", "ot"))
+            else:
+                self._recompute_entailments()
+        self._fire_changeset()
 
     def _tm_retract(self, deleted) -> None:
         from ..inference.rdfs import tm_retract
 
-        self.store, self._tm_justs = tm_retract(
-            self.store, self._tm_justs, deleted
-        )
+        if self._track_changes:
+            self.store, self._tm_justs, (tm_add, tm_rm) = tm_retract(
+                self.store, self._tm_justs, deleted, with_delta=True
+            )
+            self._cs_track(added=tm_add, removed=tm_rm)
+        else:
+            self.store, self._tm_justs = tm_retract(
+                self.store, self._tm_justs, deleted
+            )
 
     def _recompute_entailments(self) -> None:
         """Re-derive the closure from the current explicit statements,
         refreshing the justification table that the retraction fast
         path (``tm_retract``) consumes."""
         from ..inference.rdfs import rdfs_closure
-        from ..store import TripleStore as TS
+        from ..store import EXPLICIT, TripleStore as TS
 
+        before_inf = None
+        if self._track_changes:
+            # inferred-statement delta: diff bounded to the inferred
+            # rows (explicit deltas are tracked by the op branches);
+            # O(closure), same order as the recompute itself
+            before_inf = self.store.df.where(F.col("inferred") != EXPLICIT)
         explicit = TS(self.store.spark, self.store.explicit())
         self.store, self._tm_justs = rdfs_closure(
             explicit, with_justifications=True
         )
+        if before_inf is not None:
+            after_inf = self.store.df.where(F.col("inferred") != EXPLICIT)
+            self._cs_track(
+                added=self._stmt_join(after_inf, before_inf, anti=True),
+                removed=self._stmt_join(before_inf, after_inf, anti=True),
+            )
+
+    def _track_insert(self, cand: DataFrame, before: DataFrame) -> None:
+        """added = candidates not already present (only actually-written
+        statements notify, like the reference's index-write check)."""
+        from ..store import _with_ids
+
+        cand = _with_ids(cand)
+        existing = self._stmt_join(before, cand)  # one store scan
+        self._cs_track(added=self._stmt_join(cand, existing, anti=True))
+
+    def _track_delete(self, cand: DataFrame, before: DataFrame) -> None:
+        from ..store import _with_ids
+
+        self._cs_track(removed=self._stmt_join(before, _with_ids(cand)))
 
     def _update_one(self, op) -> None:
         spark = self.store.spark
+        track = self._track_changes
         if isinstance(op, A.InsertData):
+            qdf = self._quads_df(op.triples)
+            if track:
+                self._track_insert(qdf, self.store.df)
             self.store = self.store.add(
-                self._quads_df(op.triples),
+                qdf,
                 other_has_named=any(q[3] is not None for q in op.triples),
             )
         elif isinstance(op, A.DeleteData):
-            self.store = self.store.remove(self._quads_df(op.triples))
+            qdf = self._quads_df(op.triples)
+            if track:
+                self._track_delete(qdf, self.store.df)
+            self.store = self.store.remove(qdf)
         elif isinstance(op, A.Modify):
             g = op.with_graph
             if op.using:
@@ -620,9 +790,13 @@ class SparqlEngine:
             sol = Sol(sol.df.localCheckpoint(), sol.vars, sol.maybe_unbound)
             if op.delete_templates:
                 dels = self._instantiate(sol, op.delete_templates, g)
+                if track:
+                    self._track_delete(dels, self.store.df)
                 self.store = self.store.remove(dels)
             if op.insert_templates:
                 ins = self._instantiate(sol, op.insert_templates, g)
+                if track:
+                    self._track_insert(ins, self.store.df)
                 self.store = self.store.add(ins, other_has_named=g is not None)
         elif isinstance(op, A.LoadUpdate):
             from ..rio.reader import read_rdf
@@ -633,6 +807,8 @@ class SparqlEngine:
             df = read_rdf(spark, path)
             if op.graph is not None:
                 df = df.withColumn("gt", T.lit_term(op.graph))
+            if track:
+                self._track_insert(df, self.store.df)
             self.store = self.store.add(df)
         elif isinstance(op, (A.ClearUpdate, A.DropUpdate)):
             tgt = op.target
@@ -647,12 +823,22 @@ class SparqlEngine:
                 kept = df.where(
                     F.col("g").isNull() | (F.col("g") != T.term_id(T.lit_term(tgt)))
                 )
+            if track:
+                # removed = complement of kept (bounded to the cleared
+                # graph's rows; no full-store diff)
+                self._cs_track(removed=self._stmt_join(df, kept, anti=True))
             self.store = TripleStore(spark, kept)
         elif isinstance(op, A.EntailmentsUpdate):
             # AST2BOpUpdate.java:400-458 Create/Drop/Enable/DisableEntailments
             if op.op == "CREATE":
                 self._recompute_entailments()
             elif op.op == "DROP":
+                if track:
+                    from ..store import EXPLICIT
+
+                    self._cs_track(
+                        removed=self.store.df.where(F.col("inferred") != EXPLICIT)
+                    )
                 self.store = TripleStore(spark, self.store.explicit())
             elif op.op == "ENABLE":
                 self.maintain_entailments = True
@@ -682,7 +868,17 @@ class SparqlEngine:
                 base = base.where(~graph_cond(op.dst))  # overwrite destination
             if op.op == "MOVE":
                 base = base.where(~graph_cond(op.src))
-            self.store = TripleStore(spark, base).add(moved)
+            new_store = TripleStore(spark, base).add(moved)
+            if track:
+                # delta bounded to the src/dst graphs (never full-store)
+                aff = graph_cond(op.src) | graph_cond(op.dst)
+                b_aff = df.where(aff)
+                a_aff = new_store.df.where(aff)
+                self._cs_track(
+                    added=self._stmt_join(a_aff, b_aff, anti=True),
+                    removed=self._stmt_join(b_aff, a_aff, anti=True),
+                )
+            self.store = new_store
         else:
             raise TypeError(f"unsupported update {type(op)}")
 

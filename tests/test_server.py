@@ -2,6 +2,7 @@
 UpdateServlet — the NanoSparqlServer REST surface)."""
 
 import json
+import urllib.error
 import urllib.parse
 import urllib.request
 
@@ -217,3 +218,84 @@ def test_graph_negotiation_rdfxml_jsonld(endpoint):
     status, ctype, body = _get(endpoint.url, {"query": q}, accept="application/ld+json")
     assert status == 200 and ctype.startswith("application/ld+json")
     assert json.loads(body)["@graph"]
+
+
+# ----------------------------- direct data endpoints (Insert/DeleteServlet)
+
+
+def _req(url, method, body=None, ctype=None):
+    req = urllib.request.Request(
+        url,
+        data=body.encode() if body is not None else None,
+        method=method,
+        headers={"Content-Type": ctype} if ctype else {},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read().decode()
+
+
+def _modified(body: str) -> int:
+    import re
+
+    return int(re.search(r'modified="(\d+)"', body).group(1))
+
+
+def test_direct_data_post_turtle_and_nt_then_delete(spark):
+    """InsertServlet POST-with-body + DeleteServlet access-path/body
+    round-trip over real HTTP (VERDICT r4 Next #5)."""
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        ttl = (
+            f"@prefix ex: <{EX}> .\n"
+            'ex:x ex:name "X" .\n'
+            'ex:y ex:name "Y" .\n'
+        )
+        st, body = _req(ep.url, "POST", ttl, "text/turtle")
+        assert st == 200 and _modified(body) == 2
+        # N-Triples: one new statement + one duplicate → modified=1
+        nt = (
+            f'<{EX}z> <{EX}name> "Z" .\n'
+            f'<{EX}x> <{EX}name> "X" .\n'
+        )
+        st, body = _req(ep.url, "POST", nt, "application/n-triples")
+        assert st == 200 and _modified(body) == 1
+        st, _, out = _get(ep.url, {"query": "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"})
+        assert json.loads(out)["results"]["bindings"][0]["n"]["value"] == "3"
+
+        # access-path delete: all statements about ex:x
+        st, body = _req(ep.url + "?" + urllib.parse.urlencode({"s": f"<{EX}x>"}), "DELETE")
+        assert st == 200 and _modified(body) == 1
+        # body delete: remove ex:y by document
+        st, body = _req(ep.url, "DELETE", f'<{EX}y> <{EX}name> "Y" .\n', "application/n-triples")
+        assert st == 200 and _modified(body) == 1
+        st, _, out = _get(ep.url, {"query": "SELECT ?s WHERE { ?s ?p ?o }"})
+        vals = [b["s"]["value"] for b in json.loads(out)["results"]["bindings"]]
+        assert vals == [EX + "z"]
+    finally:
+        ep.stop()
+
+
+def test_direct_data_post_context_uri_and_bad_type(spark):
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        nt = f'<{EX}a> <{EX}p> "v" .\n'
+        url = ep.url + "?" + urllib.parse.urlencode({"context-uri": EX + "g1"})
+        st, body = _req(url, "POST", nt, "application/n-triples")
+        assert st == 200 and _modified(body) == 1
+        st, _, out = _get(
+            ep.url,
+            {"query": f"SELECT ?g WHERE {{ GRAPH ?g {{ <{EX}a> ?p ?o }} }}"},
+        )
+        assert [b["g"]["value"] for b in json.loads(out)["results"]["bindings"]] == [
+            EX + "g1"
+        ]
+        # unknown RDF content type → 400
+        st, _body = _req(ep.url, "POST", "junk", "application/vnd.unknown")
+        assert st == 400
+    finally:
+        ep.stop()
