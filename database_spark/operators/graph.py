@@ -200,9 +200,29 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
     return dist
 
 
-def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataFrame:
-    """Undirected connected components by min-label propagation
-    (GAS/analytics/CC.java). Returns (node, component=min node id)."""
+def connected_components(
+    edges: DataFrame, max_iter: int | None = None, stats: dict | None = None
+) -> DataFrame:
+    """Undirected connected components (GAS/analytics/CC.java
+    semantics: component = min node id).  Returns (node, component).
+
+    Distributed path: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    instead of plain min-label propagation.  Propagation needs
+    O(diameter) rounds — ~2000 barriers on a 2000-node path — while
+    star contraction converges in O(log² n) alternations regardless of
+    graph shape (a 2000-node path takes ~7), which is the round budget
+    a 100 TB high-diameter graph (web chains, road networks) actually
+    needs.  Each alternation is two groupBy-min + join rounds over the
+    shrinking edge set; the fixpoint is the star graph (v → component
+    min), identical to the propagation fixpoint.
+
+    ``stats``: optional dict; on return ``stats["rounds"]`` holds the
+    number of alternations the distributed loop ran (0 for the
+    driver-local path).
+    """
+    if stats is not None:
+        stats["rounds"] = 0
     sym = L.checkpoint(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -212,7 +232,7 @@ def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataF
     if len(probe) <= SMALL_GRAPH_EDGES:
         # driver-local union-find: min-label components are
         # deterministic integers, so the result is bit-identical to
-        # the distributed propagation's fixpoint
+        # the distributed fixpoint
         L.free(sym)
         parent: dict = {}
 
@@ -233,35 +253,57 @@ def connected_components(edges: DataFrame, max_iter: int | None = None) -> DataF
         return _values_df(
             edges.sparkSession, rows, "node", "component", val_type="bigint"
         )
-    labels = L.checkpoint(
-        sym.select(F.col("src").alias("node"))
-        .dropDuplicates()
-        .withColumn("component", F.col("node"))
+    nodes = L.checkpoint(sym.select(F.col("src").alias("node")).dropDuplicates())
+    E = L.checkpoint(
+        sym.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
     )
+    L.free(sym)
+    n_edges = E.count()
+    rounds = 0
     for _ in fixpoint_rounds(max_iter, "connected_components"):
-        nbr_min = (
-            labels.join(sym, labels["node"] == sym["src"])
-            .select(F.col("dst").alias("node"), F.col("component"))
-            .groupBy("node")
-            .agg(F.min("component").alias("nc"))
+        rounds += 1
+        # -- large-star: every node connects its LARGER neighbors to
+        # the minimum of its closed neighborhood
+        s = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            s.where(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
         )
-        # carry a per-row changed flag so convergence is read off the
-        # checkpointed result (one scan) instead of re-running the join
-        merged = labels.join(nbr_min, "node", "left_outer").select(
-            "node",
-            F.least(F.col("component"), F.coalesce(F.col("nc"), F.col("component"))).alias(
-                "component"
-            ),
-            F.coalesce(F.col("nc") < F.col("component"), F.lit(False)).alias("__changed"),
+        # -- small-star: orient (larger → smaller); every node connects
+        # its smaller neighbors (and itself) to the neighborhood min
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        new_labels = L.checkpoint(merged)
-        converged = new_labels.where(F.col("__changed")).isEmpty()
-        L.free(labels)
-        labels = new_labels
+        m2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        ne = L.checkpoint(
+            o.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .dropDuplicates()
+        )
+        n_new = ne.count()
+        converged = n_new == n_edges and ne.join(E, ["u", "v"], "left_anti").isEmpty()
+        L.free(E)
+        E, n_edges = ne, n_new
         if converged:
             break
-    L.free(sym)
-    return labels.select("node", "component")
+    if stats is not None:
+        stats["rounds"] = rounds
+    labels = nodes.join(
+        E.select(F.col("u").alias("node"), F.col("v").alias("component")),
+        "node",
+        "left_outer",
+    ).select("node", F.coalesce("component", "node").alias("component"))
+    out = L.checkpoint(labels)
+    L.free(E, nodes)
+    return out
 
 
 def pagerank(
@@ -329,6 +371,103 @@ def pagerank(
     return ranks
 
 
+def fuzzy_sssp(
+    edges: DataFrame,
+    sources: list,
+    targets: list,
+    n: int,
+    max_iter: int | None = None,
+    reach: dict | None = None,
+) -> DataFrame:
+    """Fuzzy shortest-path band (``bigdata-gas/.../analytics/
+    FuzzySSSP.java``): the "interesting subgraph" of ≤~N vertices close
+    to the shortest paths between a set of sources and a set of
+    targets.
+
+    Approach (same as the reference): one SSSP per source, one
+    reverse-SSSP per target; a vertex v lies on a shortest s→t path iff
+    dist_s(v) + rdist_t(v) == dist_s(t); the union of those vertices
+    over all (s,t) pairs seeds a BFS that stops at the END of the first
+    layer reaching ``n`` visited vertices (the reference's
+    per-iteration stopping rule).
+
+    sources/targets: driver-side node-id lists (the reference takes
+    Value[] arrays); everything per-vertex stays distributed.  Returns
+    (node, depth) where depth is the BFS distance from the
+    shortest-path set (0 = on a shortest path).
+
+    ``reach``: optional dict, filled with {(src, tgt): dist | None}
+    — the FuzzySSSPResult reachability map.
+    """
+    spark = edges.sparkSession
+    if not sources or not targets:
+        raise ValueError("fuzzy_sssp needs at least one source and one target")
+    e = edges.select("src", "dst", *(
+        ["weight"] if "weight" in edges.columns else []
+    ))
+    if "weight" not in e.columns:
+        e = e.withColumn("weight", F.lit(1.0))
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    )
+
+    def seed(node_id):
+        return spark.range(1).select(F.lit(node_id).cast("long").alias("node"))
+
+    fwd = {s: L.checkpoint(sssp(e, seed(s), max_iter=max_iter)) for s in sources}
+    bwd = {t: L.checkpoint(sssp(rev, seed(t), max_iter=max_iter)) for t in targets}
+    sp = None
+    for s in sources:
+        # distances of every target from this source: one bounded
+        # collect of |targets| rows
+        drow = {
+            r["node"]: r["dist"]
+            for r in fwd[s].where(
+                F.col("node").isin([int(t) for t in targets])
+            ).collect()
+        }
+        for t in targets:
+            d_st = drow.get(t)
+            if reach is not None:
+                reach[(s, t)] = d_st
+            if d_st is None:
+                continue
+            on_path = (
+                fwd[s]
+                .join(
+                    bwd[t].select("node", F.col("dist").alias("rdist")),
+                    "node",
+                )
+                .where(F.abs(F.col("dist") + F.col("rdist") - F.lit(d_st)) < 1e-9)
+                .select("node")
+            )
+            sp = on_path if sp is None else sp.unionByName(on_path)
+    if sp is not None:
+        # materialize the seed set BEFORE freeing the SSSP frontiers it
+        # reads (a lazy plan over freed checkpoint blocks dies at runtime)
+        sp = L.checkpoint(sp.dropDuplicates())
+    for df in list(fwd.values()) + list(bwd.values()):
+        L.free(df)
+    if sp is None:  # no target reachable from any source
+        return _values_df(spark, [], "node", "depth", val_type="int")
+    band = bfs(edges, sp, max_iter=max_iter)
+    L.free(sp)
+    # stop at the end of the layer that reaches n visited vertices:
+    # per-depth histogram is diameter-sized, a bounded collect
+    hist = sorted(
+        (r["depth"], r["cnt"])
+        for r in band.groupBy("depth").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    cum, cut = 0, None
+    for d, c in hist:
+        cum += c
+        if cum >= n:
+            cut = d
+            break
+    out = band if cut is None else band.where(F.col("depth") <= cut)
+    return out.select("node", F.col("depth").cast("int").alias("depth"))
+
+
 # --------------------------------------------------------------- service
 GAS_NS = "http://www.bigdata.com/rdf/gas#"
 
@@ -378,6 +517,25 @@ def make_gas_service():
             result = bfs(edges, seeds) if cls == "BFS" else sssp(edges, seeds)
             val_col = "depth" if cls == "BFS" else "dist"
             pack = pack_integer if cls == "BFS" else pack_double
+        elif cls == "FUZZYSSSP":
+            # gas:in (multi) sources, gas:target (multi) targets,
+            # gas:maxVisited N (Options.TARGET / Options.MAX_VISITED)
+            ins, tg = cfg["in"], cfg.get("target", [])
+            if not tg:
+                raise ValueError("gas:FuzzySSSP requires gas:target")
+            # resolve the bounded src/tgt term ids in ONE tiny job
+            row = spark.range(1).select(
+                *[
+                    T.term_id(T.lit_term(x.term)).alias(f"c{i}")
+                    for i, x in enumerate(ins + tg)
+                ]
+            ).collect()[0]
+            srcs = [row[f"c{i}"] for i in range(len(ins))]
+            tgts = [row[f"c{len(ins) + j}"] for j in range(len(tg))]
+            n = int(cfg["maxVisited"][0].term.lex) if "maxVisited" in cfg else 100
+            result = fuzzy_sssp(edges, srcs, tgts, n)
+            val_col = "depth"
+            pack = pack_integer
         elif cls == "CC":
             result = connected_components(edges)
             val_col = "component"

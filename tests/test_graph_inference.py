@@ -194,3 +194,115 @@ def test_owl_sameas_rules(spark):
     assert ask("ex:lois ex:knows ex:kal-el")
     # no reflexive sameAs is derived for unrelated nodes
     assert not ask("ex:lois owl:sameAs ex:clark")
+
+
+def test_cc_two_phase_bounds_rounds_on_path_graph(spark):
+    """VERDICT r4 Next #6: min-label propagation is O(diameter) rounds
+    — a 2000-node path would need ~2000 barriers (and would trip the
+    max_iter guard below).  Large-star/small-star contraction converges
+    in O(log² n) alternations regardless of shape."""
+    n = 2000
+    path = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    stats = {}
+    # max_iter=30 would abort plain propagation; two-phase fits easily
+    got = connected_components(path, max_iter=30, stats=stats)
+    assert 0 < stats["rounds"] <= 15  # ~log² n, not O(n)
+    assert got.where(F.col("component") != 0).isEmpty()
+    assert got.count() == n
+
+
+def test_cc_two_phase_matches_union_find_on_random_graph(spark):
+    """Distributed two-phase CC vs driver-side union-find on a
+    pseudo-random >512-edge graph (deterministic LCG edges)."""
+    rows = []
+    x = 1234567
+    for _ in range(700):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x % 300
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % 300
+        if a != b:
+            rows.append((a, b))
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    parent = {}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: min node id per component
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == want
+
+
+def test_fuzzy_sssp_band(spark):
+    """FuzzySSSP (bigdata-gas/.../analytics/FuzzySSSP.java): SP-vertex
+    extraction + BFS band with the end-of-layer N stopping rule."""
+    from database_spark.operators.graph import fuzzy_sssp
+
+    #      0→1→3→4,  0→2→3,  0→5→6   (target 3; 4,5,6 off the SP set)
+    rows = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (0, 5), (5, 6)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    reach = {}
+    got = {
+        r["node"]: r["depth"]
+        for r in fuzzy_sssp(edges, [0], [3], n=5, reach=reach).collect()
+    }
+    # SP set {0,1,2,3} at depth 0; layer 1 ({4,5}) crosses n=5 and is
+    # kept whole; layer 2 ({6}) is cut
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    assert reach == {(0, 3): 2.0}
+    # n large: the whole reachable band comes back
+    got_all = {
+        r["node"]: r["depth"] for r in fuzzy_sssp(edges, [0], [3], n=100).collect()
+    }
+    assert got_all == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 2}
+    # unreachable target: empty band, reach records None
+    reach2 = {}
+    assert fuzzy_sssp(edges, [4], [0], n=5, reach=reach2).count() == 0
+    assert reach2 == {(4, 0): None}
+
+
+def test_fuzzy_sssp_gas_service(spark):
+    knows = Term.iri(EX + "knows")
+    names = ["a", "b", "c", "d"]
+    trips = [
+        (Term.iri(EX + "a"), knows, Term.iri(EX + "b")),
+        (Term.iri(EX + "b"), knows, Term.iri(EX + "c")),
+        (Term.iri(EX + "c"), knows, Term.iri(EX + "d")),
+    ]
+    store = TripleStore.from_python_triples(spark, trips)
+    eng = SparqlEngine(store, services=make_gas_service())
+    res = eng.select(f"""
+        PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+        SELECT ?node ?depth WHERE {{
+          SERVICE gas:service {{
+            gas:program gas:gasClass "FuzzySSSP" ;
+                        gas:linkType <{EX}knows> ;
+                        gas:in <{EX}a> ;
+                        gas:target <{EX}c> ;
+                        gas:maxVisited 10 ;
+                        gas:out ?node ; gas:out1 ?depth .
+          }}
+        }}""")
+    got = {r["node"]["lex"]: r["depth"]["lex"] for r in res.df.collect()}
+    # SP a→b→c at depth 0, band grows to d at depth 1
+    assert got == {EX + "a": "0", EX + "b": "0", EX + "c": "0", EX + "d": "1"}
+    _ = names
