@@ -67,6 +67,9 @@ def default_services() -> dict:
     out.update(make_fts_service())
     out.update(make_stored_query_service())
     out.update(make_label_service())
+    from .bdservices import make_bd_utility_services
+
+    out.update(make_bd_utility_services())
     return out
 
 
@@ -143,6 +146,16 @@ class SparqlEngine:
 
     def remove_change_listener(self, fn) -> None:
         self._change_listeners.remove(fn)
+
+    def _describe_cache_invalidate(self) -> None:
+        """Mutation hook: drop every materialized description (the
+        persisted blocks, not just the plan entries)."""
+        for df in self._describe_cache.values():
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — session teardown races
+                pass
+        self._describe_cache.clear()
 
     @property
     def _track_changes(self) -> bool:
@@ -487,9 +500,15 @@ class SparqlEngine:
             self._describe_cache.move_to_end(key)
             return hit
         out = self._describe_uncached(text, mode)
+        # materialized cache, not just a plan cache: persist() makes the
+        # first action compute the description and every repeat serve it
+        # from block storage (DescribeCacheServlet materializes too);
+        # eviction/mutation unpersists so storage stays LRU-bounded
+        out = out.persist()
         self._describe_cache[key] = out
         while len(self._describe_cache) > self._describe_cache_max:
-            self._describe_cache.popitem(last=False)
+            _k, old = self._describe_cache.popitem(last=False)
+            old.unpersist()
         return out
 
     def _describe_uncached(self, text: str, mode: str) -> DataFrame:
@@ -639,7 +658,7 @@ class SparqlEngine:
                 # the memoized sub-class/sub-property closure may now be
                 # stale (e.g. an inserted rdfs:subClassOf edge)
                 self._backchain_maps = None
-                self._describe_cache.clear()
+                self._describe_cache_invalidate()
             if self.maintain_entailments and mutates:
                 if (
                     isinstance(op, A.DeleteData)
@@ -700,7 +719,7 @@ class SparqlEngine:
             self._cs_track(removed=matches)
         self.store = self.store.remove(matches.select("st", "pt", "ot", "gt"))
         self._backchain_maps = None
-        self._describe_cache.clear()
+        self._describe_cache_invalidate()
         if self.maintain_entailments:
             if self._tm_justs is not None and g is None and not from_all_graphs:
                 self._tm_retract(matches.select("st", "pt", "ot"))

@@ -191,3 +191,19 @@ def test_union_nullable_rejoin_semantics(spark):
             (EX + "a2", EX + "v2", "9"),
         ]
     )
+
+
+def test_describe_cache_materializes_and_invalidates(spark):
+    e = SparqlEngine(
+        TripleStore.from_python_triples(
+            spark,
+            [(Term.iri(EX + "a"), Term.iri(EX + "p"), Term.literal("x"))],
+        )
+    )
+    d = e.describe(f"DESCRIBE <{EX}a>")
+    assert d.storageLevel.useMemory or d.storageLevel.useDisk  # materialized cache
+    assert e.describe(f"DESCRIBE <{EX}a>") is d
+    e.update(f'INSERT DATA {{ <{EX}b> <{EX}p> "y" }}')
+    assert len(e._describe_cache) == 0  # mutation invalidated
+    d2 = e.describe(f"DESCRIBE <{EX}a>")
+    assert d2 is not d
