@@ -203,6 +203,31 @@ class SparqlEndpoint:
                 elif ctype == "application/sparql-update":
                     params = {"update": raw}
                 else:
+                    multi = urllib.parse.parse_qs(
+                        (raw or "") + "&" + (u.query or ""),
+                        keep_blank_values=True,
+                    )
+                    if "uri" in multi:
+                        # INSERT-WITH-URIS (InsertServlet.doPostWithURIs)
+                        eng = self._route_engine()
+                        if eng is None:
+                            return
+                        try:
+                            count, ms = endpoint.insert_uris(
+                                multi["uri"],
+                                engine=eng,
+                                context=multi.get("context-uri", [None])[0],
+                            )
+                        except Exception as e:  # noqa: BLE001
+                            self._reply(400, str(e), "text/plain")
+                            return
+                        self._reply(
+                            200,
+                            '<?xml version="1.0"?>'
+                            f'<data modified="{count}" milliseconds="{ms}"/>',
+                            "application/xml",
+                        )
+                        return
                     params = {
                         k: v[0]
                         for k, v in urllib.parse.parse_qs(raw, keep_blank_values=True).items()
@@ -315,6 +340,25 @@ class SparqlEndpoint:
             quads = [(s, p, o, g) for (s, p, o, _gg) in quads]
         return self._count_change(
             engine, lambda: engine.insert_statements(quads), "added"
+        )
+
+    def insert_uris(
+        self, uris: list, engine=None, context: str | None = None
+    ) -> tuple[int, int]:
+        """POST ?uri=... (InsertServlet.doPostWithURIs): LOAD each
+        document URI (file:// or a plain path — the server-side
+        DataLoader surface) into the addressed namespace, optionally
+        into ``context``.  Runs through the engine's LOAD verb, so
+        bulk formats get the distributed parse path and commit
+        bookkeeping (TM, changesets) applies."""
+        from .sparql import ast as A
+        from .terms import Term
+
+        engine = engine or self.engine
+        g = Term.iri(context) if context else None
+        ops = [A.LoadUpdate(source=Term.iri(u), graph=g) for u in uris]
+        return self._count_change(
+            engine, lambda: engine._run_update_ops(ops), "added"
         )
 
     def delete_document(

@@ -299,3 +299,25 @@ def test_direct_data_post_context_uri_and_bad_type(spark):
         assert st == 400
     finally:
         ep.stop()
+
+
+def test_insert_with_uris(spark, tmp_path):
+    """InsertServlet.doPostWithURIs: POST ?uri=file:///... loads the
+    documents server-side into the addressed namespace."""
+    f1 = tmp_path / "d1.ttl"
+    f1.write_text(f'@prefix ex: <{EX}> . ex:m ex:name "M" .\n')
+    f2 = tmp_path / "d2.nt"
+    f2.write_text(f'<{EX}n> <{EX}name> "N" .\n')
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        body = urllib.parse.urlencode(
+            [("uri", f"file://{f1}"), ("uri", f"file://{f2}")]
+        )
+        st, resp = _req(ep.url, "POST", body, "application/x-www-form-urlencoded")
+        assert st == 200 and _modified(resp) == 2
+        st, _, out = _get(ep.url, {"query": "SELECT ?s WHERE { ?s ?p ?o } ORDER BY ?s"})
+        vals = [b["s"]["value"] for b in json.loads(out)["results"]["bindings"]]
+        assert vals == [EX + "m", EX + "n"]
+    finally:
+        ep.stop()
