@@ -837,6 +837,20 @@ def q_gas_pagerank_large(spark, sf_dir):
     )
 
 
+def q_gas_fuzzy_band(spark, sf_dir):
+    """FuzzySSSP (bigdata-gas FuzzySSSP.java) through the DISTRIBUTED
+    loops: forward + reverse SSSP over the 8000-edge doubling graph,
+    on-path test, BFS band cut at the end of the layer reaching N.
+    Oracle: three recursive CTEs (fwd dist, rev dist, band) + a
+    windowed cumulative layer cut."""
+    from database_spark.operators.graph import fuzzy_sssp
+
+    e = _large_graph_edges(spark, sf_dir, "bfs")
+    return fuzzy_sssp(e, [0], [1234], n=600).select(
+        "node", F.col("depth").cast("long").alias("depth")
+    )
+
+
 def q_stream_hourly(spark, sf_dir):
     """The hourly rollup through REAL Structured Streaming (availableNow
     over a staged copy of events, memory sink) — must equal the static
@@ -1342,6 +1356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gas_sssp_large": q_gas_sssp_large,
     "gas_cc_large": q_gas_cc_large,
     "gas_pagerank_large": q_gas_pagerank_large,
+    "gas_fuzzy_band": q_gas_fuzzy_band,
     "stream_hourly": q_stream_hourly,
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
@@ -1838,6 +1853,46 @@ ORACLES: dict[str, str] = {
           FROM (SELECT event_id % 2000 AS a FROM events)
         ), n AS (SELECT a FROM e UNION SELECT b AS a FROM e)
         SELECT a AS node, CAST(1.0 AS DOUBLE) AS rank FROM n
+    """,
+    "gas_fuzzy_band": """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT a, (4*a + r) % 2000 AS b
+          FROM (SELECT event_id % 2000 AS a FROM events),
+               (VALUES (0),(1),(2),(3)) t(r)
+        ), fwd(node, dist) AS (
+          SELECT 0, 0
+          UNION
+          SELECT e.b, f.dist + 1 FROM fwd f JOIN e ON f.node = e.a
+          WHERE f.dist < 8
+        ), fmin AS (
+          SELECT node, MIN(dist) AS dist FROM fwd GROUP BY node
+        ), bwd(node, dist) AS (
+          SELECT 1234, 0
+          UNION
+          SELECT e.a, w.dist + 1 FROM bwd w JOIN e ON w.node = e.b
+          WHERE w.dist < 8
+        ), bmin AS (
+          SELECT node, MIN(dist) AS rdist FROM bwd GROUP BY node
+        ), dst AS (
+          SELECT dist AS d FROM fmin WHERE node = 1234
+        ), sp AS (
+          SELECT f.node FROM fmin f JOIN bmin b USING (node), dst
+          WHERE f.dist + b.rdist = dst.d
+        ), band(node, depth) AS (
+          SELECT node, 0 FROM sp
+          UNION
+          SELECT e.b, bd.depth + 1 FROM band bd JOIN e ON bd.node = e.a
+          WHERE bd.depth < 8
+        ), bandm AS (
+          SELECT node, MIN(depth) AS depth FROM band GROUP BY node
+        ), cum AS (
+          SELECT depth, SUM(COUNT(*)) OVER (ORDER BY depth) AS cum
+          FROM bandm GROUP BY depth
+        ), cut AS (
+          SELECT COALESCE(MIN(depth), 999) AS cut FROM cum WHERE cum >= 600
+        )
+        SELECT node, CAST(depth AS BIGINT) AS depth
+        FROM bandm, cut WHERE depth <= cut.cut
     """,
     "stream_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -462,8 +462,27 @@ class Compiler:
             conds.append(F.col(v + "__id") == F.col(RPFX + v + "__id"))
         if extra is not None:
             conds.append(extra)
-        if mu_vars and how == "inner" and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS:
-            joined = self._compat_join_union(left, right, rdf, mu_vars, conds)
+        # left_outer decomposes too when every nullable shared var is
+        # nullable on the LEFT only (stacked OPTIONALs): the left rows
+        # partition disjointly by null pattern, so each branch is an
+        # independent left-outer equi join and null-extension stays
+        # per-branch-correct.  A right-nullable var under left_outer
+        # cannot split this way (splitting the right side would break
+        # the unmatched-row extension), so that rare shape keeps the
+        # OR condition.
+        can_union = (
+            mu_vars
+            and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS
+            and (
+                how == "inner"
+                or (
+                    how == "left_outer"
+                    and all(v not in right.maybe_unbound for v in mu_vars)
+                )
+            )
+        )
+        if can_union:
+            joined = self._compat_join_union(left, right, rdf, mu_vars, conds, how)
         else:
             for v in mu_vars:
                 li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
@@ -501,10 +520,16 @@ class Compiler:
         return Sol(joined.select(*sel), out_vars, mu & out_vars)
 
     def _compat_join_union(
-        self, left: Sol, right: Sol, rdf: DataFrame, mu_vars: list, base_conds: list
+        self,
+        left: Sol,
+        right: Sol,
+        rdf: DataFrame,
+        mu_vars: list,
+        base_conds: list,
+        how: str = "inner",
     ) -> DataFrame:
-        """Inner compatibility join over possibly-unbound shared vars as
-        a union of disjoint equi-join branches (see ``join`` docstring).
+        """Compatibility join over possibly-unbound shared vars as a
+        union of disjoint equi-join branches (see ``join`` docstring).
 
         Per nullable var, the (left-row, right-row) pair space splits
         into: left-null × anything, left-bound × right-null, and
@@ -512,7 +537,10 @@ class Compiler:
         the var is certainly bound skip their null branch.  Branches
         are disjoint by construction so bag semantics are preserved,
         and every branch containing the bound×bound case carries only
-        equi conditions — Catalyst hash-joins it."""
+        equi conditions — Catalyst hash-joins it.  For ``left_outer``
+        only the LEFT side is split (caller guarantees the vars are
+        left-nullable only), so each branch's null extension covers
+        exactly its own left rows."""
         branches = [([], [], [])]  # (left filters, right filters, equi conds)
         for v in mu_vars:
             li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
@@ -547,11 +575,13 @@ class Compiler:
                 cond = conds[0]
                 for c in conds[1:]:
                     cond = cond & c
-                b = ldf.join(rd, cond, "inner")
-            else:
+                b = ldf.join(rd, cond, how)
+            elif how == "inner":
                 # unbound side matches everything: the cross product is
                 # the semantics, confined to the (small) null partition
                 b = ldf.crossJoin(rd)
+            else:
+                b = ldf.join(rd, F.lit(True), how)
             out = b if out is None else out.unionByName(b)
         return out
 

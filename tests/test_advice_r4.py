@@ -207,3 +207,41 @@ def test_describe_cache_materializes_and_invalidates(spark):
     assert len(e._describe_cache) == 0  # mutation invalidated
     d2 = e.describe(f"DESCRIBE <{EX}a>")
     assert d2 is not d
+
+
+def test_stacked_optional_rejoin_left_outer_decomposition(spark):
+    """A second OPTIONAL re-joining a var the first OPTIONAL left
+    nullable: the left_outer branch decomposition (left-side split)
+    must preserve exact LeftJoin semantics."""
+    trips = [
+        (Term.iri(EX + "n1"), Term.iri(EX + "type"), Term.iri(EX + "N")),
+        (Term.iri(EX + "n2"), Term.iri(EX + "type"), Term.iri(EX + "N")),
+        (Term.iri(EX + "c1"), Term.iri(EX + "nat"), Term.iri(EX + "n1")),
+        (Term.iri(EX + "c1"), Term.iri(EX + "mail"), Term.literal("c1@x")),
+        (Term.iri(EX + "c2"), Term.iri(EX + "mail"), Term.literal("c2@x")),
+    ]
+    e = SparqlEngine(TripleStore.from_python_triples(spark, trips))
+    res = e.select(f"""
+        SELECT ?n ?c ?m WHERE {{
+          ?n <{EX}type> <{EX}N> .
+          OPTIONAL {{ ?c <{EX}nat> ?n }}
+          OPTIONAL {{ ?c <{EX}mail> ?m }}
+        }}""")
+    rows = sorted(
+        (
+            r["n"]["lex"],
+            r["c"]["lex"] if r["c"] else None,
+            r["m"]["lex"] if r["m"] else None,
+        )
+        for r in res.df.collect()
+    )
+    # n1: c bound to c1, mail joins → c1@x.
+    # n2: c unbound; second OPTIONAL's pattern matches ANY (c, m):
+    # compatible extensions bind (c1, c1@x) and (c2, c2@x).
+    assert rows == sorted(
+        [
+            (EX + "n1", EX + "c1", "c1@x"),
+            (EX + "n2", EX + "c1", "c1@x"),
+            (EX + "n2", EX + "c2", "c2@x"),
+        ]
+    )
