@@ -1,0 +1,129 @@
+"""Property-style equivalence check for the compatibility-join
+decomposition (compiler._compat_join_union): on seeded-random solution
+multisets with nullable shared vars, the union-of-equi-joins plan must
+produce EXACTLY the same bag of solutions as the naive
+``isNull | isNull | eq`` OR-condition join it replaces — for inner
+joins with every nullable-side combination, and for left_outer with
+left-nullable vars (the decomposed case)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_spark import terms as T
+from database_spark.sparql.compiler import Compiler, Sol
+from database_spark.store import TripleStore
+from database_spark.terms import Term
+
+
+def _mk_sol(spark, rows, vars_, maybe_unbound):
+    """rows: list of dicts var -> int|None; builds TERM + __id cols."""
+    cols = []
+    data = []
+    for r in rows:
+        data.append(tuple(r.get(v) for v in sorted(vars_)))
+    schema = ", ".join(f"{v}_raw long" for v in sorted(vars_))
+    df = (
+        spark.createDataFrame(data, schema).coalesce(2)
+        if data
+        else spark.createDataFrame([], schema)
+    )
+    for v in sorted(vars_):
+        raw = F.col(v + "_raw")
+        term = F.when(
+            raw.isNotNull(),
+            T.term_struct(
+                F.lit(T.KIND_IRI),
+                F.concat(F.lit("urn:v:"), raw.cast("string")),
+                F.lit(None),
+                F.lit(None),
+            ),
+        )
+        df = df.withColumn(v, term).withColumn(
+            v + "__id", F.when(raw.isNotNull(), T.term_id(term))
+        )
+        cols += [v, v + "__id"]
+    return Sol(df.select(*cols), set(vars_), set(maybe_unbound))
+
+
+def _bag(sol):
+    out = []
+    for r in sol.df.collect():
+        out.append(tuple(
+            (r[v]["lex"] if r[v] else None) for v in sorted(sol.vars)
+        ))
+    return sorted(out, key=lambda t: tuple((x is None, x or "") for x in t))
+
+
+@pytest.fixture(scope="module")
+def compiler(spark):
+    store = TripleStore.from_python_triples(
+        spark, [(Term.iri("urn:x:s"), Term.iri("urn:x:p"), Term.literal("o"))]
+    )
+    return Compiler(spark, store.df)
+
+
+def _random_rows(rng, vars_, nullable, n, domain=4):
+    rows = []
+    for _ in range(n):
+        r = {}
+        for v in vars_:
+            if v in nullable and rng.random() < 0.4:
+                r[v] = None
+            else:
+                r[v] = rng.randrange(domain)
+        rows.append(r)
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.parametrize("lmu,rmu", [(True, False), (False, True), (True, True)])
+def test_inner_decomposition_equals_or_join(compiler, spark, seed, lmu, rmu):
+    rng = random.Random(seed * 10 + lmu + 2 * rmu)
+    lvars, rvars = {"a", "x"}, {"a", "y"}
+    lrows = _random_rows(rng, lvars, {"a"} if lmu else set(), 12)
+    rrows = _random_rows(rng, rvars, {"a"} if rmu else set(), 12)
+    left = _mk_sol(spark, lrows, lvars, {"a"} if lmu else set())
+    right = _mk_sol(spark, rrows, rvars, {"a"} if rmu else set())
+    fast = _bag(compiler.join(left, right))
+    # force the naive OR-condition path for the reference answer
+    old = compiler._COMPAT_UNION_MAX_VARS
+    try:
+        compiler._COMPAT_UNION_MAX_VARS = 0
+        slow = _bag(compiler.join(left, right))
+    finally:
+        compiler._COMPAT_UNION_MAX_VARS = old
+    assert fast == slow
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_inner_two_nullable_vars(compiler, spark, seed):
+    rng = random.Random(seed)
+    lvars, rvars = {"a", "b", "x"}, {"a", "b", "y"}
+    left = _mk_sol(spark, _random_rows(rng, lvars, {"a", "b"}, 10), lvars, {"a", "b"})
+    right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 10), rvars, {"a"})
+    fast = _bag(compiler.join(left, right))
+    old = compiler._COMPAT_UNION_MAX_VARS
+    try:
+        compiler._COMPAT_UNION_MAX_VARS = 0
+        slow = _bag(compiler.join(left, right))
+    finally:
+        compiler._COMPAT_UNION_MAX_VARS = old
+    assert fast == slow
+
+
+@pytest.mark.parametrize("seed", [7, 8, 9])
+def test_left_outer_decomposition_equals_or_join(compiler, spark, seed):
+    rng = random.Random(seed)
+    lvars, rvars = {"a", "x"}, {"a", "y"}
+    left = _mk_sol(spark, _random_rows(rng, lvars, {"a"}, 12), lvars, {"a"})
+    right = _mk_sol(spark, _random_rows(rng, rvars, set(), 12), rvars, set())
+    fast = _bag(compiler.join(left, right, "left_outer"))
+    old = compiler._COMPAT_UNION_MAX_VARS
+    try:
+        compiler._COMPAT_UNION_MAX_VARS = 0
+        slow = _bag(compiler.join(left, right, "left_outer"))
+    finally:
+        compiler._COMPAT_UNION_MAX_VARS = old
+    assert fast == slow
