@@ -101,11 +101,22 @@ def _local_sssp(edge_rows, seed_rows) -> list:
     return sorted(dist.items())
 
 
-def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> DataFrame:
+def bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
     """Breadth-first search (GAS/analytics/BFS.java).
 
     seeds: df with `node` column. Returns (node, depth) for every
     reachable node (seed depth 0).
+
+    ``max_iter`` is a no-fixpoint safety valve that RAISES;
+    ``max_rounds`` is the reference's ``gas:maxIterations`` semantics —
+    STOP cleanly after that many expansion rounds (BFS layers are
+    complete per round, so the truncated result is the exact
+    depth-bounded traversal, not a wrong answer).
 
     Checkpoint rotation: at most 4 block sets live at any moment
     (edges, current visited, current frontier, this round's layer) —
@@ -121,7 +132,11 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Data
     )
     if small is not None:
         L.free(e)
-        rows = [(n, int(d)) for n, d in _local_sssp(*small)]
+        rows = [
+            (n, int(d))
+            for n, d in _local_sssp(*small)
+            if max_rounds is None or d <= max_rounds
+        ]
         return _values_df(edges.sparkSession, rows, "node", "depth")
     frontier = L.checkpoint(
         seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
@@ -129,6 +144,8 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Data
     visited = frontier
     depth = 0
     for _ in fixpoint_rounds(max_iter, "bfs"):
+        if max_rounds is not None and depth >= max_rounds:
+            break
         depth += 1
         nxt = L.checkpoint(
             frontier.join(e, frontier["node"] == e["src"])
@@ -151,18 +168,31 @@ def bfs(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Data
     return visited
 
 
-def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> DataFrame:
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
     """Single-source shortest paths, weighted (GAS/analytics/SSSP.java).
 
     edges needs `weight`; returns (node, dist). Frontier-based
     Bellman-Ford: only improved nodes scatter next round; probe-small
     graphs run a driver-local Dijkstra instead.
+
+    ``max_rounds`` (``gas:maxIterations``): stop after that many
+    relaxation rounds — the result is the exact ≤k-hop shortest
+    distances (the reference truncates the same way).
     """
     e = L.checkpoint(edges.select("src", "dst", "weight"))
     # With a round budget the distributed loop's semantics are
-    # "shortest path using <= max_iter relaxation rounds", which
+    # "shortest path using <= max_rounds relaxation rounds", which
     # Dijkstra does not emulate — take the distributed path then.
-    small = None if max_iter is not None else _local_small_graph(e, seeds)
+    small = (
+        None
+        if (max_iter is not None or max_rounds is not None)
+        else _local_small_graph(e, seeds)
+    )
     if small is not None:
         L.free(e)
         rows = [(n, float(d)) for n, d in _local_sssp(*small)]
@@ -171,7 +201,11 @@ def sssp(edges: DataFrame, seeds: DataFrame, max_iter: int | None = None) -> Dat
         seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
     )
     frontier = dist
+    rounds = 0
     for _ in fixpoint_rounds(max_iter, "sssp"):
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
         cand = (
             frontier.join(e, frontier["node"] == e["src"])
             .select(F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("nd"))
@@ -502,6 +536,28 @@ def make_gas_service():
             F.col("s").alias("src"), F.col("o").alias("dst"),
             F.lit(1.0).alias("weight"),
         )
+        # gas:traversalDirection (TraversalDirectionEnum): Forward
+        # (default) follows edges, Reverse swaps them, Undirected
+        # unions both orientations
+        direction = "FORWARD"
+        if "traversalDirection" in cfg and isinstance(cfg["traversalDirection"][0], A.Const):
+            direction = cfg["traversalDirection"][0].term.lex.upper()
+        if direction == "REVERSE":
+            edges = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        elif direction == "UNDIRECTED":
+            edges = edges.unionByName(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+                )
+            )
+        # gas:maxIterations (Options.MAX_ITERATIONS): clean stop after
+        # that many rounds — depth/hop-bounded traversal, the
+        # reference's truncation semantics
+        max_rounds = None
+        if "maxIterations" in cfg and isinstance(cfg["maxIterations"][0], A.Const):
+            max_rounds = int(cfg["maxIterations"][0].term.lex)
         node_terms = (
             trips.select(F.col("s").alias("node"), F.col("st").alias("nt"))
             .unionByName(trips.select(F.col("o").alias("node"), F.col("ot").alias("nt")))
@@ -514,7 +570,11 @@ def make_gas_service():
             seeds = spark.range(1).select(
                 *[T.term_id(T.lit_term(s.term)).alias("node") for s in cfg["in"][:1]]
             )
-            result = bfs(edges, seeds) if cls == "BFS" else sssp(edges, seeds)
+            result = (
+                bfs(edges, seeds, max_rounds=max_rounds)
+                if cls == "BFS"
+                else sssp(edges, seeds, max_rounds=max_rounds)
+            )
             val_col = "depth" if cls == "BFS" else "dist"
             pack = pack_integer if cls == "BFS" else pack_double
         elif cls == "FUZZYSSSP":

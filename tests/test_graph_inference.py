@@ -306,3 +306,53 @@ def test_fuzzy_sssp_gas_service(spark):
     # SP a→b→c at depth 0, band grows to d at depth 1
     assert got == {EX + "a": "0", EX + "b": "0", EX + "c": "0", EX + "d": "1"}
     _ = names
+
+
+def test_gas_service_traversal_direction_and_max_iterations(spark):
+    """gas:traversalDirection Reverse/Undirected + gas:maxIterations
+    truncation (GASService Options.TRAVERSAL_DIRECTION/MAX_ITERATIONS)."""
+    knows = Term.iri(EX + "knows")
+    trips = [
+        (Term.iri(EX + "a"), knows, Term.iri(EX + "b")),
+        (Term.iri(EX + "b"), knows, Term.iri(EX + "c")),
+        (Term.iri(EX + "c"), knows, Term.iri(EX + "d")),
+    ]
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(spark, trips), services=make_gas_service()
+    )
+
+    def run(extra):
+        res = eng.select(f"""
+            PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+            SELECT ?node ?depth WHERE {{
+              SERVICE gas:service {{
+                gas:program gas:gasClass "BFS" ;
+                            gas:linkType <{EX}knows> ;
+                            {extra}
+                            gas:out ?node ; gas:out1 ?depth .
+              }}
+            }}""")
+        return {r["node"]["lex"]: r["depth"]["lex"] for r in res.df.collect()}
+
+    # Reverse from d walks the edges backwards
+    got = run(f'gas:in <{EX}d> ; gas:traversalDirection "Reverse" ;')
+    assert got == {EX + "d": "0", EX + "c": "1", EX + "b": "2", EX + "a": "3"}
+    # Undirected from b reaches a and c in one hop
+    got = run(f'gas:in <{EX}b> ; gas:traversalDirection "Undirected" ;')
+    assert got == {EX + "b": "0", EX + "a": "1", EX + "c": "1", EX + "d": "2"}
+    # maxIterations truncates at the layer boundary (depth <= 1)
+    got = run(f'gas:in <{EX}a> ; gas:maxIterations 1 ;')
+    assert got == {EX + "a": "0", EX + "b": "1"}
+
+
+def test_max_rounds_truncation_distributed(spark, edges, monkeypatch):
+    """max_rounds truncates the DISTRIBUTED loops at layer granularity."""
+    from database_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "SMALL_GRAPH_EDGES", 0)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs(edges, seeds, max_rounds=1).collect()}
+    assert got == {1: 0, 2: 1, 3: 1}  # depth-2 node 4 cut
+    got = {r["node"]: r["dist"] for r in sssp(edges, seeds, max_rounds=1).collect()}
+    # one relaxation round: direct edges only (1->2 @1, 1->3 @5)
+    assert got == {1: 0.0, 2: 1.0, 3: 5.0}
