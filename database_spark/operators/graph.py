@@ -565,6 +565,7 @@ def make_gas_service():
         )
         out_var = cfg["out"][0].name if "out" in cfg and isinstance(cfg["out"][0], A.Var) else None
         out1_var = cfg["out1"][0].name if "out1" in cfg and isinstance(cfg["out1"][0], A.Var) else None
+        out2_var = cfg["out2"][0].name if "out2" in cfg and isinstance(cfg["out2"][0], A.Var) else None
         spark = compiler.spark
         if cls in ("BFS", "SSSP"):
             seeds = spark.range(1).select(
@@ -607,6 +608,31 @@ def make_gas_service():
         else:
             raise ValueError(f"unknown GAS program {cls}")
         out = result.join(node_terms, "node")
+        mu = set()
+        if out2_var and cls in ("BFS", "SSSP"):
+            # gas:out2 = predecessor (BFS.java Bindings.PREDECESSOR).
+            # The reference's predecessor is "the first vertex to
+            # discover" (a scheduling race); the deterministic Spark
+            # analog is the MINIMUM-id vertex on a shortest edge:
+            # pred(v) = min{u : dist(u) + w(u,v) == dist(v)} — one
+            # extra keyed join computed only when out2 is requested.
+            step = F.lit(1.0) if cls == "BFS" else F.col("weight")
+            u_side = result.select(
+                F.col("node").alias("__us"), F.col(val_col).alias("__uv")
+            )
+            pred = (
+                edges.join(u_side, F.col("src") == F.col("__us"))
+                .join(
+                    result.select(
+                        F.col("node").alias("__vs"), F.col(val_col).alias("__vv")
+                    ),
+                    F.col("dst") == F.col("__vs"),
+                )
+                .where(F.abs(F.col("__uv") + step - F.col("__vv")) < 1e-9)
+                .groupBy(F.col("__vs").alias("node"))
+                .agg(F.min("src").alias("__pred"))
+            )
+            out = out.join(pred, "node", "left_outer")  # seeds: no pred
         sel = []
         vars_ = set()
         if out_var:
@@ -625,6 +651,17 @@ def make_gas_service():
                 T.term_id(packed).alias(out1_var + "__id"),
             ]
             vars_.add(out1_var)
-        return Sol(out.select(*sel), vars_, set())
+        if out2_var and cls in ("BFS", "SSSP"):
+            pt = node_terms.select(
+                F.col("node").alias("__pred"), F.col("nt").alias("__pt")
+            )
+            out = out.join(pt, "__pred", "left_outer")
+            sel += [
+                F.col("__pt").alias(out2_var),
+                F.col("__pred").alias(out2_var + "__id"),
+            ]
+            vars_.add(out2_var)
+            mu.add(out2_var)
+        return Sol(out.select(*sel), vars_, mu)
 
     return {GAS_NS: handler}

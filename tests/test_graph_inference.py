@@ -356,3 +356,38 @@ def test_max_rounds_truncation_distributed(spark, edges, monkeypatch):
     got = {r["node"]: r["dist"] for r in sssp(edges, seeds, max_rounds=1).collect()}
     # one relaxation round: direct edges only (1->2 @1, 1->3 @5)
     assert got == {1: 0.0, 2: 1.0, 3: 5.0}
+
+
+def test_gas_service_out2_predecessor(spark):
+    """gas:out2 binds the BFS/SSSP predecessor (BFS.java
+    Bindings.PREDECESSOR; deterministic min-id tie-break here)."""
+    knows = Term.iri(EX + "knows")
+    trips = [
+        (Term.iri(EX + "a"), knows, Term.iri(EX + "b")),
+        (Term.iri(EX + "b"), knows, Term.iri(EX + "d")),
+        (Term.iri(EX + "c"), knows, Term.iri(EX + "d")),
+        (Term.iri(EX + "a"), knows, Term.iri(EX + "c")),
+    ]
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(spark, trips), services=make_gas_service()
+    )
+    res = eng.select(f"""
+        PREFIX gas: <http://www.bigdata.com/rdf/gas#>
+        SELECT ?node ?depth ?pred WHERE {{
+          SERVICE gas:service {{
+            gas:program gas:gasClass "BFS" ;
+                        gas:linkType <{EX}knows> ;
+                        gas:in <{EX}a> ;
+                        gas:out ?node ; gas:out1 ?depth ; gas:out2 ?pred .
+          }}
+        }}""")
+    got = {
+        r["node"]["lex"]: (r["depth"]["lex"], r["pred"]["lex"] if r["pred"] else None)
+        for r in res.df.collect()
+    }
+    # d discovered by both b and c at depth 1 → min-id tie-break picks
+    # the smaller TERM ID (deterministic, either b or c); seed has none
+    assert got[EX + "a"] == ("0", None)
+    assert got[EX + "b"] == ("1", EX + "a")
+    assert got[EX + "c"] == ("1", EX + "a")
+    assert got[EX + "d"][0] == "2" and got[EX + "d"][1] in (EX + "b", EX + "c")
