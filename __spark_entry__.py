@@ -954,6 +954,38 @@ def q_update_roundtrip(spark, sf_dir):
     )
 
 
+def q_changeset_delta(spark, sf_dir):
+    """Changesets API through the oracle gate (IChangeLog semantics):
+    subscribe a listener, run one DELETE/INSERT commit over the
+    rdfized region table, and return the exact per-commit delta the
+    listener received — added flag triples and removed name triples
+    for the A-regions — as relational rows the DuckDB oracle rebuilds
+    from the base table."""
+    store = TripleStore.from_term_structs(
+        spark, rdfize(spark, _read(spark, sf_dir, "region"), _MAPPINGS["region"]),
+        dedupe=False,
+    )
+    e = SparqlEngine(store)
+    got: dict = {}
+    e.add_change_listener(lambda cs: got.update(a=cs.added, r=cs.removed))
+    e.update(
+        f"""{PREFIX}
+        DELETE {{ ?s t:name ?n }}
+        INSERT {{ ?s t:flag "x" }}
+        WHERE {{ ?s t:name ?n . FILTER(STRSTARTS(?n, "A")) }}"""
+    )
+
+    def flat(df, kind):
+        return df.select(
+            F.lit(kind).alias("change"),
+            F.col("st").getField("lex").alias("s"),
+            F.col("pt").getField("lex").alias("p"),
+            F.col("ot").getField("lex").alias("o"),
+        )
+
+    return flat(got["a"], "added").unionByName(flat(got["r"], "removed"))
+
+
 def q_sparql_ask(spark, sf_dir):
     """ASK form, surfaced as a 1-row boolean DataFrame."""
     e = _graph(spark, sf_dir)
@@ -1362,6 +1394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "update_roundtrip": q_update_roundtrip,
+    "changeset_delta": q_changeset_delta,
     "sparql_ask": q_sparql_ask,
     "sparql_subquery": q_sparql_subquery,
     "sparql_bind": q_sparql_bind,
@@ -1899,6 +1932,17 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "changeset_delta": """
+        SELECT 'added' AS change,
+               'urn:r:' || CAST(r_regionkey AS VARCHAR) AS s,
+               'urn:tpch:flag' AS p, 'x' AS o
+        FROM region WHERE r_name LIKE 'A%'
+        UNION ALL
+        SELECT 'removed' AS change,
+               'urn:r:' || CAST(r_regionkey AS VARCHAR) AS s,
+               'urn:tpch:name' AS p, r_name AS o
+        FROM region WHERE r_name LIKE 'A%'
     """,
     "sparql_ask": """
         SELECT 'gt_9990' AS probe,
