@@ -1,0 +1,288 @@
+"""GOM (Generic Object Model) veneer: object-oriented access to RDF.
+
+Reference surface: ``bigdata-core/bigdata-gom/src/java/com/bigdata/gom/
+om/IObjectManager.java`` + ``ObjectManager.java`` (canonical GPO cache,
+materialization, named roots, native transactions) and ``gpo/IGPO.java``
++ ``GPO.java`` (per-object property/link access with staged mutations).
+
+Shape: an ``ObjectManager`` wraps a ``SparqlEngine``; ``GPO`` objects
+are canonical per resource (one Python object per IRI within an OM,
+like the reference's weak-value cache), lazily *materialized* — one
+bounded scan collects the object's forward statements (s = id) and
+reverse links (o = id), the same per-resource set the reference's
+DESCRIBE-based materialization ships.  Mutations stage on the GPO and
+flush as ONE engine commit at ``commit_native_transaction`` (or
+immediately outside a transaction), so truth maintenance and changeset
+listeners see exactly the reference's flush-batch granularity
+(``ObjectMgrModel.flushStatementBuffers``).
+
+Driver-materialization contract: only per-object statement sets are
+collected (an object's properties + links — protocol-sized, exactly
+what the reference materializes per GPO); queries stay DataFrames via
+``evaluate``.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from . import terms as T
+from .terms import Term
+
+GPO_NAMESPACE = "gpo:"
+#: predicate used by save()/recall() named roots (ObjectMgrModel keys
+#: values under a dedicated naming statement)
+NAME_PROPERTY = "http://www.bigdata.com/gom#name"
+
+
+class GPO:
+    """Generic physical object (reference ``gpo/GPO.java``)."""
+
+    def __init__(self, om: "ObjectManager", iri: str):
+        self.om = om
+        self.iri = iri
+        self._forward: dict | None = None  # prop iri -> [Term]
+        self._reverse: dict | None = None  # prop iri -> [subject iri]
+
+    # ---------------------------------------------------- materialization
+    def materialize(self) -> "GPO":
+        if self._forward is None:
+            self.om.materialize(self)
+        return self
+
+    def _fwd(self) -> dict:
+        self.materialize()
+        return self._forward
+
+    def _rev(self) -> dict:
+        self.materialize()
+        return self._reverse
+
+    # ------------------------------------------------------------- reads
+    def get_value(self, prop: str) -> Term | None:
+        vals = self._fwd().get(prop)
+        return vals[0] if vals else None
+
+    def get_values(self, prop: str) -> list:
+        return list(self._fwd().get(prop, []))
+
+    def is_bound(self, prop: str) -> bool:
+        return bool(self._fwd().get(prop))
+
+    def get_statements(self) -> list:
+        """All (s, p, o) Terms asserted about this object."""
+        out = []
+        for p, vals in self._fwd().items():
+            for v in vals:
+                out.append((Term.iri(self.iri), Term.iri(p), v))
+        return out
+
+    def get_links_out(self, prop: str | None = None) -> set:
+        """Objects this object points to (IRI-valued properties)."""
+        out = set()
+        for p, vals in self._fwd().items():
+            if prop is not None and p != prop:
+                continue
+            for v in vals:
+                if v.kind == T.KIND_IRI:
+                    out.add(self.om.get_gpo(v.lex))
+        return out
+
+    def get_links_in(self, prop: str | None = None) -> set:
+        """Objects pointing at this object (reverse links)."""
+        out = set()
+        for p, subs in self._rev().items():
+            if prop is not None and p != prop:
+                continue
+            for s in subs:
+                out.add(self.om.get_gpo(s))
+        return out
+
+    def get_reverse_link_properties(self) -> dict:
+        """prop iri -> in-degree (IGPO.getReverseLinkProperties)."""
+        return {p: len(subs) for p, subs in self._rev().items()}
+
+    # ----------------------------------------------------------- writes
+    def set_value(self, prop: str, value: Term) -> None:
+        """Replace the property's value(s) (IGPO.setValue)."""
+        for old in self._fwd().get(prop, []):
+            self.om._stage_remove(self.iri, prop, old)
+        self._forward[prop] = [value]
+        self.om._stage_add(self.iri, prop, value)
+
+    def add_value(self, prop: str, value: Term) -> None:
+        self._fwd().setdefault(prop, []).append(value)
+        self.om._stage_add(self.iri, prop, value)
+
+    def remove_value(self, prop: str, value: Term) -> None:
+        vals = self._fwd().get(prop, [])
+        if value in vals:
+            vals.remove(value)
+            self.om._stage_remove(self.iri, prop, value)
+
+    def remove_values(self, prop: str) -> None:
+        for old in self._fwd().pop(prop, []):
+            self.om._stage_remove(self.iri, prop, old)
+
+    def remove(self) -> None:
+        """Remove the object: all forward statements and all links in
+        (IGPO.remove)."""
+        for p, vals in list(self._fwd().items()):
+            for v in vals:
+                self.om._stage_remove(self.iri, p, v)
+        for p, subs in list(self._rev().items()):
+            for s in subs:
+                self.om._stage_remove(s, p, Term.iri(self.iri))
+        self._forward, self._reverse = {}, {}
+
+    # ------------------------------------------------------------ dunder
+    def __eq__(self, other):
+        return isinstance(other, GPO) and other.iri == self.iri
+
+    def __hash__(self):
+        return hash(self.iri)
+
+    def __repr__(self):
+        return f"GPO({self.iri})"
+
+
+class ObjectManager:
+    """Reference ``om/ObjectManager.java`` over a ``SparqlEngine``."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self._gpos: dict[str, GPO] = {}  # canonicalizing cache
+        self._tx_depth = 0
+        self._adds: list = []  # staged (s,p,o) Terms
+        self._removes: list = []
+
+    # ------------------------------------------------------------- GPOs
+    def get_gpo(self, iri: str) -> GPO:
+        """Canonical GPO for a resource — never None, one instance per
+        IRI within this OM (reference weak-value canonicalizing map)."""
+        g = self._gpos.get(iri)
+        if g is None:
+            g = GPO(self, iri)
+            self._gpos[iri] = g
+        return g
+
+    def create_gpo(self) -> GPO:
+        return self.get_gpo(GPO_NAMESPACE + str(uuid.uuid4()))
+
+    def materialize(self, gpo: GPO) -> None:
+        """One bounded collect of the object's forward + reverse
+        statements (s = id OR o = id in the default graph)."""
+        tid = T.term_id(T.lit_term(Term.iri(gpo.iri)))
+        df = self.engine.store.df.where(F.col("g").isNull())
+        rows = (
+            df.where((F.col("s") == tid) | (F.col("o") == tid))
+            .select("st.lex", "pt.lex", "ot")
+            .collect()
+        )
+        fwd: dict = {}
+        rev: dict = {}
+        for r in rows:
+            if r[0] == gpo.iri:
+                o = r["ot"]
+                fwd.setdefault(r[1], []).append(
+                    Term(o["kind"], o["lex"], o["dt"], o["lang"])
+                )
+            else:
+                rev.setdefault(r[1], []).append(r[0])
+        gpo._forward, gpo._reverse = fwd, rev
+
+    # ---------------------------------------------------------- queries
+    def evaluate(self, query: str):
+        """SPARQL SELECT -> the engine's SelectResult (DataFrame-backed,
+        not driver-materialized)."""
+        return self.engine.select(query)
+
+    def evaluate_graph(self, query: str):
+        """SPARQL CONSTRUCT/DESCRIBE -> statement DataFrame."""
+        return self.engine.query(query)
+
+    def execute(self, update: str) -> None:
+        self.engine.update(update)
+        self._invalidate()
+
+    # ------------------------------------------------------ named roots
+    def save(self, key: str, value: Term) -> None:
+        """Bind a value under a well-known name (IObjectManager.save):
+        (key, gom:name, value), replacing any previous binding."""
+        self.engine.remove_pattern(s=Term.iri(key), p=Term.iri(NAME_PROPERTY))
+        self.engine.insert_statements(
+            [(Term.iri(key), Term.iri(NAME_PROPERTY), value, None)]
+        )
+        self._invalidate()
+
+    def recall(self, key: str) -> Term | None:
+        rows = (
+            self.engine.store.df.where(
+                (F.col("g").isNull())
+                & (F.col("s") == T.term_id(T.lit_term(Term.iri(key))))
+                & (F.col("p") == T.term_id(T.lit_term(Term.iri(NAME_PROPERTY))))
+            )
+            .select("ot")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        o = rows[0]["ot"]
+        return Term(o["kind"], o["lex"], o["dt"], o["lang"])
+
+    def recall_as_gpo(self, key: str) -> GPO | None:
+        t = self.recall(key)
+        return self.get_gpo(t.lex) if t is not None and t.kind == T.KIND_IRI else None
+
+    # ----------------------------------------------------- transactions
+    def begin_native_transaction(self) -> int:
+        self._tx_depth += 1
+        return self._tx_depth
+
+    def commit_native_transaction(self, depth: int) -> None:
+        if depth != self._tx_depth:
+            raise ValueError("unbalanced native transaction")
+        self._tx_depth -= 1
+        if self._tx_depth == 0:
+            self._flush()
+
+    def rollback_native_transaction(self) -> None:
+        """Discard staged mutations and forget materialized state (the
+        store was never touched)."""
+        self._tx_depth = 0
+        self._adds, self._removes = [], []
+        self._invalidate()
+
+    def _stage_add(self, s: str, p: str, o: Term) -> None:
+        self._adds.append((Term.iri(s), Term.iri(p), o, None))
+        if self._tx_depth == 0:
+            self._flush()
+
+    def _stage_remove(self, s: str, p: str, o: Term) -> None:
+        self._removes.append((Term.iri(s), Term.iri(p), o, None))
+        if self._tx_depth == 0:
+            self._flush()
+
+    def _flush(self) -> None:
+        """One engine commit per flush batch — removes first then adds
+        (ObjectMgrModel.flushStatementBuffers ordering, so a setValue's
+        retract+assert of the same (s,p) nets to the new value)."""
+        removes, adds = self._removes, self._adds
+        self._adds, self._removes = [], []
+        if removes:
+            self.engine.remove_statements(removes)
+        if adds:
+            self.engine.insert_statements(adds)
+
+    def _invalidate(self) -> None:
+        """External mutation: drop materialized snapshots (objects
+        re-materialize lazily on next access)."""
+        for g in self._gpos.values():
+            g._forward = g._reverse = None
+
+    def close(self) -> None:
+        self._gpos.clear()
+        self._adds, self._removes = [], []

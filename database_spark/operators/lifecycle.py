@@ -81,6 +81,15 @@ def protected_checkpoint(df: DataFrame) -> DataFrame:
     return protect(checkpoint(df))
 
 
+def unprotect_and_free(df) -> None:
+    """Drop a previously protected checkpoint: un-exempt its blocks
+    from :func:`sweep` and unpersist them (store-compaction rotation)."""
+    if df is None:
+        return
+    _PROTECTED.difference_update(getattr(df, _ATTR, ()))
+    free(df)
+
+
 def sweep(spark) -> int:
     """Unpersist every non-protected persistent RDD; returns count.
 

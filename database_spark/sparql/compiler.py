@@ -462,26 +462,21 @@ class Compiler:
             conds.append(F.col(v + "__id") == F.col(RPFX + v + "__id"))
         if extra is not None:
             conds.append(extra)
-        # left_outer decomposes too when every nullable shared var is
-        # nullable on the LEFT only (stacked OPTIONALs): the left rows
+        # left_outer decomposes too.  When every nullable shared var is
+        # nullable on the LEFT only (stacked OPTIONALs) the left rows
         # partition disjointly by null pattern, so each branch is an
         # independent left-outer equi join and null-extension stays
-        # per-branch-correct.  A right-nullable var under left_outer
-        # cannot split this way (splitting the right side would break
-        # the unmatched-row extension), so that rare shape keeps the
-        # OR condition.
-        can_union = (
-            mu_vars
-            and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS
-            and (
-                how == "inner"
-                or (
-                    how == "left_outer"
-                    and all(v not in right.maybe_unbound for v in mu_vars)
-                )
-            )
-        )
-        if can_union:
+        # per-branch-correct.  A right-nullable var cannot split that
+        # way (splitting the right side would break the unmatched-row
+        # extension), so that shape goes through
+        # `_compat_left_outer_via_inner`: inner union + null-safe-equi
+        # anti join — still all hash joins.
+        can_union = mu_vars and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS
+        if can_union and how == "left_outer" and any(
+            v in right.maybe_unbound for v in mu_vars
+        ):
+            joined = self._compat_left_outer_via_inner(left, right, rdf, mu_vars, conds)
+        elif can_union:
             joined = self._compat_join_union(left, right, rdf, mu_vars, conds, how)
         else:
             for v in mu_vars:
@@ -584,6 +579,50 @@ class Compiler:
                 b = ldf.join(rd, F.lit(True), how)
             out = b if out is None else out.unionByName(b)
         return out
+
+    def _compat_left_outer_via_inner(
+        self,
+        left: Sol,
+        right: Sol,
+        rdf: DataFrame,
+        mu_vars: list,
+        base_conds: list,
+    ) -> DataFrame:
+        """left_outer compatibility join when a shared var is nullable
+        on the RIGHT (e.g. the OPTIONAL's group contains a UNION branch
+        that leaves the shared var unbound).  The right side cannot be
+        split into per-branch left-outer joins, so instead:
+
+            L ⟕ R  =  J  ∪  (L ▷ π_L(J)) × nulls
+
+        where J is the inner compatibility join as a union of disjoint
+        EQUI branches (`_compat_join_union`), π_L(J) the distinct
+        left-side binding tuples that matched, and ▷ a null-safe-EQUI
+        left-anti join on the left id columns.  Every join is
+        hash-partitionable (EqualNullSafe is a valid hash key), closing
+        the last OR-condition shape from round-4 verdict #2.  Duplicate
+        left tuples behave identically under SPARQL bag semantics, so
+        anti-joining on the full binding tuple extends each instance of
+        an unmatched tuple exactly once.  Cost: J's lineage is computed
+        twice (output + projection) — acceptable for this rare shape.
+        Reference semantics: JVMHashJoinUtility optional-join path."""
+        inner = self._compat_join_union(left, right, rdf, mu_vars, base_conds, "inner")
+        lcols = list(left.df.columns)
+        matched = inner.select(*lcols).dropDuplicates(
+            [c for c in lcols if c.endswith("__id")]
+        )
+        cond = None
+        for c in lcols:
+            if not c.endswith("__id"):
+                continue
+            eq = F.col("L." + c).eqNullSafe(F.col("P." + c))
+            cond = eq if cond is None else cond & eq
+        unmatched = left.df.alias("L").join(
+            matched.alias("P"), cond, "left_anti"
+        ).select(*[F.col("L." + c).alias(c) for c in lcols])
+        for f in rdf.schema.fields:
+            unmatched = unmatched.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return inner.unionByName(unmatched.select(*inner.columns))
 
     def leftjoin(self, left: Sol, right: Sol, filters: list, graph) -> Sol:
         """OPTIONAL: LeftJoin(left, right, F) — F evaluated as part of

@@ -135,6 +135,8 @@ class SparqlEngine:
         self._change_listeners: list = []
         self._cs_added: list = []
         self._cs_removed: list = []
+        self._commits_since_compact = 0
+        self._compact_snapshot = None
         if services:
             self.services.update(services)
 
@@ -647,6 +649,47 @@ class SparqlEngine:
         """Remove driver-parsed statements; DeleteServlet body path."""
         self._run_update_ops([A.DeleteData(triples=list(quads))])
 
+    def insert_dataframe(self, df: DataFrame, graph: T.Term | None = None) -> None:
+        """Bulk-insert a distributed statement frame (``st``/``pt``/
+        ``ot`` [+ ``gt``] TERM-struct columns) with full commit
+        bookkeeping — the LoadUpdate path minus the file read.  Used by
+        bulk loaders (blueprints ``BigdataGraphBulkLoad`` analog); the
+        frame is never enumerated on the driver."""
+        self._cs_added, self._cs_removed = [], []
+        if graph is not None:
+            df = df.withColumn("gt", T.lit_term(graph))
+        if self._track_changes:
+            self._track_insert(df, self.store.df)
+        self.store = self.store.add(df, other_has_named=graph is not None)
+        self._backchain_maps = None
+        self._describe_cache_invalidate()
+        if self.maintain_entailments:
+            self._recompute_entailments()
+        self._fire_changeset()
+        self._maybe_compact()
+
+    def remove_dataframe(self, df: DataFrame) -> None:
+        """Bulk-remove a distributed statement frame (``st``/``pt``/
+        ``ot`` [+ ``gt``] columns) with full commit bookkeeping; the
+        set-oriented half of DeleteServlet (blueprints removeVertex
+        uses it to drop a vertex plus all incident edge state in one
+        commit)."""
+        self._cs_added, self._cs_removed = [], []
+        if "gt" not in df.columns:
+            df = df.withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
+        if self._track_changes:
+            self._track_delete(df, self.store.df)
+        self.store = self.store.remove(df.select("st", "pt", "ot", "gt"))
+        self._backchain_maps = None
+        self._describe_cache_invalidate()
+        if self.maintain_entailments:
+            if self._tm_justs is not None:
+                self._tm_retract(df.where(F.col("gt").isNull()).select("st", "pt", "ot"))
+            else:
+                self._recompute_entailments()
+        self._fire_changeset()
+        self._maybe_compact()
+
     def _run_update_ops(self, ops: list) -> None:
         self._cs_added, self._cs_removed = [], []
         for op in ops:
@@ -672,6 +715,39 @@ class SparqlEngine:
                 else:
                     self._recompute_entailments()
         self._fire_changeset()
+        self._maybe_compact()
+
+    #: commits between store-lineage compactions (see _maybe_compact)
+    _COMPACT_EVERY = 8
+
+    def _maybe_compact(self) -> None:
+        """Bound store lineage depth across commits.
+
+        Every mutation stacks `union + dropDuplicates` onto the store
+        plan; a CRUD-style workload (blueprints/GOM veneers, REST
+        endpoints issuing many small updates) would otherwise make
+        every later read re-execute the whole mutation history —
+        quadratic in commit count.  Every ``_COMPACT_EVERY`` commits the
+        store is localCheckpoint'ed (the journal commit-record analog:
+        reads start from a materialized snapshot, like the reference's
+        B+Tree after a commit point) and the PREVIOUS snapshot's blocks
+        are released.  Contract: changeset deltas are delivered before
+        the commit returns and must be consumed before the next batch
+        of commits (IChangeLog has the same in-commit delivery shape);
+        only the current snapshot is ever live storage."""
+        from ..operators import lifecycle as L
+
+        self._commits_since_compact += 1
+        if self._commits_since_compact < self._COMPACT_EVERY:
+            return
+        self._commits_since_compact = 0
+        prev = self._compact_snapshot
+        snap = L.protected_checkpoint(self.store.df)
+        self.store = TripleStore(
+            self.store.spark, snap, has_named=self.store.has_named
+        )
+        self._compact_snapshot = snap
+        L.unprotect_and_free(prev)
 
     def _fire_changeset(self) -> None:
         """Deliver the accumulated commit delta to subscribers
@@ -726,6 +802,7 @@ class SparqlEngine:
             else:
                 self._recompute_entailments()
         self._fire_changeset()
+        self._maybe_compact()
 
     def _tm_retract(self, deleted) -> None:
         from ..inference.rdfs import tm_retract

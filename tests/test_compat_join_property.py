@@ -127,3 +127,46 @@ def test_left_outer_decomposition_equals_or_join(compiler, spark, seed):
     finally:
         compiler._COMPAT_UNION_MAX_VARS = old
     assert fast == slow
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("lmu", [False, True])
+def test_left_outer_right_nullable_equals_or_join(compiler, spark, seed, lmu):
+    """Right-nullable shared var under left_outer — the inner-union +
+    null-safe anti-join path (`_compat_left_outer_via_inner`) must match
+    the naive OR-condition left_outer on random bags, with and without
+    the var also nullable on the left."""
+    rng = random.Random(seed * 100 + lmu)
+    lvars, rvars = {"a", "x"}, {"a", "y"}
+    left = _mk_sol(
+        spark, _random_rows(rng, lvars, {"a"} if lmu else set(), 12),
+        lvars, {"a"} if lmu else set(),
+    )
+    right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 12), rvars, {"a"})
+    fast = _bag(compiler.join(left, right, "left_outer"))
+    old = compiler._COMPAT_UNION_MAX_VARS
+    try:
+        compiler._COMPAT_UNION_MAX_VARS = 0
+        slow = _bag(compiler.join(left, right, "left_outer"))
+    finally:
+        compiler._COMPAT_UNION_MAX_VARS = old
+    assert fast == slow
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_left_outer_right_nullable_with_extra_filter(compiler, spark, seed):
+    """OPTIONAL filter (`extra` condition) must participate in the
+    matched/unmatched split exactly as in the naive join."""
+    rng = random.Random(seed)
+    lvars, rvars = {"a", "x"}, {"a", "y"}
+    left = _mk_sol(spark, _random_rows(rng, lvars, set(), 12), lvars, set())
+    right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 12), rvars, {"a"})
+    extra = F.col("R__y").isNotNull() & (F.col("R__y")["lex"] > "urn:v:1")
+    fast = _bag(compiler.join(left, right, "left_outer", extra=extra))
+    old = compiler._COMPAT_UNION_MAX_VARS
+    try:
+        compiler._COMPAT_UNION_MAX_VARS = 0
+        slow = _bag(compiler.join(left, right, "left_outer", extra=extra))
+    finally:
+        compiler._COMPAT_UNION_MAX_VARS = old
+    assert fast == slow
