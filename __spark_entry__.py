@@ -322,6 +322,40 @@ def q_sparql_optional_rejoin(spark, sf_dir):
     )
 
 
+def q_sparql_outer_union(spark, sf_dir):
+    """left_outer with a RIGHT-nullable shared var (r4 verdict #2
+    closing sweep): the OPTIONAL's group is a UNION whose second branch
+    does not bind ?n, so ?n reaches the left join maybe-unbound on the
+    RIGHT side.  Splitting the right side per-branch would corrupt the
+    unmatched-row extension, so the compiler goes through
+    ``_compat_left_outer_via_inner``: the inner compatibility join as a
+    union of disjoint EQUI branches, plus unmatched left rows recovered
+    with a null-safe-equi anti join — every join hash-partitionable.
+    The naive encoding (isNull|eq OR-condition left join) is a
+    BroadcastNestedLoopJoin that dies at scale.  Reference semantics:
+    JVMHashJoinUtility optional-join path."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?n_name ?who ?val WHERE {{
+          ?n a t:Nation ; t:name ?n_name .
+          OPTIONAL {{
+            {{ ?c a t:Customer ; t:nation ?n ; t:name ?who ; t:acctbal ?val .
+               FILTER(?val > 9985) }}
+            UNION
+            {{ ?s a t:Supplier ; t:name ?who ; t:acctbal ?val .
+               FILTER(?val > 9950) }}
+          }}
+        }}""",
+        {
+            "n_name": ("n_name", "lex"),
+            "who": ("who", "lex"),
+            "val": ("val", "double"),
+        },
+    )
+
+
 def q_sparql_union(spark, sf_dir):
     e = _graph(spark, sf_dir)
     return _sel(
@@ -1354,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_agg_group": q_sparql_agg_group,
     "sparql_optional": q_sparql_optional,
     "sparql_optional_rejoin": q_sparql_optional_rejoin,
+    "sparql_outer_union": q_sparql_outer_union,
     "sparql_union": q_sparql_union,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_minus": q_sparql_minus,
@@ -1611,6 +1646,18 @@ ORACLES: dict[str, str] = {
         FROM opt JOIN orders o
           ON opt.c_custkey IS NULL OR opt.c_custkey = o.o_custkey
         GROUP BY n_name
+    """,
+    "sparql_outer_union": """
+        WITH u AS (
+          SELECT c.c_nationkey AS nk, c.c_name AS who, c.c_acctbal AS val
+          FROM customer c WHERE c.c_acctbal > 9985
+          UNION ALL
+          SELECT NULL AS nk, s.s_name AS who, s.s_acctbal AS val
+          FROM supplier s WHERE s.s_acctbal > 9950
+        )
+        SELECT n.n_name AS n_name, u.who AS who, u.val AS val
+        FROM nation n LEFT JOIN u
+          ON u.nk IS NULL OR u.nk = n.n_nationkey
     """,
     "sparql_union": """
         SELECT c_name AS name FROM customer WHERE c_mktsegment = 'BUILDING'

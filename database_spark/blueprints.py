@@ -218,6 +218,8 @@ class PropertyGraph:
         self.factory = factory or BlueprintsValueFactory()
         self._listeners = []
         self._engine_listener = None
+        self._history: list | None = None
+        self._history_seq = 0
 
     # ------------------------------------------------------------ scans
     def _statements(self) -> DataFrame:
@@ -546,6 +548,49 @@ class PropertyGraph:
             out = out.unionByName(fr)
         self.engine.insert_dataframe(out)
 
+    # ---------------------------------------------------------- history
+    def enable_history(self) -> None:
+        """Start recording per-commit graph edits (reference
+        ``ImmortalGraph``/``BigdataGraphEdit``: the reference replays
+        the journal's history index; here the changesets stream is
+        retained).  Edits are materialized driver-side AT DELIVERY —
+        required because store compaction rotates snapshots the lazy
+        delta frames depend on, and matching the reference, whose
+        history iterator also materializes edit records.  Meant for
+        interactive/CRUD workloads; bulk loads with history enabled
+        will collect their full delta."""
+        if self._history is not None:
+            return
+        self._history = []
+
+        def record(added, removed):
+            seq = self._history_seq
+            self._history_seq += 1
+            for action, df in (("add", added), ("remove", removed)):
+                for r in df.select("st.lex", "pt.lex", "ot.lex").collect():
+                    self._history.append((seq, action, r[0], r[1], r[2]))
+
+        self._history_listener = record
+        self.add_listener(record)
+
+    def history(self, uris: list | None = None) -> list:
+        """Recorded edits ``(commit_seq, action, s, p, o)``, optionally
+        filtered to statements about the given element URIs
+        (BigdataGraph.history(List<URI>))."""
+        if self._history is None:
+            raise RuntimeError("call enable_history() first")
+        if uris is None:
+            return list(self._history)
+        want = set(uris)
+        return [e for e in self._history if e[2] in want or e[3] in want]
+
+    # ------------------------------------------------------------ query
+    def query(self) -> "GraphQuery":
+        """Criteria-based element query (BigdataGraphQuery.java):
+        ``g.query().has("age", 30, "gte").interval("score", 1, 5)
+        .limit(10).vertices()``."""
+        return GraphQuery(self)
+
     # -------------------------------------------------------- listeners
     def add_listener(self, fn) -> None:
         """Subscribe a mutation listener (``BigdataGraphListener``):
@@ -575,3 +620,113 @@ class PropertyGraph:
         if not self._listeners and self._engine_listener is not None:
             self.engine.remove_change_listener(self._engine_listener)
             self._engine_listener = None
+
+
+class GraphQuery:
+    """Criteria query over vertices or edges (reference
+    ``BigdataGraphQuery.java``, which compiles criteria to a SPARQL
+    filter block).  Spark-first: each criterion is one keyed semi/anti
+    join of the element-id set against the property statements —
+    relational end to end, `limit` applied before wrapper
+    materialization.  Predicates: ``eq`` (default), ``neq``, ``gt``,
+    ``gte``, ``lt``, ``lte`` (numeric compare when the probe value is
+    numeric, lexical otherwise)."""
+
+    def __init__(self, graph: PropertyGraph):
+        self.graph = graph
+        self._criteria: list = []  # (key, value, predicate, negated)
+        self._limit: int | None = None
+
+    def has(self, key: str, value=None, predicate: str = "eq") -> "GraphQuery":
+        self._criteria.append((key, value, predicate, False))
+        return self
+
+    def has_not(self, key: str, value=None) -> "GraphQuery":
+        self._criteria.append((key, value, "eq", True))
+        return self
+
+    def interval(self, key: str, start, end) -> "GraphQuery":
+        """start inclusive, end exclusive (GraphQuery.interval)."""
+        return self.has(key, start, "gte").has(key, end, "lt")
+
+    def limit(self, n: int) -> "GraphQuery":
+        self._limit = n
+        return self
+
+    # ------------------------------------------------------------ exec
+    def _value_cond(self, value, predicate):
+        lex = F.col("ot.lex")
+        if isinstance(value, bool):
+            probe = F.lit("true" if value else "false")
+            val = lex
+        elif isinstance(value, (int, float)):
+            probe = F.lit(float(value))
+            val = lex.try_cast("double")
+        else:
+            probe = F.lit(str(value))
+            val = lex
+        ops = {
+            "eq": val == probe,
+            "neq": val != probe,
+            "gt": val > probe,
+            "gte": val >= probe,
+            "lt": val < probe,
+            "lte": val <= probe,
+        }
+        return ops[predicate]
+
+    def _apply(self, ids: DataFrame) -> DataFrame:
+        """ids: one column ``__id`` of element term ids."""
+        g = self.graph
+        stmts = g._statements()
+        for key, value, predicate, negated in self._criteria:
+            prop = stmts.where(
+                F.col("p") == g._tid(Term.iri(g.factory.to_property_uri(key)))
+            )
+            if value is not None:
+                prop = prop.where(self._value_cond(value, predicate))
+            keyed = prop.select(F.col("s").alias("__id")).dropDuplicates()
+            ids = ids.join(keyed, "__id", "left_anti" if negated else "left_semi")
+        if self._limit is not None:
+            ids = ids.limit(self._limit)
+        return ids
+
+    def vertices(self) -> list:
+        g = self.graph
+        f = g.factory
+        members = g._statements().where(
+            (F.col("p") == g._tid(Term.iri(RDF_TYPE)))
+            & (F.col("o") == g._tid(Term.iri(BD_VERTEX)))
+        )
+        ids = self._apply(members.select(F.col("s").alias("__id")).dropDuplicates())
+        rows = (
+            members.join(ids, members["s"] == ids["__id"], "left_semi")
+            .select("st.lex")
+            .collect()
+        )
+        return [Vertex(g, f.from_uri(r["lex"]), r["lex"]) for r in rows]
+
+    def edges(self) -> list:
+        g = self.graph
+        f = g.factory
+        stmts = g._statements()
+        rel = stmts.where(F.col("pt.lex").startswith(f.edge_namespace))
+        ids = self._apply(rel.select(F.col("p").alias("__id")).dropDuplicates())
+        rel = rel.join(ids, rel["p"] == ids["__id"], "left_semi")
+        lbl = stmts.where(F.col("p") == g._tid(Term.iri(RDFS_LABEL))).select(
+            F.col("s").alias("__e"), F.col("ot.lex").alias("label")
+        )
+        rows = (
+            rel.select(
+                F.col("p").alias("__e"),
+                F.col("pt.lex").alias("euri"),
+                F.col("st.lex").alias("out"),
+                F.col("ot.lex").alias("in"),
+            )
+            .join(lbl, "__e", "left")
+            .collect()
+        )
+        return [
+            Edge(g, f.from_uri(r["euri"]), r["euri"], r["out"], r["in"], r["label"])
+            for r in rows
+        ]

@@ -159,6 +159,45 @@ def test_bulk_load_encodes_ids_like_driver_side(graph, spark):
     assert [r["id"] for r in graph.vertices_df().collect()] == ["has space/x"]
 
 
+def test_graph_query_criteria(graph, spark):
+    vdf = spark.createDataFrame(
+        [("v1", 10, "x"), ("v2", 20, "y"), ("v3", 30, None), ("v4", 40, "y")],
+        "id string, age int, tag string",
+    )
+    graph.bulk_load_vertices(vdf)
+    q = graph.query()
+    assert {v.id for v in q.has("age", 20, "gte").has("tag").vertices()} == {"v2", "v4"}
+    assert {v.id for v in graph.query().has_not("tag").vertices()} == {"v3"}
+    assert {v.id for v in graph.query().interval("age", 20, 40).vertices()} == {"v2", "v3"}
+    assert {v.id for v in graph.query().has("tag", "y").vertices()} == {"v2", "v4"}
+    assert {v.id for v in graph.query().has_not("tag", "y").vertices()} == {"v1", "v3"}
+    assert len(graph.query().has("age", 15, "gt").limit(2).vertices()) == 2
+    edf = spark.createDataFrame(
+        [("e1", "v1", "v2", 0.5), ("e2", "v2", "v3", 1.5)],
+        "id string, src string, dst string, w double",
+    )
+    graph.bulk_load_edges(edf, label="link")
+    hits = graph.query().has("w", 1.0, "gt").edges()
+    assert [e.id for e in hits] == ["e2"] and hits[0].label == "link"
+
+
+def test_history_records_commit_deltas(graph):
+    graph.enable_history()
+    v = graph.add_vertex("h1")
+    v.set_property("p", 1)
+    graph.remove_vertex(v)
+    edits = graph.history()
+    adds = [e for e in edits if e[1] == "add"]
+    removes = [e for e in edits if e[1] == "remove"]
+    assert any(e[2] == v.uri and e[3] == RDF_TYPE for e in adds)
+    assert any(e[2] == v.uri and e[3] == RDF_TYPE for e in removes)
+    # commit sequence increases across commits
+    assert edits[0][0] < edits[-1][0]
+    # filtered form
+    assert graph.history([v.uri]) == edits
+    assert graph.history([VERTEX_NAMESPACE + "other"]) == []
+
+
 def test_mutation_listener_sees_graph_edits(graph):
     events = []
 
