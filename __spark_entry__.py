@@ -1179,6 +1179,25 @@ def q_lsh_cosine_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP (the dedup-family view of the
+    embedding space): LSH pairs → connected components → min-id
+    representative per cluster, one row per embedding with its cluster
+    label and keep flag.  The oracle replays the exact quantizer
+    (inlined plane constants), threshold-verifies with exact cosine,
+    closes the pair graph with a recursive CTE, and picks the same
+    min-id representative."""
+    from database_spark.pipeline import dedup
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return dedup.embedding_near_dup_clusters(
+        emb, "vec_id", "v", dim=LSH_DIM,
+        threshold=LSH_THRESHOLD, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+    ).select(F.col("id").alias("vec_id"), "cluster", "keep")
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-style ANN top-k (LSH-sign cells + multi-probe), emulated
     exactly by the oracle — checks quantization, probing and ranking."""
@@ -1439,6 +1458,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine_pairs": q_lsh_cosine_pairs,
+    "embedding_dedup": q_embedding_dedup,
     "ivf_topk": q_ivf_topk,
 }
 
@@ -1577,6 +1597,48 @@ def _lsh_pairs_oracle() -> str:
         WHERE round(list_dot_product(a.v, bb.v) /
                     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))),
                     6) >= {LSH_THRESHOLD}
+    """
+
+
+def _embedding_dedup_oracle() -> str:
+    tables = "\n          UNION ALL\n".join(
+        f"""          SELECT vec_id, v, {t} AS tbl,
+                 {_bucket_sql('v', LSH_DIM, LSH_PLANES, 1000 + t)} AS bucket
+          FROM v"""
+        for t in range(LSH_TABLES)
+    )
+    return f"""
+        WITH RECURSIVE v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), b AS (
+{tables}
+        ), cand AS (
+          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                           AND l.vec_id < r.vec_id
+        ), pairs AS (
+          SELECT id_a, id_b
+          FROM cand JOIN v a ON cand.id_a = a.vec_id
+                    JOIN v bb ON cand.id_b = bb.vec_id
+          WHERE round(list_dot_product(a.v, bb.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))),
+                      6) >= {LSH_THRESHOLD}
+        ), sym AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), nodes AS (SELECT DISTINCT a AS n FROM sym),
+        reach(src, dst) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        ), comp AS (
+          SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+        )
+        SELECT e.vec_id AS vec_id,
+               coalesce(c.component, e.vec_id) AS cluster,
+               (coalesce(c.component, e.vec_id) = e.vec_id) AS keep
+        FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
     """
 
 
@@ -2014,6 +2076,7 @@ ORACLES: dict[str, str] = {
     "text_quality": _TEXT_QUALITY_ORACLE,
     "simhash_pairs": _simhash_oracle(),
     "lsh_cosine_pairs": _lsh_pairs_oracle(),
+    "embedding_dedup": _embedding_dedup_oracle(),
     "ivf_topk": _ivf_topk_oracle(),
     "ngram_jaccard": r"""
         WITH sh AS (

@@ -370,3 +370,48 @@ def near_dup_clusters(
         "cluster",
         (F.col("node") == F.col("rep")).alias("keep"),
     )
+
+
+def embedding_near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERING — the dedup-family
+    use of the embedding space: hyperplane-LSH candidate pairs
+    (exact-cosine verified, ``similarity.lsh_similar_pairs``) →
+    connected components over the pair graph → ``keep`` marks the
+    min-id representative of each cluster (the cluster label itself —
+    deterministic; a production pipeline would rank by a quality
+    score, which slots into the same ``max_by``).
+
+    Returns (id, cluster, keep) for EVERY input row (singletons are
+    their own cluster and kept).
+
+    100 TB design: candidates come from banded (table, bucket) joins —
+    never all-pairs; pairs travel as bare ids; the component walk is
+    the two-phase contraction of ``operators.graph
+    .connected_components`` (O(log² n) rounds); the final labeling is
+    one left join + column compare.  No driver materialization.
+    """
+    from ..operators.graph import connected_components
+    from .similarity import lsh_similar_pairs
+
+    pairs = lsh_similar_pairs(
+        df, id_col, vec_col, dim, threshold, n_planes, n_tables
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components(edges)
+    ids = df.select(F.col(id_col).alias("node"))
+    labeled = ids.join(comps, "node", "left_outer").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("cluster")
+    )
+    return labeled.select(
+        F.col("node").alias("id"),
+        "cluster",
+        (F.col("node") == F.col("cluster")).alias("keep"),
+    )
