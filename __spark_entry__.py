@@ -918,6 +918,40 @@ def q_stream_hourly(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming ingest dedup through REAL Structured Streaming:
+    events staged TWICE (every row a duplicate), availableNow drain
+    through watermarked ``dropDuplicatesWithinWatermark`` — output must
+    equal the distinct static relation.  State is watermark-bounded
+    (see ``streaming.windows.dedup_stream``)."""
+    import tempfile
+
+    from database_spark.streaming.windows import dedup_stream, run_available_now
+
+    skey = (sf_dir, "__stream_dup_stage__")
+    if skey not in _GRAPH_CACHE:
+        stage = tempfile.mkdtemp(prefix="dbspark-bench-sdup-")
+        ev = _read(spark, sf_dir, "events")
+        ev.unionByName(ev).coalesce(4).write.mode("overwrite").parquet(
+            stage + "/events"
+        )
+        _GRAPH_CACHE[skey] = stage
+    stage = _GRAPH_CACHE[skey]
+    cp = tempfile.mkdtemp(prefix="dbspark-sdup-cp-")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(stage + "/events")
+    out = dedup_stream(stream, ["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    name = "q_stream_dedup"
+    q = run_available_now(out, name, cp)
+    q.stop()
+    return spark.table(name)
+
+
 def q_stream_sessions(spark, sf_dir):
     """session_window sessionization per user (30 min gap)."""
     from database_spark.streaming.windows import sessionize
@@ -1444,6 +1478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gas_pagerank_large": q_gas_pagerank_large,
     "gas_fuzzy_band": q_gas_fuzzy_band,
     "stream_hourly": q_stream_hourly,
+    "stream_dedup": q_stream_dedup,
     "stream_sessions": q_stream_sessions,
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
@@ -2041,6 +2076,9 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events,
                min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "stream_dedup": """
+        SELECT event_id, user_id, event_type, value FROM events
     """,
     "changeset_delta": """
         SELECT 'added' AS change,

@@ -72,6 +72,28 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication with watermark-BOUNDED state —
+    the training-pipeline ingest dedup: duplicates of a key arriving
+    within `watermark` of each other are dropped; state for keys older
+    than the watermark is evicted, so state size tracks the watermark
+    window, not the stream history (a plain dropDuplicates on an
+    unbounded stream grows state forever — the 100 TB killer).
+
+    Works on static inputs too (plain dropDuplicates on the keys) so
+    the same pipeline code runs batch backfills."""
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint: str):
     """Drain everything currently available through the streaming
     engine into an in-memory sink; returns after the stream finishes.

@@ -16,6 +16,7 @@ from database_spark.streaming.ingest import (
     stream_nt_directory,
 )
 from database_spark.streaming.windows import (
+    dedup_stream,
     hourly_event_stats,
     run_available_now,
     sessionize,
@@ -94,6 +95,23 @@ def test_parse_nt_lines(spark):
     assert lit["ot"]["dt"].endswith("integer")
     lang = [r for r in out if r["ot"]["lex"] == "hi"][0]
     assert lang["ot"]["lang"] == "en"
+
+
+def test_dedup_stream_drops_watermark_window_duplicates(spark, events_static, tmpdir):
+    """Doubled source through dropDuplicatesWithinWatermark == the
+    distinct static relation; static input takes the batch path."""
+    dup_dir = tmpdir + "/dup"
+    events_static.unionByName(events_static).coalesce(2).write.parquet(dup_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(dup_dir)
+    out = dedup_stream(stream, ["event_id"]).select("event_id", "value")
+    q = run_available_now(out, "sdup_t", tmpdir + "/cp_sdup")
+    q.stop()
+    got = spark.table("sdup_t")
+    assert got.count() == events_static.count()
+    assert got.select("event_id").distinct().count() == got.count()
+    # batch path: same helper, plain dropDuplicates
+    batch = dedup_stream(events_static.unionByName(events_static), ["event_id"])
+    assert batch.count() == events_static.count()
 
 
 def test_streaming_nt_ingest(spark, tmpdir):
