@@ -148,6 +148,57 @@ class GPO:
         return f"GPO({self.iri})"
 
 
+class BasicSkin:
+    """Typed convenience accessors over a GPO (reference
+    ``gpo/BasicSkin.java`` / ``IGenericSkin``): python-value get/set so
+    application code never touches Terms."""
+
+    def __init__(self, gpo: GPO):
+        self.gpo = gpo
+
+    def as_generic(self) -> GPO:
+        return self.gpo
+
+    def set(self, prop: str, value) -> None:
+        if isinstance(value, GPO):
+            t = Term.iri(value.iri)
+        elif isinstance(value, Term):
+            t = value
+        elif isinstance(value, bool):
+            t = Term.boolean(value)
+        elif isinstance(value, int):
+            t = Term.integer(value)
+        elif isinstance(value, float):
+            t = Term.double(value)
+        else:
+            t = Term.literal(str(value))
+        self.gpo.set_value(prop, t)
+
+    def _lex(self, prop: str) -> str | None:
+        t = self.gpo.get_value(prop)
+        return None if t is None else t.lex
+
+    def get_string(self, prop: str) -> str | None:
+        return self._lex(prop)
+
+    def get_int(self, prop: str, default: int = 0) -> int:
+        v = self._lex(prop)
+        return default if v is None else int(float(v))
+
+    def get_double(self, prop: str, default: float = 0.0) -> float:
+        v = self._lex(prop)
+        return default if v is None else float(v)
+
+    def get_boolean(self, prop: str) -> bool:
+        return self._lex(prop) == "true"
+
+    def get_gpo(self, prop: str) -> GPO | None:
+        t = self.gpo.get_value(prop)
+        if t is None or t.kind != T.KIND_IRI:
+            return None
+        return self.gpo.om.get_gpo(t.lex)
+
+
 class ObjectManager:
     """Reference ``om/ObjectManager.java`` over a ``SparqlEngine``."""
 

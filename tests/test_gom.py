@@ -119,6 +119,30 @@ def test_named_roots_save_recall(om):
     assert om.recall(EX + "nope") is None
 
 
+def test_basic_skin_typed_accessors(om):
+    from database_spark.gom import BasicSkin
+
+    s = BasicSkin(om.get_gpo(EX + "w1"))
+    assert s.get_string(EX + "name") == "widget one"
+    assert s.get_int(EX + "price") == 10
+    assert s.get_double(EX + "price") == 10.0
+    assert s.get_int(EX + "missing", 7) == 7
+    assert not s.get_boolean(EX + "missing")
+    acme = s.get_gpo(EX + "madeBy")
+    assert acme is om.get_gpo(EX + "acme")
+    s.set(EX + "active", True)
+    s.set(EX + "rank", 3)
+    s.set(EX + "weight", 1.5)
+    s.set(EX + "boss", acme)
+    assert s.get_boolean(EX + "active") and s.get_int(EX + "rank") == 3
+    assert s.get_double(EX + "weight") == 1.5
+    assert s.get_gpo(EX + "boss") is acme
+    assert om.engine.store.has_statement(
+        s=Term.iri(EX + "w1"), p=Term.iri(EX + "boss"), o=Term.iri(EX + "acme")
+    )
+    assert s.as_generic() is om.get_gpo(EX + "w1")
+
+
 def test_create_gpo_and_evaluate(om):
     g = om.create_gpo()
     g.set_value(EX + "name", Term.literal("fresh"))
