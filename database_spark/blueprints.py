@@ -136,10 +136,15 @@ _COL_DT = {
 
 
 def _literal_col(c, spark_type: str) -> "F.Column":
-    dt = _COL_DT.get(spark_type, T.XSD_STRING)
-    return T.term_struct(
-        F.lit(T.KIND_LITERAL), c.cast("string"), F.lit(dt), F.lit(None)
-    )
+    if spark_type.startswith("decimal"):
+        dt, lex = T.XSD_DECIMAL, c.cast("string")
+    elif spark_type in ("timestamp", "timestamp_ntz"):
+        dt, lex = T.XSD + "dateTime", F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    elif spark_type == "date":
+        dt, lex = T.XSD + "date", c.cast("string")
+    else:
+        dt, lex = _COL_DT.get(spark_type, T.XSD_STRING), c.cast("string")
+    return T.term_struct(F.lit(T.KIND_LITERAL), lex, F.lit(dt), F.lit(None))
 
 
 class Element:
@@ -372,6 +377,7 @@ class PropertyGraph:
                 .where(
                     (F.col("p") == self._tid(Term.iri(f.to_property_uri(key))))
                     & (F.col("o") == self._tid(lit))
+                    & F.col("st.lex").startswith(f.edge_namespace)
                 )
                 .select(
                     f.decode_id_col(F.col("st.lex"), f.edge_namespace).alias("id")

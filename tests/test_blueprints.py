@@ -151,6 +151,22 @@ def test_bulk_load_dataframes(graph, spark):
     assert graph.get_edge("x3").label == "links"
 
 
+def test_bulk_load_typed_columns(graph, spark):
+    from pyspark.sql import functions as F
+
+    vdf = spark.sql(
+        "SELECT 'd1' AS id, CAST(12.50 AS DECIMAL(10,2)) AS bal, "
+        "CAST('2024-03-01 10:30:00' AS TIMESTAMP) AS seen, "
+        "CAST('2024-03-01' AS DATE) AS day, true AS ok"
+    )
+    graph.bulk_load_vertices(vdf)
+    v = graph.get_vertex("d1")
+    assert v.get_property("bal") == 12.5  # decimal -> numeric, not string
+    assert v.get_property("seen") == "2024-03-01T10:30:00"
+    assert v.get_property("day") == "2024-03-01"
+    assert v.get_property("ok") is True
+
+
 def test_bulk_load_encodes_ids_like_driver_side(graph, spark):
     vdf = spark.createDataFrame([("has space/x",)], "id string")
     graph.bulk_load_vertices(vdf)
