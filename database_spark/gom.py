@@ -25,6 +25,7 @@ what the reference materializes per GPO); queries stay DataFrames via
 from __future__ import annotations
 
 import uuid
+import weakref
 
 from pyspark.sql import functions as F
 
@@ -128,13 +129,18 @@ class GPO:
 
     def remove(self) -> None:
         """Remove the object: all forward statements and all links in
-        (IGPO.remove)."""
+        (IGPO.remove).  Cached GPOs that linked TO this object drop
+        their materialized snapshot — their in-memory view would
+        otherwise keep serving the removed link."""
         for p, vals in list(self._fwd().items()):
             for v in vals:
                 self.om._stage_remove(self.iri, p, v)
         for p, subs in list(self._rev().items()):
             for s in subs:
                 self.om._stage_remove(s, p, Term.iri(self.iri))
+                linked = self.om._gpos.get(s)
+                if linked is not None and linked is not self:
+                    linked._forward = linked._reverse = None
         self._forward, self._reverse = {}, {}
 
     # ------------------------------------------------------------ dunder
@@ -204,7 +210,13 @@ class ObjectManager:
 
     def __init__(self, engine):
         self.engine = engine
-        self._gpos: dict[str, GPO] = {}  # canonicalizing cache
+        #: canonicalizing cache — WEAK values like the reference's
+        #: weak-value map (ObjectMgrModel), so a long-lived OM serving
+        #: many distinct resources does not pin every GPO (and its
+        #: materialized snapshot) in driver memory forever
+        self._gpos: "weakref.WeakValueDictionary[str, GPO]" = (
+            weakref.WeakValueDictionary()
+        )
         self._tx_depth = 0
         self._adds: list = []  # staged (s,p,o) Terms
         self._removes: list = []

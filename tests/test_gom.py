@@ -109,6 +109,25 @@ def test_remove_object_and_links_in(om):
     assert om.engine.store.has_statement(s=Term.iri(EX + "w1"), p=Term.iri(EX + "name"))
 
 
+def test_remove_invalidates_linking_objects(om):
+    w1 = om.get_gpo(EX + "w1")
+    assert w1.get_value(EX + "madeBy") is not None  # materialize w1
+    om.get_gpo(EX + "acme").remove()
+    # w1's cached snapshot must not keep serving the removed link
+    assert w1.get_value(EX + "madeBy") is None
+
+
+def test_gpo_cache_is_weak(om):
+    import gc
+
+    om.get_gpo(EX + "transient")
+    gc.collect()
+    assert (EX + "transient") not in om._gpos  # no strong pin
+    held = om.get_gpo(EX + "held")
+    gc.collect()
+    assert om.get_gpo(EX + "held") is held  # canonical while referenced
+
+
 def test_named_roots_save_recall(om):
     om.save(EX + "root", Term.iri(EX + "w1"))
     assert om.recall(EX + "root") == Term.iri(EX + "w1")
