@@ -994,6 +994,56 @@ def q_dedup_clusters(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "cluster", "keep")
 
 
+def q_graph_bulk_degree(spark, sf_dir):
+    """Blueprints veneer end-to-end at sf: nations + customers bulk-
+    loaded as vertices and customer→nation links as edges (column-wise
+    statement frames, one distributed engine commit per load —
+    BigdataGraphBulkLoad analog), then per-nation membership degree
+    read back from the relational edge view.  The property-graph state
+    IS RDF statements, so the oracle is a plain GROUP BY on the source
+    table."""
+    key = (sf_dir, "__blueprints__")
+    if key not in _GRAPH_CACHE:
+        from database_spark.blueprints import PropertyGraph
+        from database_spark.operators import lifecycle as L
+        from database_spark.sparql.engine import SparqlEngine as Eng
+
+        g = PropertyGraph(Eng(TripleStore.from_python_triples(spark, [])))
+        cust = _read(spark, sf_dir, "customer")
+        nat = _read(spark, sf_dir, "nation")
+        g.bulk_load_vertices(
+            nat.select(
+                F.col("n_nationkey").cast("string").alias("id"),
+                F.col("n_name").alias("name"),
+            )
+        )
+        g.bulk_load_vertices(
+            cust.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+                F.col("c_acctbal").alias("acctbal"),
+            )
+        )
+        g.bulk_load_edges(
+            cust.select(
+                F.concat(F.lit("e"), F.col("c_custkey")).alias("id"),
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+                F.col("c_nationkey").cast("string").alias("dst"),
+            ),
+            label="in_nation",
+        )
+        g.engine.store = TripleStore(
+            spark, L.protected_checkpoint(g.engine.store.df), has_named=False
+        )
+        _GRAPH_CACHE[key] = g
+    g = _GRAPH_CACHE[key]
+    return (
+        g.edges_df()
+        .groupBy("in")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(F.col("in").alias("nation_id"), "n_members")
+    )
+
+
 def q_update_roundtrip(spark, sf_dir):
     """SPARQL UPDATE verbs end-to-end: INSERT DATA, DELETE/INSERT
     WHERE, then a grouped count.  The oracle replays the same sequence
@@ -1483,6 +1533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "update_roundtrip": q_update_roundtrip,
+    "graph_bulk_degree": q_graph_bulk_degree,
     "changeset_delta": q_changeset_delta,
     "sparql_ask": q_sparql_ask,
     "sparql_subquery": q_sparql_subquery,
@@ -2079,6 +2130,11 @@ ORACLES: dict[str, str] = {
     """,
     "stream_dedup": """
         SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "graph_bulk_degree": """
+        SELECT CAST(c_nationkey AS VARCHAR) AS nation_id,
+               COUNT(*) AS n_members
+        FROM customer GROUP BY c_nationkey
     """,
     "changeset_delta": """
         SELECT 'added' AS change,
