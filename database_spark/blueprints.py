@@ -76,14 +76,23 @@ class BlueprintsValueFactory:
         self.edge_namespace = edge_namespace
 
     # --- driver-side (single ids) ---
+    @staticmethod
+    def _form_encode(s: str) -> str:
+        """Exact java.net.URLEncoder rules, which ``F.url_encode``
+        implements on the column side: '*' stays bare, '~' becomes
+        %7E — both the opposite of Python's ``quote_plus`` defaults.
+        Driver-added and bulk-loaded ids must produce byte-identical
+        IRIs or ``get_vertex``/``get_edge`` would miss bulk rows."""
+        return quote_plus(s, safe="*").replace("~", "%7E")
+
     def to_vertex_uri(self, vid) -> str:
-        return self.vertex_namespace + quote_plus(str(vid))
+        return self.vertex_namespace + self._form_encode(str(vid))
 
     def to_edge_uri(self, eid) -> str:
-        return self.edge_namespace + quote_plus(str(eid))
+        return self.edge_namespace + self._form_encode(str(eid))
 
     def to_property_uri(self, key: str) -> str:
-        return self.graph_namespace + quote_plus(str(key))
+        return self.graph_namespace + self._form_encode(str(key))
 
     def from_uri(self, uri: str):
         """IRI -> blueprints id/key (inverse of the three ``to_*``)."""
@@ -444,10 +453,16 @@ class PropertyGraph:
         return vals[0] if len(vals) == 1 else vals
 
     def set_property(self, uri: str, prop_uri: str, value) -> None:
-        # reference setProperty: single-valued — replace any existing
-        self.engine.remove_pattern(s=Term.iri(uri), p=Term.iri(prop_uri))
-        self.engine.insert_statements(
-            [(Term.iri(uri), Term.iri(prop_uri), self.factory.to_literal(value), None)]
+        # reference setProperty: single-valued — replace any existing.
+        # One engine commit (one changeset seq / history entry), like
+        # the reference's retract-and-assert inside a single
+        # connection commit (BigdataElement.setProperty).
+        self.engine.replace_pattern(
+            s=Term.iri(uri),
+            p=Term.iri(prop_uri),
+            inserts=[
+                (Term.iri(uri), Term.iri(prop_uri), self.factory.to_literal(value), None)
+            ],
         )
 
     def remove_property(self, uri: str, prop_uri: str):

@@ -274,9 +274,10 @@ class ObjectManager:
     def save(self, key: str, value: Term) -> None:
         """Bind a value under a well-known name (IObjectManager.save):
         (key, gom:name, value), replacing any previous binding."""
-        self.engine.remove_pattern(s=Term.iri(key), p=Term.iri(NAME_PROPERTY))
-        self.engine.insert_statements(
-            [(Term.iri(key), Term.iri(NAME_PROPERTY), value, None)]
+        self.engine.replace_pattern(
+            s=Term.iri(key),
+            p=Term.iri(NAME_PROPERTY),
+            inserts=[(Term.iri(key), Term.iri(NAME_PROPERTY), value, None)],
         )
         self._invalidate()
 

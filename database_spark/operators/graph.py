@@ -234,8 +234,113 @@ def sssp(
     return dist
 
 
+def multi_sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iter: int | None = None,
+    max_rounds: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """All-seeds shortest paths in ONE fixpoint: state keyed
+    ``(node, seed)``.
+
+    ``seeds``: df with ``node`` and ``seed`` columns (seed = the
+    source's own id, carried through so every relaxation stays a plain
+    hash-partitioned groupBy/join on the composite key).  Returns
+    (node, seed, dist).
+
+    This is the barrier-count fix for FuzzySSSP: the reference runs one
+    GAS SSSP per source and per target (``FuzzySSSP.java`` runs
+    |S|+|T| programs); looping per seed costs (|S|+|T|)·rounds
+    scheduler barriers, while this runs ALL seeds' frontiers in the
+    same per-round jobs — 1·rounds barriers, identical distances.  The
+    extra state is |seeds|× rows, partitioned by (node, seed), which is
+    exactly how a 1000-executor cluster wants it (more parallel keys,
+    no new shuffle boundaries).
+
+    ``stats``: optional dict; ``stats["rounds"]`` = relaxation rounds
+    the distributed loop ran (0 for the driver-local path).
+    """
+    if stats is not None:
+        stats["rounds"] = 0
+    e = L.checkpoint(edges.select("src", "dst", "weight"))
+    small = (
+        None
+        if (max_iter is not None or max_rounds is not None)
+        else _local_small_graph(e, seeds.select("node").dropDuplicates())
+    )
+    if small is not None:
+        edge_rows = small[0]
+        seed_rows = seeds.select("node", "seed").collect()
+        L.free(e)
+        rows = []
+        for sr in sorted({r["seed"] for r in seed_rows}):
+            one = [r for r in seed_rows if r["seed"] == sr]
+            rows += [
+                (n, sr, float(d)) for n, d in _local_sssp(edge_rows, one)
+            ]
+        spark = edges.sparkSession
+        if not rows:
+            return spark.sql(
+                "SELECT CAST(NULL AS BIGINT) node, CAST(NULL AS BIGINT) seed,"
+                " CAST(NULL AS DOUBLE) dist WHERE FALSE"
+            )
+        vals = ",".join(
+            f"(CAST({int(n)} AS BIGINT), CAST({int(s)} AS BIGINT),"
+            f" CAST({float(d)!r} AS DOUBLE))"
+            for n, s, d in rows
+        )
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t(node, seed, dist)")
+    key = ["node", "seed"]
+    dist = L.checkpoint(
+        seeds.select(
+            F.col("node").cast("long"), F.col("seed").cast("long"),
+            F.lit(0.0).alias("dist"),
+        ).dropDuplicates(key)
+    )
+    frontier = dist
+    rounds = 0
+    for _ in fixpoint_rounds(max_iter, "multi_sssp"):
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        rounds += 1
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"), "seed",
+                (F.col("dist") + F.col("weight")).alias("nd"),
+            )
+            .groupBy(*key)
+            .agg(F.min("nd").alias("nd"))
+        )
+        joined = cand.join(dist, key, "left_outer")
+        improved = L.checkpoint(
+            joined.where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", "seed", F.col("nd").alias("dist"))
+        )
+        if improved.isEmpty():
+            L.free(improved)
+            break
+        new_dist = L.checkpoint(
+            dist.join(improved.select(*key), key, "left_anti").unionByName(improved)
+        )
+        L.free(dist)
+        if frontier is not dist:
+            L.free(frontier)
+        dist, frontier = new_dist, improved
+    L.free(e)
+    if frontier is not dist:
+        L.free(frontier)
+    if stats is not None:
+        stats["rounds"] = rounds
+    return dist
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int | None = None, stats: dict | None = None
+    edges: DataFrame,
+    max_iter: int | None = None,
+    stats: dict | None = None,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """Undirected connected components (GAS/analytics/CC.java
     semantics: component = min node id).  Returns (node, component).
@@ -254,6 +359,11 @@ def connected_components(
     ``stats``: optional dict; on return ``stats["rounds"]`` holds the
     number of alternations the distributed loop ran (0 for the
     driver-local path).
+
+    ``max_rounds`` (``gas:maxIterations``, Options.MAX_ITERATIONS —
+    the reference applies it to EVERY GAS program): stop cleanly after
+    that many alternations; labels are then the partially-contracted
+    star edges, exactly the reference's truncated-fixpoint behavior.
     """
     if stats is not None:
         stats["rounds"] = 0
@@ -262,7 +372,13 @@ def connected_components(
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates()
     )
-    probe = sym.limit(SMALL_GRAPH_EDGES + 1).collect()
+    # a round budget means "truncated contraction", which union-find
+    # cannot emulate — take the distributed path then
+    probe = (
+        [None] * (SMALL_GRAPH_EDGES + 1)
+        if max_rounds is not None
+        else sym.limit(SMALL_GRAPH_EDGES + 1).collect()
+    )
     if len(probe) <= SMALL_GRAPH_EDGES:
         # driver-local union-find: min-label components are
         # deterministic integers, so the result is bit-identical to
@@ -297,6 +413,8 @@ def connected_components(
     n_edges = E.count()
     rounds = 0
     for _ in fixpoint_rounds(max_iter, "connected_components"):
+        if max_rounds is not None and rounds >= max_rounds:
+            break
         rounds += 1
         # -- large-star: every node connects its LARGER neighbors to
         # the minimum of its closed neighborhood
@@ -344,12 +462,19 @@ def pagerank(
     edges: DataFrame,
     iters: int = 20,
     damping: float = 0.85,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """PageRank (GAS/analytics/PR.java). Returns (node, rank).
 
     Power iteration with dangling-mass redistribution; rank mass sums
     to N like the classic formulation (1-d) + d*sum.
+
+    ``max_rounds`` (``gas:maxIterations``): caps the iteration count
+    below the default — the reference's Options.MAX_ITERATIONS applies
+    to PR like every other GAS program.
     """
+    if max_rounds is not None:
+        iters = min(iters, max_rounds)
     e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
     probe = e.limit(SMALL_GRAPH_EDGES + 1).collect()
     if len(probe) <= SMALL_GRAPH_EDGES:
@@ -412,18 +537,26 @@ def fuzzy_sssp(
     n: int,
     max_iter: int | None = None,
     reach: dict | None = None,
+    max_rounds: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fuzzy shortest-path band (``bigdata-gas/.../analytics/
     FuzzySSSP.java``): the "interesting subgraph" of ≤~N vertices close
     to the shortest paths between a set of sources and a set of
     targets.
 
-    Approach (same as the reference): one SSSP per source, one
-    reverse-SSSP per target; a vertex v lies on a shortest s→t path iff
-    dist_s(v) + rdist_t(v) == dist_s(t); the union of those vertices
-    over all (s,t) pairs seeds a BFS that stops at the END of the first
-    layer reaching ``n`` visited vertices (the reference's
-    per-iteration stopping rule).
+    Semantics (same as the reference): a vertex v lies on a shortest
+    s→t path iff dist_s(v) + rdist_t(v) == dist_s(t); the union of
+    those vertices over all (s,t) pairs seeds a BFS that stops at the
+    END of the first layer reaching ``n`` visited vertices (the
+    reference's per-iteration stopping rule).
+
+    Execution differs from the reference on purpose: instead of one
+    GAS run per source and per target (|S|+|T| sequential programs,
+    each paying rounds× scheduler barriers), BOTH distance maps come
+    from ONE :func:`multi_sssp` fixpoint each — state keyed
+    (node, seed) — so the whole analytic costs 2·rounds barriers plus
+    one BFS regardless of seed-set size.  Distances are identical.
 
     sources/targets: driver-side node-id lists (the reference takes
     Value[] arrays); everything per-vertex stays distributed.  Returns
@@ -431,7 +564,11 @@ def fuzzy_sssp(
     shortest-path set (0 = on a shortest path).
 
     ``reach``: optional dict, filled with {(src, tgt): dist | None}
-    — the FuzzySSSPResult reachability map.
+    — the FuzzySSSPResult reachability map (one bounded |S|·|T|-row
+    collect).  ``max_rounds`` (``gas:maxIterations``) bounds each of
+    the three phases' rounds.  ``stats``: optional dict;
+    ``stats["fwd_rounds"]``/``stats["bwd_rounds"]`` = the two
+    fixpoints' round counts.
     """
     spark = edges.sparkSession
     if not sources or not targets:
@@ -445,46 +582,55 @@ def fuzzy_sssp(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
     )
 
-    def seed(node_id):
-        return spark.range(1).select(F.lit(node_id).cast("long").alias("node"))
+    def seed_frame(ids):
+        vals = ",".join(f"(CAST({int(i)} AS BIGINT))" for i in ids)
+        return spark.sql(f"SELECT node, node AS seed FROM VALUES {vals} AS t(node)")
 
-    fwd = {s: L.checkpoint(sssp(e, seed(s), max_iter=max_iter)) for s in sources}
-    bwd = {t: L.checkpoint(sssp(rev, seed(t), max_iter=max_iter)) for t in targets}
-    sp = None
-    for s in sources:
-        # distances of every target from this source: one bounded
-        # collect of |targets| rows
-        drow = {
-            r["node"]: r["dist"]
-            for r in fwd[s].where(
-                F.col("node").isin([int(t) for t in targets])
-            ).collect()
-        }
-        for t in targets:
-            d_st = drow.get(t)
-            if reach is not None:
-                reach[(s, t)] = d_st
-            if d_st is None:
-                continue
-            on_path = (
-                fwd[s]
-                .join(
-                    bwd[t].select("node", F.col("dist").alias("rdist")),
-                    "node",
-                )
-                .where(F.abs(F.col("dist") + F.col("rdist") - F.lit(d_st)) < 1e-9)
-                .select("node")
-            )
-            sp = on_path if sp is None else sp.unionByName(on_path)
-    if sp is not None:
-        # materialize the seed set BEFORE freeing the SSSP frontiers it
-        # reads (a lazy plan over freed checkpoint blocks dies at runtime)
-        sp = L.checkpoint(sp.dropDuplicates())
-    for df in list(fwd.values()) + list(bwd.values()):
-        L.free(df)
-    if sp is None:  # no target reachable from any source
+    fst = {} if stats is None else stats
+    s1, s2 = {}, {}
+    fwd = L.checkpoint(multi_sssp(
+        e, seed_frame(sources), max_iter=max_iter, max_rounds=max_rounds,
+        stats=s1,
+    ))
+    bwd = L.checkpoint(multi_sssp(
+        rev, seed_frame(targets), max_iter=max_iter, max_rounds=max_rounds,
+        stats=s2,
+    ))
+    fst["fwd_rounds"], fst["bwd_rounds"] = s1.get("rounds"), s2.get("rounds")
+    # source→target distances: |S|·|T| bounded rows (the
+    # FuzzySSSPResult reachability map) — also the d_st join relation
+    tgt_ids = [int(t) for t in targets]
+    pair_rows = fwd.where(F.col("node").isin(tgt_ids)).collect()
+    d_st = {(r["seed"], r["node"]): r["dist"] for r in pair_rows}
+    if reach is not None:
+        for s in sources:
+            for t in targets:
+                reach[(int(s), int(t))] = d_st.get((int(s), int(t)))
+    if not d_st:  # no target reachable from any source
+        L.free(fwd, bwd)
         return _values_df(spark, [], "node", "depth", val_type="int")
-    band = bfs(edges, sp, max_iter=max_iter)
+    pvals = ",".join(
+        f"(CAST({int(s)} AS BIGINT), CAST({int(t)} AS BIGINT),"
+        f" CAST({float(d)!r} AS DOUBLE))"
+        for (s, t), d in sorted(d_st.items())
+    )
+    pairs = spark.sql(f"SELECT * FROM VALUES {pvals} AS t(s, t, d_st)")
+    # on-path test for ALL (s,t) pairs in one relational plan: the
+    # node-keyed fwd⋈bwd join fans out |S|·|T| per node (small seed
+    # sets by API contract), then the tiny pairs relation broadcasts
+    sp = L.checkpoint(
+        fwd.select("node", F.col("seed").alias("s"), "dist")
+        .join(
+            bwd.select("node", F.col("seed").alias("t"), F.col("dist").alias("rdist")),
+            "node",
+        )
+        .join(F.broadcast(pairs), ["s", "t"])
+        .where(F.abs(F.col("dist") + F.col("rdist") - F.col("d_st")) < 1e-9)
+        .select("node")
+        .dropDuplicates()
+    )
+    L.free(fwd, bwd)
+    band = bfs(edges, sp, max_iter=max_iter, max_rounds=max_rounds)
     L.free(sp)
     # stop at the end of the layer that reaches n visited vertices:
     # per-depth histogram is diameter-sized, a bounded collect
@@ -594,15 +740,15 @@ def make_gas_service():
             srcs = [row[f"c{i}"] for i in range(len(ins))]
             tgts = [row[f"c{len(ins) + j}"] for j in range(len(tg))]
             n = int(cfg["maxVisited"][0].term.lex) if "maxVisited" in cfg else 100
-            result = fuzzy_sssp(edges, srcs, tgts, n)
+            result = fuzzy_sssp(edges, srcs, tgts, n, max_rounds=max_rounds)
             val_col = "depth"
             pack = pack_integer
         elif cls == "CC":
-            result = connected_components(edges)
+            result = connected_components(edges, max_rounds=max_rounds)
             val_col = "component"
             pack = pack_integer
         elif cls == "PR":
-            result = pagerank(edges)
+            result = pagerank(edges, max_rounds=max_rounds)
             val_col = "rank"
             pack = pack_double
         else:

@@ -173,10 +173,14 @@ class SparqlEndpoint:
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 from .rio.reader import RDF_BODY_TYPES
 
-                if ctype in RDF_BODY_TYPES:
+                if ctype in RDF_BODY_TYPES and (not parts or parts[-1] == "sparql"):
                     # direct data POST (InsertServlet doPostWithBody):
                     # the body IS an RDF document; insert it into the
-                    # addressed namespace, optionally into ?context-uri=
+                    # addressed namespace, optionally into ?context-uri=.
+                    # Only sparql-resource paths are intercepted: a
+                    # MultiTenancyServlet CREATE (POST /namespace with a
+                    # text/plain java.util.Properties body) must reach
+                    # the namespace branch, not the RDF parser.
                     eng = self._route_engine()
                     if eng is None:
                         return
@@ -234,6 +238,15 @@ class SparqlEndpoint:
                     }
                 if parts == ["namespace"]:
                     name = params.get("name", "")
+                    if not name and raw:
+                        # reference CREATE contract: a java.util.Properties
+                        # body (text/plain) carrying
+                        # com.bigdata.rdf.sail.namespace=<name>
+                        for line in raw.splitlines():
+                            k, _, v = line.partition("=")
+                            if k.strip().endswith(".namespace"):
+                                name = v.strip()
+                                break
                     try:
                         endpoint.create_namespace(name)
                         self._reply(201, f"CREATED: {name}", "text/plain")
@@ -278,6 +291,14 @@ class SparqlEndpoint:
                 try:
                     if raw and ctype in RDF_BODY_TYPES:
                         count, ms = endpoint.delete_document(raw, ctype, engine=eng)
+                    elif "query" in params:
+                        # DELETE-WITH-QUERY (DeleteServlet
+                        # doDeleteWithQuery): materialize the
+                        # CONSTRUCT/DESCRIBE result and remove exactly
+                        # those statements (all contexts)
+                        count, ms = endpoint.delete_with_query(
+                            params["query"], engine=eng
+                        )
                     else:
                         count, ms = endpoint.delete_pattern(params, engine=eng)
                 except ValueError as e:
@@ -374,12 +395,42 @@ class SparqlEndpoint:
             engine, lambda: engine.remove_statements(quads), "removed"
         )
 
+    def delete_with_query(self, query: str, engine=None) -> tuple[int, int]:
+        """DELETE ?query= (DeleteServlet.doDeleteWithQuery): run the
+        CONSTRUCT/DESCRIBE, remove exactly the statements it produces
+        from every context.  Other query forms are a 400 (the
+        reference requires a graph-producing query here too)."""
+        from .sparql import ast as A
+        from .sparql.parser import parse_query
+
+        engine = engine or self.engine
+        q = parse_query(query)
+        if isinstance(q, A.ConstructQuery):
+            df = engine.construct(query)
+        elif isinstance(q, A.DescribeQuery):
+            df = engine.describe(query)
+        else:
+            raise ValueError(
+                "DELETE with ?query= requires a CONSTRUCT or DESCRIBE query"
+            )
+        return self._count_change(
+            engine, lambda: engine.remove_triples_all_graphs(df), "removed"
+        )
+
     def delete_pattern(self, params: dict, engine=None) -> tuple[int, int]:
         """Access-path delete (DeleteServlet.doDeleteWithAccessPath):
         remove every statement matching ?s=&p=&o=&c= (absent = wildcard;
-        no c wildcards the context, like the reference in quads mode)."""
+        no c wildcards the context, like the reference in quads mode).
+        At least one of s/p/o/c is required: a bare DELETE (e.g. a
+        typo'd parameter name) must NOT silently wipe the store — the
+        reference's servlet likewise requires an access path."""
         engine = engine or self.engine
         spoc = self._spoc(params)
+        if not spoc:
+            raise ValueError(
+                "access-path DELETE requires at least one of s/p/o/c "
+                "(refusing wildcard delete of the entire store)"
+            )
         return self._count_change(
             engine,
             lambda: engine.remove_pattern(

@@ -769,6 +769,22 @@ class SparqlEngine:
         for fn in list(self._change_listeners):
             fn(cs)
 
+    def _pattern_matches(
+        self, s=None, p=None, o=None, g=None, from_all_graphs: bool = False
+    ) -> DataFrame:
+        """Store rows matching the (s,p,o,g) access-path pattern
+        (None = wildcard; None g = default graph unless
+        ``from_all_graphs``)."""
+        cond = F.lit(True)
+        for col, term in (("s", s), ("p", p), ("o", o)):
+            if term is not None:
+                cond = cond & (F.col(col) == T.term_id(T.lit_term(term)))
+        if g is not None:
+            cond = cond & (F.col("g") == T.term_id(T.lit_term(g)))
+        elif not from_all_graphs:
+            cond = cond & F.col("g").isNull()
+        return self.store.df.where(cond)
+
     def remove_pattern(
         self, s=None, p=None, o=None, g=None, from_all_graphs: bool = False
     ) -> None:
@@ -781,16 +797,7 @@ class SparqlEngine:
         end (never driver-enumerated), truth maintenance retracts
         consequences, and change listeners get the exact delta."""
         self._cs_added, self._cs_removed = [], []
-        df = self.store.df
-        cond = F.lit(True)
-        for col, term in (("s", s), ("p", p), ("o", o)):
-            if term is not None:
-                cond = cond & (F.col(col) == T.term_id(T.lit_term(term)))
-        if g is not None:
-            cond = cond & (F.col("g") == T.term_id(T.lit_term(g)))
-        elif not from_all_graphs:
-            cond = cond & F.col("g").isNull()
-        matches = df.where(cond)
+        matches = self._pattern_matches(s, p, o, g, from_all_graphs)
         if self._track_changes:
             self._cs_track(removed=matches)
         self.store = self.store.remove(matches.select("st", "pt", "ot", "gt"))
@@ -801,6 +808,69 @@ class SparqlEngine:
                 self._tm_retract(matches.select("st", "pt", "ot"))
             else:
                 self._recompute_entailments()
+        self._fire_changeset()
+        self._maybe_compact()
+
+    def replace_pattern(
+        self,
+        s=None,
+        p=None,
+        o=None,
+        g=None,
+        inserts=(),
+        from_all_graphs: bool = False,
+    ) -> None:
+        """Retract-and-assert in ONE commit: remove every statement
+        matching the (s,p,o,g) pattern, then insert ``inserts``
+        ([(s,p,o,g|None) Terms]), delivering a SINGLE changeset (one
+        seq number) for the whole operation.  Engine analog of the
+        reference's single-connection-commit ``setProperty``
+        (bigdata-blueprints ``BigdataElement.setProperty`` retracts the
+        old values and asserts the new one before the one commit), so a
+        failure can never land between the retract and the assert."""
+        self._cs_added, self._cs_removed = [], []
+        matches = self._pattern_matches(s, p, o, g, from_all_graphs)
+        if self._track_changes:
+            self._cs_track(removed=matches)
+        self.store = self.store.remove(matches.select("st", "pt", "ot", "gt"))
+        if inserts:
+            self._update_one(A.InsertData(triples=list(inserts)))
+        self._backchain_maps = None
+        self._describe_cache_invalidate()
+        if self.maintain_entailments:
+            self._recompute_entailments()
+        self._fire_changeset()
+        self._maybe_compact()
+
+    def remove_triples_all_graphs(self, df: DataFrame) -> None:
+        """Set-oriented delete of (st,pt,ot) triples in EVERY context —
+        the engine half of the reference's DeleteServlet
+        ``doDeleteWithQuery`` (``SAILS/webapp/DeleteServlet.java``):
+        the servlet materializes a CONSTRUCT/DESCRIBE result and
+        removes those statements with a null-context (= all contexts)
+        ``removeStatements``.  The triple set stays distributed: a
+        semi-join on term ids picks the store rows, never a driver
+        enumeration."""
+        self._cs_added, self._cs_removed = [], []
+        keys = df.select(
+            T.term_id(F.col("st")).alias("__ks"),
+            T.term_id(F.col("pt")).alias("__kp"),
+            T.term_id(F.col("ot")).alias("__ko"),
+        ).dropDuplicates()
+        matches = self.store.df.join(
+            keys,
+            (F.col("s") == F.col("__ks"))
+            & (F.col("p") == F.col("__kp"))
+            & (F.col("o") == F.col("__ko")),
+            "left_semi",
+        )
+        if self._track_changes:
+            self._cs_track(removed=matches)
+        self.store = self.store.remove(matches.select("st", "pt", "ot", "gt"))
+        self._backchain_maps = None
+        self._describe_cache_invalidate()
+        if self.maintain_entailments:
+            self._recompute_entailments()
         self._fire_changeset()
         self._maybe_compact()
 

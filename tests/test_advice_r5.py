@@ -1,0 +1,312 @@
+"""Regression tests for round-5 advisor findings (ADVICE.md r5) and
+the round-6 FuzzySSSP barrier-count rework:
+
+* DELETE ?query= no longer falls through to a wildcard access-path
+  delete (data-loss hazard) — it now implements the reference
+  DeleteServlet.doDeleteWithQuery (remove exactly the CONSTRUCT/
+  DESCRIBE materialization), and a bare access-path DELETE with no
+  s/p/o/c is a 400, never a store wipe.
+* BlueprintsValueFactory driver-side ids follow java.net.URLEncoder
+  rules exactly ('*' bare, '~' → %7E) so add_vertex and bulk_load
+  produce byte-identical IRIs.
+* gas:maxIterations reaches CC / PR / FuzzySSSP (reference
+  Options.MAX_ITERATIONS applies to every GAS program).
+* POST /namespace with a text/plain java.util.Properties body (the
+  reference MultiTenancyServlet CREATE shape) creates the namespace
+  instead of being parsed as N-Triples.
+* setProperty retract+assert is ONE engine commit (one changeset),
+  via SparqlEngine.replace_pattern.
+* fuzzy_sssp runs ONE multi-source fixpoint per direction: round
+  count is independent of |sources|+|targets|.
+"""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_spark.sparql.engine import SparqlEngine
+from database_spark.store import TripleStore
+from database_spark.terms import Term
+from database_spark.server import SparqlEndpoint
+
+EX = "urn:ex:"
+
+
+def _req(url, method, body=None, ctype=None):
+    req = urllib.request.Request(
+        url,
+        data=body.encode() if body is not None else None,
+        method=method,
+        headers={"Content-Type": ctype} if ctype else {},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read().decode()
+
+
+def _count(ep):
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    url = ep.url + "?" + urllib.parse.urlencode({"query": q})
+    with urllib.request.urlopen(url) as r:
+        return int(
+            json.loads(r.read())["results"]["bindings"][0]["n"]["value"]
+        )
+
+
+# --------------------------------- DELETE ?query= / wildcard guard (medium)
+def test_delete_with_query_and_wildcard_guard(spark):
+    triples = [
+        (Term.iri(EX + "a"), Term.iri(EX + "kind"), Term.literal("keep")),
+        (Term.iri(EX + "b"), Term.iri(EX + "kind"), Term.literal("drop")),
+        (Term.iri(EX + "c"), Term.iri(EX + "kind"), Term.literal("drop")),
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, triples))
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        # a bare DELETE (typo'd param name, no s/p/o/c) must be a 400,
+        # not a full-store wipe
+        st, body = _req(ep.url + "?bogus=1", "DELETE")
+        assert st == 400 and "wildcard" in body
+        assert _count(ep) == 3
+
+        # DELETE with a non-graph query form → 400
+        st, _ = _req(
+            ep.url
+            + "?"
+            + urllib.parse.urlencode({"query": "SELECT ?s WHERE { ?s ?p ?o }"}),
+            "DELETE",
+        )
+        assert st == 400
+        assert _count(ep) == 3
+
+        # doDeleteWithQuery: remove exactly the CONSTRUCT materialization
+        q = (
+            "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o . "
+            f'FILTER(?o = "drop") }}'
+        )
+        st, body = _req(
+            ep.url + "?" + urllib.parse.urlencode({"query": q}), "DELETE"
+        )
+        assert st == 200 and 'modified="2"' in body
+        assert _count(ep) == 1
+    finally:
+        ep.stop()
+
+
+def test_delete_with_query_all_contexts(spark):
+    """doDeleteWithQuery removes matching triples from EVERY context
+    (null-context removeStatements semantics)."""
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    eng.update(
+        f'INSERT DATA {{ <{EX}x> <{EX}p> "v" . '
+        f'GRAPH <{EX}g> {{ <{EX}x> <{EX}p> "v" }} }}'
+    )
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        q = f"CONSTRUCT {{ <{EX}x> <{EX}p> ?o }} WHERE {{ <{EX}x> <{EX}p> ?o }}"
+        st, body = _req(
+            ep.url + "?" + urllib.parse.urlencode({"query": q}), "DELETE"
+        )
+        assert st == 200 and 'modified="2"' in body
+        assert eng.store.df.count() == 0
+    finally:
+        ep.stop()
+
+
+# ------------------------------------------ URLEncoder id round-trip (low)
+def test_blueprints_id_encoding_matches_url_encode(spark):
+    """Driver-side _form_encode must be byte-identical to Spark's
+    F.url_encode (java.net.URLEncoder) over the punctuation range."""
+    from database_spark.blueprints import BlueprintsValueFactory
+
+    nasty = [
+        "plain", "has space", "star*id", "tilde~id", "a/b?c&d=e",
+        "percent%20", "plus+sign", "unicodeé€", "dot.id_-",
+        "*~ mix/%+?",
+    ]
+    fac = BlueprintsValueFactory()
+    rows = (
+        spark.createDataFrame([(s,) for s in nasty], "v string")
+        .select("v", fac.vertex_uri_col(F.col("v")).alias("uri"))
+        .collect()
+    )
+    for r in rows:
+        assert fac.to_vertex_uri(r["v"]) == r["uri"], r["v"]
+        assert fac.from_uri(r["uri"]) == r["v"]
+
+
+def test_blueprints_bulk_and_driver_ids_agree(spark):
+    """A vertex bulk-loaded under id 'star*~id' is findable via
+    get_vertex (the ADVICE failure mode was a miss)."""
+    from database_spark.blueprints import PropertyGraph
+
+    g = PropertyGraph(SparqlEngine(TripleStore.from_python_triples(spark, [])))
+    vid = "star*~id"
+    g.bulk_load_vertices(
+        spark.createDataFrame([(vid, "L")], "id string, label string"),
+        id_col="id",
+    )
+    v = g.get_vertex(vid)
+    assert v is not None and v.get_property("label") == "L"
+
+
+# --------------------------------------- gas:maxIterations threading (low)
+def test_max_rounds_reaches_cc_pr_fuzzy(spark):
+    from database_spark.operators.graph import (
+        connected_components,
+        fuzzy_sssp,
+        pagerank,
+    )
+
+    # a 6-node path: full CC needs >1 alternation; max_rounds=1 stops at 1
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    stats = {}
+    connected_components(edges, stats=stats, max_rounds=1)
+    assert stats["rounds"] == 1
+
+    # PR with a zero round budget returns the initial rank vector
+    ranks = pagerank(edges, max_rounds=0).collect()
+    assert ranks and all(abs(r["rank"] - 1.0) < 1e-12 for r in ranks)
+
+    # FuzzySSSP: round budget truncates the band BFS depth
+    wedges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(6)] + [(0, 10, 1.0), (10, 11, 1.0)],
+        "src long, dst long, weight double",
+    )
+    got = {
+        r["node"]
+        for r in fuzzy_sssp(wedges, [0], [3], n=100, max_rounds=4).collect()
+    }
+    assert {0, 1, 2, 3} <= got
+
+
+# ----------------------- POST /namespace with Properties body (low)
+def test_create_namespace_properties_body(spark):
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    ep = SparqlEndpoint(eng, port=0).start()
+    base = ep.url.rsplit("/sparql", 1)[0]
+    try:
+        props = (
+            "com.bigdata.rdf.sail.namespace=propsns\n"
+            "com.bigdata.rdf.store.AbstractTripleStore.quads=true\n"
+        )
+        st, body = _req(base + "/namespace", "POST", props, "text/plain")
+        assert st == 201 and "propsns" in body
+        with urllib.request.urlopen(base + "/namespace") as r:
+            assert "propsns" in r.read().decode()
+        # an RDF POST to the sparql resource still works (interception
+        # now limited to sparql paths)
+        st, _ = _req(ep.url, "POST", f'<{EX}s> <{EX}p> "v" .\n', "text/plain")
+        assert st == 200
+    finally:
+        ep.stop()
+
+
+# ---------------------------- one-commit setProperty / replace_pattern (low)
+def test_set_property_single_changeset(spark):
+    from database_spark.blueprints import PropertyGraph
+
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    g = PropertyGraph(eng)
+    v = g.add_vertex("v1")
+    v.set_property("name", "first")
+    seen = []
+    eng.add_change_listener(lambda cs: seen.append(cs))
+    v.set_property("name", "second")
+    # exactly ONE changeset for the retract+assert
+    assert len(seen) == 1
+    cs = seen[0]
+    assert cs.removed.count() == 1 and cs.added.count() == 1
+    assert v.get_property("name") == "second"
+
+
+def test_replace_pattern_atomic(spark):
+    triples = [
+        (Term.iri(EX + "s"), Term.iri(EX + "p"), Term.literal("old1")),
+        (Term.iri(EX + "s"), Term.iri(EX + "p"), Term.literal("old2")),
+        (Term.iri(EX + "s"), Term.iri(EX + "q"), Term.literal("keep")),
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, triples))
+    fired = []
+    eng.add_change_listener(lambda cs: fired.append(cs))
+    eng.replace_pattern(
+        s=Term.iri(EX + "s"),
+        p=Term.iri(EX + "p"),
+        inserts=[(Term.iri(EX + "s"), Term.iri(EX + "p"), Term.literal("new"), None)],
+    )
+    assert len(fired) == 1
+    res = eng.select(
+        f"SELECT ?o WHERE {{ <{EX}s> <{EX}p> ?o }}"
+    )
+    vals = [r["o"]["lex"] for r in res.df.collect()]
+    assert vals == ["new"]
+    assert eng.store.df.count() == 2
+
+
+def test_gom_named_root_single_commit(spark):
+    from database_spark.gom import ObjectManager
+
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    om = ObjectManager(eng)
+    om.save(EX + "root", Term.literal("v1"))
+    seen = []
+    eng.add_change_listener(lambda cs: seen.append(cs))
+    om.save(EX + "root", Term.literal("v2"))
+    assert len(seen) == 1
+    assert om.recall(EX + "root").lex == "v2"
+
+
+# ------------------------- fuzzy_sssp barrier count (VERDICT r5 Next #4)
+def test_fuzzy_sssp_multi_source_round_counts(spark):
+    """3 sources + 3 targets: each direction is ONE fixpoint whose
+    round count matches the graph depth, not (|S|+|T|)x."""
+    from database_spark.operators.graph import fuzzy_sssp, multi_sssp, sssp
+
+    # three parallel 4-chains converging on a hub, then fanning out
+    rows = []
+    for k in range(3):
+        base = 100 * k
+        rows += [(base, base + 1, 1.0), (base + 1, 50, 1.0)]
+        rows += [(50, 60 + k, 1.0)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    stats = {}
+    reach = {}
+    band = fuzzy_sssp(
+        edges,
+        [0, 100, 200],
+        [60, 61, 62],
+        n=100,
+        max_iter=50,  # forces the distributed fixpoint path
+        reach=reach,
+        stats=stats,
+    )
+    got = {r["node"] for r in band.collect()}
+    # every on-path vertex at depth 0
+    assert {0, 1, 50, 60, 100, 101, 200, 201, 61, 62} <= got
+    assert reach[(0, 60)] == 3.0 and reach[(100, 61)] == 3.0
+    # ONE fixpoint per direction: rounds ~ longest chain (+1 to detect
+    # quiescence), NOT multiplied by the 3 seeds per side
+    assert stats["fwd_rounds"] is not None and stats["fwd_rounds"] <= 5
+    assert stats["bwd_rounds"] is not None and stats["bwd_rounds"] <= 5
+
+    # distances agree with single-source sssp for a sample seed
+    seeds = spark.sql("SELECT 0 AS node, 0 AS seed")
+    multi = {
+        (r["node"], r["seed"]): r["dist"]
+        for r in multi_sssp(edges, seeds, max_iter=50).collect()
+    }
+    single = {
+        r["node"]: r["dist"]
+        for r in sssp(
+            edges, spark.sql("SELECT 0 AS node"), max_iter=50
+        ).collect()
+    }
+    assert {n: d for (n, _s), d in multi.items()} == single
