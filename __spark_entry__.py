@@ -400,6 +400,34 @@ def q_sparql_minus(spark, sf_dir):
     )
 
 
+def q_sparql_minus_nullable(spark, sf_dir):
+    """MINUS over a shared var left MAYBE-UNBOUND by an OPTIONAL (r5
+    verdict #1): ?s_name is nullable on the left, so the old plan was
+    an OR-condition ``(isNull|isNull|eq) & overlap`` anti join — a
+    BroadcastNestedLoopJoin once the deduplicated right side outgrows
+    the broadcast threshold.  The compiler now decomposes the pair
+    space by null pattern into chained EQUI anti-join branches
+    (branches with no bound-both-sides var are pruned by the MINUS
+    overlap rule), so every join hash-partitions.  Unbound ?s_name
+    rows survive (disjoint domains keep the row); bound rows are
+    removed when a >9990-acctbal supplier shares the name.  Reference:
+    JVMHashJoinUtility filterSolutions/MINUS path."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?c_name ?s_name WHERE {{
+          ?c a t:Customer ; t:nation ?n ; t:name ?c_name ; t:acctbal ?bal .
+          FILTER(?bal > 9000)
+          OPTIONAL {{ ?s a t:Supplier ; t:nation ?n ; t:name ?s_name ;
+                      t:acctbal ?sb . FILTER(?sb > 9900) }}
+          MINUS {{ ?s2 a t:Supplier ; t:name ?s_name ; t:acctbal ?sb2 .
+                   FILTER(?sb2 > 9990) }}
+        }}""",
+        {"c_name": ("c_name", "lex"), "s_name": ("s_name", "lex")},
+    )
+
+
 def q_sparql_exists(spark, sf_dir):
     """Positive FILTER EXISTS → left-semi join."""
     e = _graph(spark, sf_dir)
@@ -1495,6 +1523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_union": q_sparql_union,
     "sparql_not_exists": q_sparql_not_exists,
     "sparql_minus": q_sparql_minus,
+    "sparql_minus_nullable": q_sparql_minus_nullable,
     "sparql_exists": q_sparql_exists,
     "sparql_path_zero": q_sparql_path_zero,
     "sparql_nps": q_sparql_nps,
@@ -1820,6 +1849,19 @@ ORACLES: dict[str, str] = {
     """,
     "sparql_minus": """
         SELECT c_name FROM customer WHERE c_nationkey IS DISTINCT FROM 5
+    """,
+    "sparql_minus_nullable": """
+        WITH base AS (
+          SELECT c.c_name AS c_name, s.s_name AS s_name
+          FROM customer c
+          LEFT JOIN supplier s
+            ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > 9900
+          WHERE c.c_acctbal > 9000
+        )
+        SELECT b.c_name AS c_name, b.s_name AS s_name FROM base b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM supplier s2
+          WHERE s2.s_name = b.s_name AND s2.s_acctbal > 9990)
     """,
     "sparql_exists": """
         SELECT c_name FROM customer c

@@ -148,6 +148,14 @@ class SparqlEndpoint:
                             400, "missing query parameter", "text/plain"
                         )
                         return
+                    if "explain" in params:
+                        # QueryServlet.java:799-813 explainQuery: return
+                        # the compiled plan + physical strategy instead
+                        # of results (the first tool a user debugging a
+                        # slow query reaches for)
+                        body, ctype = endpoint.explain(query, engine)
+                        self._reply(200, body, ctype)
+                        return
                     body, ctype = endpoint.evaluate(query, accept, engine)
                     self._reply(200, body, ctype)
                 except Exception as e:  # noqa: BLE001 — protocol error path
@@ -515,6 +523,45 @@ class SparqlEndpoint:
         del self.engines[name]
 
     # ------------------------------------------------------------ eval
+    def explain(self, query: str, engine=None) -> tuple[str, str]:
+        """``?explain`` (reference ``QueryServlet.java:799-813``
+        ``explainQuery``): instead of results, return the parsed
+        algebra (the reference shows the optimized AST) and the
+        physical plan Catalyst chose — ``explain('formatted')`` output
+        with the scan pushdown evidence (``PushedFilters`` /
+        ``PartitionFilters``) a user needs to debug a slow query.
+        Plain text; the reference wraps the same content in HTML."""
+        import contextlib
+        import io
+
+        from .sparql import ast as A
+        from .sparql.parser import parse_query
+
+        engine = engine or self.engine
+        q = parse_query(query)
+        if isinstance(q, A.AskQuery):
+            c = engine._compiler(dataset=q.dataset, hints=getattr(q, "hints", None))
+            with engine._hint_scope(q):
+                df = c.compile_group(q.where).df.limit(1)
+        elif isinstance(q, A.ConstructQuery):
+            df = engine.construct(query)
+        elif isinstance(q, A.DescribeQuery):
+            df = engine.describe(query)
+        else:
+            df = engine.select(query).df
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        body = (
+            "=== Query ===\n"
+            f"{query.strip()}\n\n"
+            "=== Parsed algebra ===\n"
+            f"{q!r}\n\n"
+            "=== Physical plan (Catalyst, formatted) ===\n"
+            f"{buf.getvalue()}"
+        )
+        return body, "text/plain"
+
     def evaluate(self, query: str, accept: str = "", engine=None) -> tuple[str, str]:
         """Run one protocol request; returns (body, content_type)."""
         engine = engine or self.engine

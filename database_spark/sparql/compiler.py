@@ -421,10 +421,16 @@ class Compiler:
     # ------------------------------------------------------------- joins
     #: decompose a maybe-unbound compatibility join into a union of
     #: equi-join branches for up to this many nullable shared vars
-    #: (3^k branches worst case; beyond it the single OR-condition
-    #: join is used — k>2 requires ≥3 stacked OPTIONAL/UNIONs all
-    #: re-joined at once, which no observed workload produces)
+    #: (3^k branches worst case; beyond it `_compat_join_masked`
+    #: runs ONE null-mask-expanded equi hash join — 2^k row expansion,
+    #: no OR-condition BroadcastNestedLoopJoin cliff at any k)
     _COMPAT_UNION_MAX_VARS = 2
+
+    #: test-only escape hatch: property tests set this to compare the
+    #: scalable plans against the naive OR-condition join (the
+    #: semantics oracle).  Production never sets it — the OR join
+    #: degrades to BroadcastNestedLoopJoin past broadcast size.
+    _force_or_join = False
 
     def join(self, left: Sol, right: Sol, how: str = "inner", extra=None) -> Sol:
         """SPARQL join: equi on shared vars; null-compatible semantics
@@ -471,14 +477,22 @@ class Compiler:
         # extension), so that shape goes through
         # `_compat_left_outer_via_inner`: inner union + null-safe-equi
         # anti join — still all hash joins.
-        can_union = mu_vars and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS
-        if can_union and how == "left_outer" and any(
-            v in right.maybe_unbound for v in mu_vars
+        scalable = mu_vars and not self._force_or_join
+        small_k = scalable and len(mu_vars) <= self._COMPAT_UNION_MAX_VARS
+        if scalable and how == "left_outer" and (
+            not small_k or any(v in right.maybe_unbound for v in mu_vars)
         ):
             joined = self._compat_left_outer_via_inner(left, right, rdf, mu_vars, conds)
-        elif can_union:
+        elif small_k:
             joined = self._compat_join_union(left, right, rdf, mu_vars, conds, how)
+        elif scalable:
+            # k > 2 inner: null-mask expansion — ONE equi hash join for
+            # any k (2^k row expansion beats 3^k disjoint branches past
+            # k=2, and there is no OR-condition BNLJ cliff anymore)
+            joined = self._compat_join_masked(left, right, rdf, mu_vars, conds)
         else:
+            # no nullable shared vars (plain equi join), or the
+            # test-only _force_or_join oracle: OR-condition compat
             for v in mu_vars:
                 li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
                 conds.append(li.isNull() | ri.isNull() | (li == ri))
@@ -580,6 +594,101 @@ class Compiler:
             out = b if out is None else out.unionByName(b)
         return out
 
+    def _compat_inner(
+        self,
+        left: Sol,
+        right: Sol,
+        rdf: DataFrame,
+        mu_vars: list,
+        base_conds: list,
+    ) -> DataFrame:
+        """Inner compatibility join, dispatching on nullable-var count:
+        disjoint-branch union up to ``_COMPAT_UNION_MAX_VARS`` (the
+        bulk branch is a single clean hash join), null-mask expansion
+        beyond it (one hash join, 2^k expansion)."""
+        if len(mu_vars) <= self._COMPAT_UNION_MAX_VARS:
+            return self._compat_join_union(left, right, rdf, mu_vars, base_conds, "inner")
+        return self._compat_join_masked(left, right, rdf, mu_vars, base_conds)
+
+    def _compat_join_masked(
+        self,
+        left: Sol,
+        right: Sol,
+        rdf: DataFrame,
+        mu_vars: list,
+        base_conds: list,
+    ) -> DataFrame:
+        """k-way compatibility INNER join as ONE equi hash join via
+        null-mask expansion (r5 verdict #2: the k>2 fallback used to be
+        an OR-condition join that degrades to BroadcastNestedLoopJoin).
+
+        Scheme: over the k nullable shared vars, each side emits one
+        row per wildcard mask M ⊇ its own null set (bit i set = var i
+        wildcarded), keyed by ``(M, id_i if i ∉ M else sentinel)``.
+        Key equality means: same mask, ids equal outside it — and a
+        (l, r) pair is key-equal under EVERY M ⊇ nulls(l) ∪ nulls(r),
+        so a post-join filter keeps exactly ``M == nulls(l)|nulls(r)``:
+        each compatible pair survives under precisely one mask (bag
+        semantics preserved), and a pair incompatible at some var v is
+        never key-equal (v bound on both sides differs → excluded for
+        M ∌ v; included masks force v's null bit, contradicting the
+        exact-mask filter).  The sentinel only fills wildcarded key
+        slots — both sides write it, so its value never affects
+        correctness (real ids compare only in non-wildcard slots).
+
+        Cost: ≤2^k row expansion per side, against 3^k unioned joins —
+        and the single shuffle is hash-partitioned on the composite
+        key for ANY k, which is the property that matters at 100 TB.
+        """
+        k = len(mu_vars)
+        SENT = F.lit(0).cast("long")
+
+        def nullmask(prefix: str) -> Column:
+            m = F.lit(0)
+            for i, v in enumerate(mu_vars):
+                m = m + F.when(
+                    F.col(prefix + v + "__id").isNull(), F.lit(1 << i)
+                ).otherwise(F.lit(0))
+            return m
+
+        def expand(df: DataFrame, prefix: str, side: str) -> DataFrame:
+            own = nullmask(prefix).alias(side + "cmj__nulls")
+            df = df.select("*", own)
+            masks = F.array(*[F.lit(m) for m in range(1 << k)])
+            df = df.select(
+                "*", F.explode(masks).alias(side + "cmj__mask")
+            ).where(
+                F.col(side + "cmj__mask").bitwiseAND(F.col(side + "cmj__nulls"))
+                == F.col(side + "cmj__nulls")
+            )
+            keys = [
+                F.when(
+                    F.col(side + "cmj__mask").bitwiseAND(F.lit(1 << i)) != 0, SENT
+                )
+                .otherwise(F.col(prefix + v + "__id"))
+                .alias(side + f"cmj__k{i}")
+                for i, v in enumerate(mu_vars)
+            ]
+            return df.select("*", *keys)
+
+        ldf = expand(left.df, "", "l")
+        rd = expand(rdf, RPFX, "r")
+        cond = F.col("lcmj__mask") == F.col("rcmj__mask")
+        for i in range(k):
+            cond = cond & (F.col(f"lcmj__k{i}") == F.col(f"rcmj__k{i}"))
+        for c in base_conds:
+            cond = cond & c
+        joined = ldf.join(rd, cond, "inner").where(
+            F.col("lcmj__mask")
+            == F.col("lcmj__nulls").bitwiseOR(F.col("rcmj__nulls"))
+        )
+        helper = [
+            c
+            for c in joined.columns
+            if c.startswith(("lcmj__", "rcmj__"))
+        ]
+        return joined.drop(*helper)
+
     def _compat_left_outer_via_inner(
         self,
         left: Sol,
@@ -606,7 +715,7 @@ class Compiler:
         an unmatched tuple exactly once.  Cost: J's lineage is computed
         twice (output + projection) — acceptable for this rare shape.
         Reference semantics: JVMHashJoinUtility optional-join path."""
-        inner = self._compat_join_union(left, right, rdf, mu_vars, base_conds, "inner")
+        inner = self._compat_inner(left, right, rdf, mu_vars, base_conds)
         lcols = list(left.df.columns)
         matched = inner.select(*lcols).dropDuplicates(
             [c for c in lcols if c.endswith("__id")]
@@ -670,35 +779,82 @@ class Compiler:
     def minus(self, left: Sol, right: Sol) -> Sol:
         """MINUS with the shared-variable rule: a left row is removed
         only if some right row is compatible AND shares ≥1 bound var
-        (disjoint domains keep the row — SURVEY §4.4 item 6)."""
+        (disjoint domains keep the row — SURVEY §4.4 item 6).
+
+        Scale note (r5 verdict #1): when a shared var is possibly
+        unbound, the naive anti-join condition ``(isNull|isNull|eq…) &
+        overlap`` is non-equi — Catalyst cannot hash-partition it, so
+        past the broadcast threshold it degrades to
+        BroadcastNestedLoopJoin.  Instead the (left-row, right-row)
+        pair space is decomposed by null pattern into DISJOINT branches
+        (the `_compat_join_union` playbook), each a plain EQUI
+        left-anti hash join over the deduplicated id-projected right
+        side; branches with no possible bound-both-sides var cannot
+        satisfy the overlap rule and are pruned outright.  A row
+        survives iff no branch kills it, so the anti joins simply
+        chain.  Reference: ``JVMHashJoinUtility`` filterSolutions /
+        MINUS path (hashes on the bound subset)."""
         shared = sorted(left.vars & right.vars)
         if not shared:
             return left
         rdf = right.df.select(*[c for v in shared for c in (v + "__id",)]).dropDuplicates()
         for v in shared:
             rdf = rdf.withColumnRenamed(v + "__id", RPFX + v + "__id")
-        fast = all(
-            v not in left.maybe_unbound and v not in right.maybe_unbound for v in shared
-        )
-        if fast:
+        nullable = [
+            v
+            for v in shared
+            if v in left.maybe_unbound or v in right.maybe_unbound
+        ]
+        certain = [v for v in shared if v not in nullable]
+        if not nullable:
             cond = None
             for v in shared:
                 c = F.col(v + "__id") == F.col(RPFX + v + "__id")
                 cond = c if cond is None else cond & c
             return Sol(left.df.join(rdf, cond, "left_anti"), left.vars, left.maybe_unbound)
-        compat = None
-        overlap = None
-        for v in shared:
+        base_conds = [
+            F.col(v + "__id") == F.col(RPFX + v + "__id") for v in certain
+        ]
+        # (left-side predicates, right filters, equi conds, has-overlap)
+        branches = [([], [], list(base_conds), bool(certain))]
+        for v in nullable:
             li, ri = F.col(v + "__id"), F.col(RPFX + v + "__id")
-            c = li.isNull() | ri.isNull() | (li == ri)
-            o = li.isNotNull() & ri.isNotNull()
-            compat = c if compat is None else compat & c
-            overlap = o if overlap is None else overlap | o
-        return Sol(
-            left.df.join(rdf, compat & overlap, "left_anti"),
-            left.vars,
-            left.maybe_unbound,
-        )
+            lmu, rmu = v in left.maybe_unbound, v in right.maybe_unbound
+            cases = []
+            if lmu:
+                cases.append(([li.isNull()], [], [], False))
+                if rmu:
+                    cases.append(([li.isNotNull()], [ri.isNull()], [], False))
+                    cases.append(
+                        ([li.isNotNull()], [ri.isNotNull()], [li == ri], True)
+                    )
+                else:
+                    cases.append(([li.isNotNull()], [], [li == ri], True))
+            else:  # rmu only
+                cases.append(([], [ri.isNull()], [], False))
+                cases.append(([], [ri.isNotNull()], [li == ri], True))
+            branches = [
+                (lp + clp, rf + crf, cs + ccs, ov or cov)
+                for lp, rf, cs, ov in branches
+                for clp, crf, ccs, cov in cases
+            ]
+        survivors = left.df
+        for lps, rfs, cs, ov in branches:
+            if not ov:
+                continue  # no bound-both-sides var: overlap rule keeps the row
+            rd = rdf
+            for f in rfs:
+                rd = rd.where(f)
+            # left-side null-pattern predicates fold into the anti-join
+            # condition: rows outside the pattern simply can't match
+            # this branch.  Catalyst extracts the equi keys for the
+            # hash join and evaluates the rest as the residual
+            # condition — still hash-partitioned.
+            cond = None
+            for c in cs + lps:
+                cond = c if cond is None else cond & c
+            survivors = survivors.join(rd, cond, "left_anti")
+        return Sol(survivors, left.vars, left.maybe_unbound)
 
     # ----------------------------------------------------------- filters
     def apply_filters(self, sol: Sol, exprs: list, graph, visible: set | None = None) -> Sol:

@@ -88,12 +88,11 @@ def test_inner_decomposition_equals_or_join(compiler, spark, seed, lmu, rmu):
     right = _mk_sol(spark, rrows, rvars, {"a"} if rmu else set())
     fast = _bag(compiler.join(left, right))
     # force the naive OR-condition path for the reference answer
-    old = compiler._COMPAT_UNION_MAX_VARS
     try:
-        compiler._COMPAT_UNION_MAX_VARS = 0
+        compiler._force_or_join = True
         slow = _bag(compiler.join(left, right))
     finally:
-        compiler._COMPAT_UNION_MAX_VARS = old
+        compiler._force_or_join = False
     assert fast == slow
 
 
@@ -104,12 +103,11 @@ def test_inner_two_nullable_vars(compiler, spark, seed):
     left = _mk_sol(spark, _random_rows(rng, lvars, {"a", "b"}, 10), lvars, {"a", "b"})
     right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 10), rvars, {"a"})
     fast = _bag(compiler.join(left, right))
-    old = compiler._COMPAT_UNION_MAX_VARS
     try:
-        compiler._COMPAT_UNION_MAX_VARS = 0
+        compiler._force_or_join = True
         slow = _bag(compiler.join(left, right))
     finally:
-        compiler._COMPAT_UNION_MAX_VARS = old
+        compiler._force_or_join = False
     assert fast == slow
 
 
@@ -120,12 +118,11 @@ def test_left_outer_decomposition_equals_or_join(compiler, spark, seed):
     left = _mk_sol(spark, _random_rows(rng, lvars, {"a"}, 12), lvars, {"a"})
     right = _mk_sol(spark, _random_rows(rng, rvars, set(), 12), rvars, set())
     fast = _bag(compiler.join(left, right, "left_outer"))
-    old = compiler._COMPAT_UNION_MAX_VARS
     try:
-        compiler._COMPAT_UNION_MAX_VARS = 0
+        compiler._force_or_join = True
         slow = _bag(compiler.join(left, right, "left_outer"))
     finally:
-        compiler._COMPAT_UNION_MAX_VARS = old
+        compiler._force_or_join = False
     assert fast == slow
 
 
@@ -144,12 +141,11 @@ def test_left_outer_right_nullable_equals_or_join(compiler, spark, seed, lmu):
     )
     right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 12), rvars, {"a"})
     fast = _bag(compiler.join(left, right, "left_outer"))
-    old = compiler._COMPAT_UNION_MAX_VARS
     try:
-        compiler._COMPAT_UNION_MAX_VARS = 0
+        compiler._force_or_join = True
         slow = _bag(compiler.join(left, right, "left_outer"))
     finally:
-        compiler._COMPAT_UNION_MAX_VARS = old
+        compiler._force_or_join = False
     assert fast == slow
 
 
@@ -163,10 +159,145 @@ def test_left_outer_right_nullable_with_extra_filter(compiler, spark, seed):
     right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 12), rvars, {"a"})
     extra = F.col("R__y").isNotNull() & (F.col("R__y")["lex"] > "urn:v:1")
     fast = _bag(compiler.join(left, right, "left_outer", extra=extra))
-    old = compiler._COMPAT_UNION_MAX_VARS
     try:
-        compiler._COMPAT_UNION_MAX_VARS = 0
+        compiler._force_or_join = True
         slow = _bag(compiler.join(left, right, "left_outer", extra=extra))
     finally:
-        compiler._COMPAT_UNION_MAX_VARS = old
+        compiler._force_or_join = False
     assert fast == slow
+
+
+# ---------------------------------------------------------------- k > 2
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+@pytest.mark.parametrize(
+    "lnull,rnull",
+    [({"a", "b", "c"}, set()), (set(), {"a", "b", "c"}),
+     ({"a", "b", "c"}, {"a", "b", "c"}), ({"a", "b"}, {"b", "c"})],
+)
+def test_inner_three_nullable_vars_masked(compiler, spark, seed, lnull, rnull):
+    """k=3 nullable shared vars: the null-mask-expansion join
+    (`_compat_join_masked`) must match the naive OR-condition join on
+    random bags (r5 verdict #2)."""
+    rng = random.Random(seed)
+    lvars, rvars = {"a", "b", "c", "x"}, {"a", "b", "c", "y"}
+    mu = lnull | rnull
+    left = _mk_sol(spark, _random_rows(rng, lvars, lnull, 12), lvars, lnull)
+    right = _mk_sol(spark, _random_rows(rng, rvars, rnull, 12), rvars, rnull)
+    assert len(mu) == 3  # exercises the masked path, not the union
+    fast = _bag(compiler.join(left, right))
+    try:
+        compiler._force_or_join = True
+        slow = _bag(compiler.join(left, right))
+    finally:
+        compiler._force_or_join = False
+    assert fast == slow
+
+
+def test_masked_join_plan_is_hash_join(compiler, spark):
+    """The k=3 plan must be a single equi join (hash-partitionable):
+    no BroadcastNestedLoopJoin, no CartesianProduct."""
+    rng = random.Random(99)
+    lvars, rvars = {"a", "b", "c", "x"}, {"a", "b", "c", "y"}
+    mu = {"a", "b", "c"}
+    left = _mk_sol(spark, _random_rows(rng, lvars, mu, 30), lvars, mu)
+    right = _mk_sol(spark, _random_rows(rng, rvars, mu, 30), rvars, mu)
+    plan = _plan(compiler.join(left, right).df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_left_outer_three_nullable_vars(compiler, spark, seed):
+    """k=3 left_outer goes through the via-inner path with the masked
+    inner; must match the naive OR-condition left_outer."""
+    rng = random.Random(seed)
+    lvars, rvars = {"a", "b", "c", "x"}, {"a", "b", "c", "y"}
+    mu = {"a", "b", "c"}
+    left = _mk_sol(spark, _random_rows(rng, lvars, mu, 10), lvars, mu)
+    right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 10), rvars, {"a"})
+    fast = _bag(compiler.join(left, right, "left_outer"))
+    try:
+        compiler._force_or_join = True
+        slow = _bag(compiler.join(left, right, "left_outer"))
+    finally:
+        compiler._force_or_join = False
+    assert fast == slow
+
+
+# ------------------------------------------------------- nullable MINUS
+def _minus_reference(lrows, rrows, shared):
+    """Driver-side MINUS oracle: drop a left row iff some right row is
+    compatible on all shared vars AND shares >=1 bound var."""
+    out = []
+    for lr in lrows:
+        killed = False
+        for rr in rrows:
+            compat = all(
+                lr.get(v) is None or rr.get(v) is None or lr[v] == rr[v]
+                for v in shared
+            )
+            overlap = any(
+                lr.get(v) is not None and rr.get(v) is not None
+                for v in shared
+            )
+            if compat and overlap:
+                killed = True
+                break
+        if not killed:
+            out.append(lr)
+    return out
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+@pytest.mark.parametrize(
+    "lnull,rnull",
+    [({"a"}, set()), (set(), {"a"}), ({"a"}, {"a"}), ({"a", "b"}, {"b"}),
+     ({"a", "b", "c"}, {"a", "c"})],
+)
+def test_minus_nullable_decomposition(compiler, spark, seed, lnull, rnull):
+    """Nullable-shared-var MINUS (r5 verdict #1): the chained equi
+    anti-join decomposition must match the brute-force oracle for any
+    k, including k=3 (no OR-condition fallback remains)."""
+    rng = random.Random(seed)
+    shared = sorted({"a", "b", "c"} & ({"a", "b", "c"}))[: max(
+        2, len(lnull | rnull)
+    )]
+    shared = sorted({"a", "b", "c"})[: max(1, len(lnull | rnull))]
+    lvars = set(shared) | {"x"}
+    rvars = set(shared) | {"y"}
+    lrows = _random_rows(rng, lvars, lnull & lvars, 14)
+    rrows = _random_rows(rng, rvars, rnull & rvars, 14)
+    left = _mk_sol(spark, lrows, lvars, lnull & lvars)
+    right = _mk_sol(spark, rrows, rvars, rnull & rvars)
+    got = _bag(compiler.minus(left, right))
+    want = sorted(
+        (
+            tuple(
+                (None if r.get(v) is None else f"urn:v:{r[v]}")
+                for v in sorted(lvars)
+            )
+            for r in _minus_reference(lrows, rrows, shared)
+        ),
+        key=lambda t: tuple((x is None, x or "") for x in t),
+    )
+    assert got == want
+
+
+def test_minus_nullable_plan_is_hash_antijoin(compiler, spark):
+    """The nullable MINUS plan must contain only equi anti joins — no
+    BroadcastNestedLoopJoin (the r5 verdict #1 failure shape)."""
+    rng = random.Random(7)
+    lvars, rvars = {"a", "b", "x"}, {"a", "b", "y"}
+    left = _mk_sol(spark, _random_rows(rng, lvars, {"a", "b"}, 30), lvars, {"a", "b"})
+    right = _mk_sol(spark, _random_rows(rng, rvars, {"a"}, 30), rvars, {"a"})
+    plan = _plan(compiler.minus(left, right).df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan

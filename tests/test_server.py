@@ -321,3 +321,30 @@ def test_insert_with_uris(spark, tmp_path):
         assert vals == [EX + "m", EX + "n"]
     finally:
         ep.stop()
+
+
+def test_explain_query_parameter(spark, sf_dir):
+    """?explain (QueryServlet.java:799-813 explainQuery): the response
+    is the compiled algebra + Catalyst physical plan instead of
+    results, with pushdown evidence for the bucketed store scan."""
+    import __spark_entry__ as E
+
+    eng = E._graph(spark, sf_dir)
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        q = (
+            "PREFIX t: <urn:tpch:> SELECT ?n WHERE "
+            "{ ?s a t:Nation ; t:name ?n }"
+        )
+        status, ctype, body = _get(
+            ep.url, {"query": q, "explain": ""}, accept="text/plain"
+        )
+        assert status == 200 and ctype.startswith("text/plain")
+        assert "Physical plan" in body and "Parsed algebra" in body
+        # pushdown evidence on the bucketed predicate store
+        assert "PushedFilters" in body or "PartitionFilters" in body
+        # a normal query on the same endpoint still returns results
+        status, _, body = _get(ep.url, {"query": q})
+        assert status == 200 and "bindings" in body
+    finally:
+        ep.stop()
