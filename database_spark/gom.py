@@ -38,6 +38,32 @@ GPO_NAMESPACE = "gpo:"
 NAME_PROPERTY = "http://www.bigdata.com/gom#name"
 
 
+class GenericSkinRegistry:
+    """Resolve a GPO to a typed skin (reference ``gom/skin/
+    GenericSkinRegistry.java``): applications register skin classes
+    (ctor takes the GPO, like the reference's single-``IGenericSkin``
+    constructor contract); ``GPO.get_skin(cls)`` returns a cached
+    instance, minting through the registry so a registered SUBCLASS can
+    serve requests for its base class (``getImplementationClass``)."""
+
+    _classes: list = []
+
+    @classmethod
+    def register_class(cls, skin_cls: type) -> None:
+        if not callable(skin_cls):
+            raise TypeError("skin class must be constructible from a GPO")
+        if skin_cls not in cls._classes:
+            cls._classes.append(skin_cls)
+
+    @classmethod
+    def get_implementation_class(cls, requested: type) -> type:
+        """Most recently registered class satisfying the request."""
+        for skin_cls in reversed(cls._classes):
+            if issubclass(skin_cls, requested):
+                return skin_cls
+        raise KeyError(f"no skin registered for {requested!r}")
+
+
 class GPO:
     """Generic physical object (reference ``gpo/GPO.java``)."""
 
@@ -46,6 +72,19 @@ class GPO:
         self.iri = iri
         self._forward: dict | None = None  # prop iri -> [Term]
         self._reverse: dict | None = None  # prop iri -> [subject iri]
+        self._skins: list = []  # minted skin cache (GPO.getSkin)
+
+    # -------------------------------------------------------------- skins
+    def get_skin(self, cls: type):
+        """Typed view of this object (``GPO.getSkin``): reuse a cached
+        skin assignable to ``cls``, else mint one via the registry."""
+        for s in self._skins:
+            if isinstance(s, cls):
+                return s
+        impl = GenericSkinRegistry.get_implementation_class(cls)
+        s = impl(self)
+        self._skins.append(s)
+        return s
 
     # ---------------------------------------------------- materialization
     def materialize(self) -> "GPO":

@@ -173,3 +173,65 @@ def test_create_gpo_and_evaluate(om):
     om.execute(f'INSERT DATA {{ <{g.iri}> <{EX}extra> "x" }}')
     # execute() invalidates materialized snapshots
     assert g.get_value(EX + "extra").lex == "x"
+
+
+# ------------------------------------------------- skin registry + OWL
+def test_skin_registry_resolution(spark):
+    from database_spark.gom import BasicSkin, GenericSkinRegistry, ObjectManager
+
+    class NamedSkin(BasicSkin):
+        def name(self):
+            return self.get_string("urn:ex:name")
+
+    GenericSkinRegistry.register_class(NamedSkin)
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    om = ObjectManager(eng)
+    g = om.get_gpo("urn:ex:thing")
+    g.set_value("urn:ex:name", Term.literal("Thing"))
+    s = g.get_skin(NamedSkin)
+    assert s.name() == "Thing"
+    # cached: same skin instance on repeat, and a BasicSkin request is
+    # served by the registered subclass (getImplementationClass)
+    assert g.get_skin(NamedSkin) is s
+    assert isinstance(g.get_skin(BasicSkin), BasicSkin)
+    with pytest.raises(KeyError):
+        class Unregistered(BasicSkin):
+            pass
+
+        om.get_gpo("urn:ex:other").get_skin(Unregistered)
+
+
+def test_owl_skins_browse_ontology(spark):
+    """Browse a small ontology through the OWL alchemy skins
+    (reference gom/alchemy/owl: ontology -> classes -> subclasses /
+    properties -> range type)."""
+    from database_spark import gom_owl as O
+    from database_spark.gom import ObjectManager
+
+    O.register()
+    EX = "urn:onto:"
+    rdf_type = Term.iri(O.RDF_TYPE)
+    triples = [
+        (Term.iri(EX), rdf_type, Term.iri(O.OWL_ONTOLOGY)),
+        (Term.iri(EX + "Person"), rdf_type, Term.iri(O.OWL_CLASS)),
+        (Term.iri(EX + "Student"), rdf_type, Term.iri(O.OWL_CLASS)),
+        (Term.iri(EX + "Student"), Term.iri(O.RDFS_SUBCLASSOF), Term.iri(EX + "Person")),
+        (Term.iri(EX + "advisor"), rdf_type, Term.iri(O.OWL_OBJECT_PROPERTY)),
+        (Term.iri(EX + "advisor"), Term.iri(O.RDFS_DOMAIN), Term.iri(EX + "Student")),
+        (Term.iri(EX + "advisor"), Term.iri(O.RDFS_RANGE), Term.iri(EX + "Person")),
+        (Term.iri(EX + "gpa"), rdf_type, Term.iri(O.OWL_DATATYPE_PROPERTY)),
+        (Term.iri(EX + "gpa"), Term.iri(O.RDFS_DOMAIN), Term.iri(EX + "Student")),
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, triples))
+    om = ObjectManager(eng)
+    onto = O.OWLOntologySkin.get_ontology(om)
+    classes = {c.get_name(): c for c in onto.get_classes()}
+    assert set(classes) == {EX + "Person", EX + "Student"}
+    subs = [s.get_name() for s in classes[EX + "Person"].get_subclasses()]
+    assert subs == [EX + "Student"]
+    props = {p.get_name(): p for p in classes[EX + "Student"].get_properties()}
+    assert set(props) == {EX + "advisor", EX + "gpa"}
+    assert props[EX + "advisor"].is_association() is True
+    assert props[EX + "gpa"].is_association() is False
+    assert props[EX + "advisor"].get_type().iri == EX + "Person"
+    assert props[EX + "gpa"].get_type() is None
