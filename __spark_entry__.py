@@ -1350,6 +1350,35 @@ def q_pricing_summary(spark, sf_dir):
     )
 
 
+def q_skew_hub_join(spark, sf_dir):
+    """Deliberately hub-skewed equi join through ``operators/skew.py
+    salted_join`` (r5 verdict Next #8): every third lineitem's part key
+    is collapsed onto ONE hub key (~33% of all rows on a single join
+    key — the power-law hub shape AQE's quantile-based splitting can
+    miss when one key IS the partition).  ``salted_join`` sprays the
+    hub across ``salt`` composite keys, so no reducer sees a whole hot
+    key: the max (key, salt) group is ~1/salt of the hub, which
+    ``tests/test_properties.py::test_salted_join_balances_hub`` asserts
+    directly.  Result is oracle-checked against the plain join — the
+    salt must be invisible in the answer."""
+    from database_spark.operators.skew import salted_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_partkey") % 3 == 0, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("k"),
+        F.col("l_quantity").alias("qty"),
+    )
+    p = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), "p_brand"
+    )
+    joined = salted_join(li, p, "k", salt=8)
+    return joined.groupBy("p_brand").agg(
+        _dsum(F.col("qty"), "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def q_shipping_priority(spark, sf_dir):
     c = _read(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = _read(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
@@ -1534,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_values": q_sparql_values,
     "sparql_distinct": q_sparql_distinct,
     "pricing_summary": q_pricing_summary,
+    "skew_hub_join": q_skew_hub_join,
     "shipping_priority": q_shipping_priority,
     "local_suppliers": q_local_suppliers,
     "events_hourly": q_events_hourly,
@@ -1912,6 +1942,18 @@ ORACLES: dict[str, str] = {
     """,
     "sparql_distinct": """
         SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "skew_hub_join": """
+        WITH b AS (
+          SELECT CASE WHEN l_partkey % 3 = 0 THEN 1 ELSE l_partkey END AS k,
+                 l_quantity AS qty
+          FROM lineitem
+        )
+        SELECT p.p_brand AS p_brand,
+               CAST(SUM(b.qty) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM b JOIN part p ON p.p_partkey = b.k
+        GROUP BY p.p_brand
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -33,7 +33,22 @@ import __spark_entry__ as E
 from database_spark.session import get_spark
 
 
+def _median(xs: list) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+
+
 def main() -> None:
+    # --reps N (or $SPARK_GRAFT_BENCH_REPS): run every entry N times and
+    # report per-entry MEDIANS.  Shared-VM neighbor contention moved
+    # identical code 78.8-123.6 s across a single afternoon in r5;
+    # medians over >=3 reps cut that to the stable core.  Default stays
+    # 1 rep so the driver's per-round run costs what it always did.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    reps = max(1, reps)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("database-spark-bench")
@@ -67,28 +82,32 @@ def main() -> None:
         "SELECT ?s WHERE { ?s a <urn:tpch:Region> } LIMIT 1"
     ).df.write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    compile_sec: dict[str, float] = {}
-    exec_sec: dict[str, float] = {}
-    for name, fn in E.queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        t1 = time.time()
-        df.write.mode("overwrite").format("noop").save()
-        t2 = time.time()
-        # compile = driver-side plan construction (parse + Column
-        # building + any bounded probes the entry performs); exec =
-        # job execution via the noop sink.  The split exists because a
-        # driver-side compile regression hid inside "query wall" for
-        # two rounds (VERDICT r3 What's-wrong #2).
-        compile_sec[name] = round(t1 - t0, 3)
-        exec_sec[name] = round(t2 - t1, 3)
-        timings[name] = round(t2 - t0, 3)
-        # free this query's non-protected checkpoint blocks so block-
-        # manager pressure can't accumulate across the session (the r2
-        # GAS-family 4-5x regression); cached stores are protected
-        L.sweep(spark)
+    samples: dict[str, list] = {}
+    compile_samples: dict[str, list] = {}
+    exec_samples: dict[str, list] = {}
+    for rep in range(reps):
+        for name, fn in E.queries().items():
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            t1 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.time()
+            # compile = driver-side plan construction (parse + Column
+            # building + any bounded probes the entry performs); exec =
+            # job execution via the noop sink.  The split exists because a
+            # driver-side compile regression hid inside "query wall" for
+            # two rounds (VERDICT r3 What's-wrong #2).
+            compile_samples.setdefault(name, []).append(t1 - t0)
+            exec_samples.setdefault(name, []).append(t2 - t1)
+            samples.setdefault(name, []).append(t2 - t0)
+            # free this query's non-protected checkpoint blocks so block-
+            # manager pressure can't accumulate across the session (the r2
+            # GAS-family 4-5x regression); cached stores are protected
+            L.sweep(spark)
 
+    timings = {k: round(_median(v), 3) for k, v in samples.items()}
+    compile_sec = {k: round(_median(v), 3) for k, v in compile_samples.items()}
+    exec_sec = {k: round(_median(v), 3) for k, v in exec_samples.items()}
     total = round(sum(timings.values()), 3)
     # The printed line is the official record and the driver captures a
     # bounded tail of stdout, so it must stay small (the r4 record was
@@ -99,9 +118,13 @@ def main() -> None:
         "metric": "total_query_wall",
         "value": total,
         "unit": "sec",
+        "reps": reps,
         "queries": timings,
         "compile_sec": compile_sec,
         "exec_sec": exec_sec,
+        "samples": {k: [round(x, 3) for x in v] for k, v in samples.items()}
+        if reps > 1
+        else None,
         "ingest_sec": ingest,
         "sf": sf,
     }

@@ -94,3 +94,40 @@ def test_distinct_with_unbound_rows(spark):
           {{ ?s ex:p "v" }} UNION {{ ?s ex:q ?w }}
           }}""")
     assert res2.df.count() == 3
+
+
+def test_salted_join_balances_hub(spark):
+    """skew_hub_join's mechanism (operators/skew.py): a key holding
+    ~1/3 of all rows is spread across salt composite keys so the max
+    reducer group shrinks ~salt-fold, while the join answer is
+    IDENTICAL to the plain equi join (the salt never leaks)."""
+    from pyspark.sql import functions as F
+
+    from database_spark.operators.skew import key_histogram, salted_join
+
+    big = spark.range(30000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    small = spark.range(1, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("t")
+    )
+    # the profile shows the hub: top key holds ~1/3 of rows
+    prof = key_histogram(big, "k", top=1).collect()[0]
+    assert prof["k"] == 1 and prof["share"] > 0.3
+
+    plain = big.join(small, "k").groupBy("t").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_join(big, small, "k", salt=8).groupBy("t").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # no single-task straggler: the hub's 10k rows split across 8
+    # composite keys — max group ~1250, far below the unsalted 10k
+    b = big.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    mx = (
+        b.groupBy("k", "__salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert mx < 10000 / 8 * 1.7, mx
