@@ -181,6 +181,39 @@ class SparqlEndpoint:
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 from .rio.reader import RDF_BODY_TYPES
 
+                if parts and parts[-1] == "blueprints":
+                    # BlueprintsServlet.doPost: POST a GraphML document
+                    # to the blueprints layer → bulk load, reply the
+                    # servlet's <data modified=.../> envelope
+                    if ctype not in (
+                        "application/graphml+xml",
+                        "application/graphml",
+                    ):
+                        self._reply(
+                            400,
+                            f"Content-Type not recognized as graph data: {ctype}",
+                            "text/plain",
+                        )
+                        return
+                    eng = endpoint.engines.get(
+                        parts[1] if len(parts) == 3 and parts[0] == "namespace"
+                        else endpoint.default_namespace
+                    )
+                    if eng is None:
+                        self._reply(404, "no such namespace", "text/plain")
+                        return
+                    try:
+                        count, ms = endpoint.load_graphml(raw, engine=eng)
+                    except Exception as e:  # noqa: BLE001
+                        self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+                        return
+                    self._reply(
+                        200,
+                        '<?xml version="1.0"?>'
+                        f'<data modified="{count}" milliseconds="{ms}"/>',
+                        "application/xml",
+                    )
+                    return
                 if ctype in RDF_BODY_TYPES and (not parts or parts[-1] == "sparql"):
                     # direct data POST (InsertServlet doPostWithBody):
                     # the body IS an RDF document; insert it into the
@@ -402,6 +435,29 @@ class SparqlEndpoint:
         return self._count_change(
             engine, lambda: engine.remove_statements(quads), "removed"
         )
+
+    def load_graphml(self, body: str, engine=None) -> tuple[int, int]:
+        """POST GraphML → bulk load through the Blueprints veneer
+        (BlueprintsServlet.doPost / BigdataGraphBulkLoad): reports the
+        total mutation count across the vertex + edge commits."""
+        import time as _t
+
+        from .blueprints import PropertyGraph
+        from .graphml import load_graphml as _load
+
+        engine = engine or self.engine
+        got = {"n": 0}
+
+        def _listen(cs):
+            got["n"] += cs.added.count()
+
+        engine.add_change_listener(_listen)
+        t0 = _t.time()
+        try:
+            _load(PropertyGraph(engine), body)
+        finally:
+            engine.remove_change_listener(_listen)
+        return got["n"], int((_t.time() - t0) * 1000)
 
     def delete_with_query(self, query: str, engine=None) -> tuple[int, int]:
         """DELETE ?query= (DeleteServlet.doDeleteWithQuery): run the
