@@ -127,6 +127,21 @@ class SparqlEndpoint:
                         body = endpoint.contexts(engine)
                         self._reply(200, body, "application/xml")
                         return
+                    if "GETSTMTS" in params:
+                        # doGetStmts: export the statements matching an
+                        # (s,p,o,c) access path as an RDF document
+                        body, ctype = endpoint.get_statements(
+                            params, accept, engine
+                        )
+                        self._reply(200, body, ctype)
+                        return
+                    if "UUID" in params:
+                        # doUUID: server-minted URN (reference mints
+                        # uuids for clients that want server identity)
+                        import uuid as _uuid
+
+                        self._reply(200, f"urn:uuid:{_uuid.uuid4()}", "text/plain")
+                        return
                     if "update" in params:
                         # SPARQL 1.1 Protocol §2.2: update is POST-only.
                         # A mutating GET would be cacheable/prefetchable
@@ -144,6 +159,16 @@ class SparqlEndpoint:
                         return
                     query = params.get("query")
                     if not query:
+                        if not params:
+                            # GET with no parameters → SPARQL 1.1
+                            # Service Description (QueryServlet
+                            # doServiceDescription)
+                            self._reply(
+                                200,
+                                endpoint.service_description(),
+                                "text/turtle",
+                            )
+                            return
                         self._reply(
                             400, "missing query parameter", "text/plain"
                         )
@@ -505,6 +530,70 @@ class SparqlEndpoint:
                 from_all_graphs="g" not in spoc,
             ),
             "removed",
+        )
+
+    def get_statements(
+        self, params: dict, accept: str = "", engine=None
+    ) -> tuple[str, str]:
+        """GETSTMTS (QueryServlet.doGetStmts): export every statement
+        matching the ?s=&p=&o=&c= access path as an RDF document with
+        graph content negotiation (N-Triples default).  The match set
+        streams through ``toLocalIterator`` — the HTTP response is the
+        materialization point, same as the reference's connection
+        export."""
+        from pyspark.sql import functions as F
+
+        from . import terms as T
+        from .rio import writers as W
+
+        engine = engine or self.engine
+        spoc = self._spoc(params)
+        df = engine.store.df
+        for col, key in (("s", "s"), ("p", "p"), ("o", "o")):
+            if key in spoc:
+                cond = F.col(col) == T.term_id(T.lit_term(spoc[key]))
+                df = df.where(cond)
+        if "g" in spoc:
+            df = df.where(F.col("g") == T.term_id(T.lit_term(spoc["g"])))
+        triples = df.select("st", "pt", "ot")
+        kinds = [
+            part.split(";")[0].strip().lower()
+            for part in (accept or "").split(",")
+        ]
+        if any(k in ("text/turtle", "application/x-turtle") for k in kinds):
+            return W.turtle_string(triples), "text/turtle"
+        if "application/rdf+xml" in kinds:
+            return W.rdfxml_string(triples), "application/rdf+xml"
+        lines = [
+            r["value"] for r in W.ntriples_lines(triples).toLocalIterator()
+        ]
+        return (
+            "\n".join(lines) + ("\n" if lines else ""),
+            "application/n-triples",
+        )
+
+    def service_description(self) -> str:
+        """SPARQL 1.1 Service Description (QueryServlet
+        doServiceDescription on a bare GET): the endpoint's languages,
+        result formats, and named graphs in Turtle."""
+        graphs = "".join(
+            f"    sd:namedGraph [ sd:name <{t['lex']}> ] ;\n"
+            for t in self.engine.store.contexts()
+        )
+        return (
+            "@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .\n"
+            "@prefix fmt: <http://www.w3.org/ns/formats/> .\n\n"
+            "[] a sd:Service ;\n"
+            f"  sd:endpoint <{self.url}> ;\n"
+            "  sd:supportedLanguage sd:SPARQL11Query , sd:SPARQL11Update ;\n"
+            "  sd:resultFormat fmt:SPARQL_Results_JSON , fmt:SPARQL_Results_XML ,"
+            " fmt:SPARQL_Results_CSV , fmt:SPARQL_Results_TSV ,"
+            " fmt:N-Triples , fmt:Turtle , fmt:RDF_XML , fmt:JSON-LD ;\n"
+            "  sd:defaultDataset [\n"
+            "    a sd:Dataset ;\n"
+            f"{graphs}"
+            "    sd:defaultGraph [ a sd:Graph ]\n"
+            "  ] .\n"
         )
 
     def estcard(self, params: dict, engine=None) -> str:

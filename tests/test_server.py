@@ -348,3 +348,37 @@ def test_explain_query_parameter(spark, sf_dir):
         assert status == 200 and "bindings" in body
     finally:
         ep.stop()
+
+
+def test_getstmts_and_service_description(spark):
+    """GETSTMTS access-path export + bare-GET service description
+    (QueryServlet doGetStmts / doServiceDescription)."""
+    triples = [
+        (Term.iri(EX + "a"), Term.iri(EX + "p"), Term.literal("x")),
+        (Term.iri(EX + "b"), Term.iri(EX + "p"), Term.literal("y")),
+        (Term.iri(EX + "b"), Term.iri(EX + "q"), Term.literal("z")),
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, triples))
+    ep = SparqlEndpoint(eng, port=0).start()
+    try:
+        url = ep.url + "?" + urllib.parse.urlencode(
+            {"GETSTMTS": "", "s": f"<{EX}b>"}
+        )
+        with urllib.request.urlopen(url) as r:
+            body = r.read().decode()
+            assert r.headers.get_content_type() == "application/n-triples"
+        assert body.count("\n") == 2 and f"<{EX}q>" in body and f"<{EX}a>" not in body
+        # turtle negotiation
+        req = urllib.request.Request(url, headers={"Accept": "text/turtle"})
+        with urllib.request.urlopen(req) as r:
+            assert r.headers.get_content_type() == "text/turtle"
+        # bare GET → service description
+        with urllib.request.urlopen(ep.url) as r:
+            sd = r.read().decode()
+            assert r.headers.get_content_type() == "text/turtle"
+        assert "sd:Service" in sd and "sd:SPARQL11Query" in sd
+        # UUID mint
+        with urllib.request.urlopen(ep.url + "?UUID") as r:
+            assert r.read().decode().startswith("urn:uuid:")
+    finally:
+        ep.stop()
