@@ -110,6 +110,20 @@ class SparqlEndpoint:
                 accept = self.headers.get("Accept", "")
                 if engine is None:
                     return
+                if "timestamp" in params:
+                    # isolated read (QueryServlet ``&timestamp=txId``):
+                    # evaluate against the commit point the transaction
+                    # pinned instead of the unisolated view.  Mutation
+                    # params on the tx view raise PermissionError → 400.
+                    try:
+                        engine = engine.tx_view(int(params["timestamp"]))
+                    except (KeyError, ValueError):
+                        self._reply(
+                            404,
+                            f"Transaction not found: txId={params['timestamp']}",
+                            "text/plain",
+                        )
+                        return
                 try:
                     # ---- REST probes (QueryServlet.java:122-265):
                     # ESTCARD (fast range count), HASSTMT (limit-1
@@ -186,11 +200,50 @@ class SparqlEndpoint:
                 except Exception as e:  # noqa: BLE001 — protocol error path
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
 
+            def _tx_route(self, parts):
+                """``/tx[/<txid>]`` (optionally ``/namespace/<ns>/…``):
+                returns (engine, txid|None) or None when not a tx path
+                (replying 404 for an unknown namespace)."""
+                if len(parts) >= 2 and parts[0] == "namespace":
+                    eng = endpoint.engines.get(parts[1])
+                    rest = parts[2:]
+                else:
+                    eng = endpoint.engines[endpoint.default_namespace]
+                    rest = parts
+                if not rest or rest[0] != "tx":
+                    return None
+                if eng is None:
+                    self._reply(404, "no such namespace", "text/plain")
+                    return None
+                txid = None
+                if len(rest) > 1:
+                    try:
+                        txid = int(rest[1])
+                    except ValueError:
+                        self._reply(400, f"bad txId: {rest[1]}", "text/plain")
+                        return None
+                return (eng, txid)
+
             def do_GET(self):
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
                 if parts == ["namespace"]:
                     self._reply(200, endpoint.list_namespaces(), "application/xml")
+                    return
+                tx = self._tx_route(parts)
+                if tx is not None:
+                    eng, txid = tx
+                    if txid is None:
+                        # LIST-TX (TxServlet.doListTx)
+                        self._reply(200, endpoint.tx_list_xml(eng), "application/xml")
+                    else:
+                        # STATUS-TX
+                        try:
+                            body = endpoint.tx_xml(eng.tx_info(txid))
+                        except KeyError:
+                            self._reply(404, f"STATUS-TX: Transaction not found: txId={txid}", "text/plain")
+                            return
+                        self._reply(200, body, "application/xml")
                     return
                 params = {
                     k: v[0]
@@ -203,6 +256,10 @@ class SparqlEndpoint:
                 raw = self.rfile.read(n).decode()
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
+                tx = self._tx_route(parts)
+                if tx is not None:
+                    self._tx_post(tx, u)
+                    return
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 from .rio.reader import RDF_BODY_TYPES
 
@@ -324,6 +381,47 @@ class SparqlEndpoint:
                         self._reply(409, str(e), "text/plain")
                     return
                 self._run(params, engine=self._route_engine())
+
+            def _tx_post(self, tx, u):
+                """TxServlet.doPost dispatch: ``POST /tx?timestamp=`` →
+                CREATE-TX (201 + Location header); ``POST /tx/<txid>``
+                with ``?PREPARE`` / ``?COMMIT`` / ``?ABORT`` → the
+                respective lifecycle op.  Read-only transactions: a
+                commit of a read-only tx just releases the read lock
+                (reference ``AbstractTransactionService`` behavior), so
+                COMMIT and ABORT both end the tx."""
+                eng, txid = tx
+                qs = {
+                    k.upper(): v[0]
+                    for k, v in urllib.parse.parse_qs(
+                        u.query, keep_blank_values=True
+                    ).items()
+                }
+                if txid is None:
+                    tid = eng.begin_read_tx()
+                    body = endpoint.tx_xml(eng.tx_info(tid))
+                    data = body.encode()
+                    self.send_response(201)
+                    self.send_header("Content-Type", "application/xml; charset=utf-8")
+                    self.send_header("Location", f"/tx/{tid}")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                try:
+                    info = eng.tx_info(txid)
+                except KeyError:
+                    self._reply(404, f"Transaction not found: txId={txid}", "text/plain")
+                    return
+                if "PREPARE" in qs:
+                    # read-only tx always validates
+                    self._reply(200, endpoint.tx_xml(info), "application/xml")
+                    return
+                if "COMMIT" in qs or "ABORT" in qs:
+                    eng.end_tx(txid)
+                    self._reply(200, endpoint.tx_xml(info), "application/xml")
+                    return
+                self._reply(400, "expecting PREPARE, COMMIT or ABORT", "text/plain")
 
             def do_DELETE(self):
                 u = urllib.parse.urlparse(self.path)
@@ -571,6 +669,29 @@ class SparqlEndpoint:
             "\n".join(lines) + ("\n" if lines else ""),
             "application/n-triples",
         )
+
+    # --------------------------------------------------- tx responses
+    @staticmethod
+    def tx_xml(info: dict) -> str:
+        """One-transaction response document (TxServlet ``addTx``:
+        ``<response><tx txId=… readsOnCommitTime=… readOnly=…/>
+        </response>``)."""
+        return (
+            '<?xml version="1.0"?><response><tx '
+            f'txId="{info["txId"]}" '
+            f'readsOnCommitTime="{info["readsOnCommitTime"]}" '
+            f'readOnly="{str(info["readOnly"]).lower()}"/></response>'
+        )
+
+    @staticmethod
+    def tx_list_xml(engine) -> str:
+        txs = "".join(
+            f'<tx txId="{i["txId"]}" '
+            f'readsOnCommitTime="{i["readsOnCommitTime"]}" '
+            f'readOnly="{str(i["readOnly"]).lower()}"/>'
+            for i in engine.list_tx()
+        )
+        return f'<?xml version="1.0"?><response>{txs}</response>'
 
     def service_description(self) -> str:
         """SPARQL 1.1 Service Description (QueryServlet

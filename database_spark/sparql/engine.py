@@ -10,6 +10,7 @@ Catalyst.  Query forms SELECT/ASK/CONSTRUCT/DESCRIBE
 
 from __future__ import annotations
 
+import time
 from collections import OrderedDict
 from dataclasses import dataclass
 
@@ -137,6 +138,20 @@ class SparqlEngine:
         self._cs_removed: list = []
         self._commits_since_compact = 0
         self._compact_snapshot = None
+        #: read-only transactions (TxServlet / ITransactionService
+        #: analog): txid → {store, snap, reads_on, begun, view}.  Each
+        #: tx pins the immutable store DataFrame current at begin time;
+        #: snapshot isolation is free because stores are never mutated.
+        self._tx: dict = {}
+        self._tx_next = 1
+        #: compaction snapshots whose blocks could not be freed because
+        #: a transaction still reads on them (id(snap) → snap); freed
+        #: when the last pinning tx ends.
+        self._deferred_snaps: dict = {}
+        #: monotonic commit counter — the readsOnCommitTime analog
+        self._commit_count = 0
+        #: set on tx view engines; all mutation entry points refuse
+        self._read_only = False
         if services:
             self.services.update(services)
 
@@ -655,6 +670,7 @@ class SparqlEngine:
         bookkeeping — the LoadUpdate path minus the file read.  Used by
         bulk loaders (blueprints ``BigdataGraphBulkLoad`` analog); the
         frame is never enumerated on the driver."""
+        self._assert_writable()
         self._cs_added, self._cs_removed = [], []
         if graph is not None:
             df = df.withColumn("gt", T.lit_term(graph))
@@ -674,6 +690,7 @@ class SparqlEngine:
         set-oriented half of DeleteServlet (blueprints removeVertex
         uses it to drop a vertex plus all incident edge state in one
         commit)."""
+        self._assert_writable()
         self._cs_added, self._cs_removed = [], []
         if "gt" not in df.columns:
             df = df.withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
@@ -691,6 +708,7 @@ class SparqlEngine:
         self._maybe_compact()
 
     def _run_update_ops(self, ops: list) -> None:
+        self._assert_writable()
         self._cs_added, self._cs_removed = [], []
         for op in ops:
             mutates = isinstance(
@@ -737,6 +755,7 @@ class SparqlEngine:
         only the current snapshot is ever live storage."""
         from ..operators import lifecycle as L
 
+        self._commit_count += 1
         self._commits_since_compact += 1
         if self._commits_since_compact < self._COMPACT_EVERY:
             return
@@ -747,7 +766,81 @@ class SparqlEngine:
             self.store.spark, snap, has_named=self.store.has_named
         )
         self._compact_snapshot = snap
-        L.unprotect_and_free(prev)
+        if prev is not None and self._snap_pinned(prev):
+            # a read-only tx still reads on this snapshot: freeing it
+            # would orphan the tx's (lineage-truncated) store.  Defer
+            # until the last pinning tx ends (end_tx frees it).
+            self._deferred_snaps[id(prev)] = prev
+        else:
+            L.unprotect_and_free(prev)
+
+    # ------------------------------------------- read-only transactions
+    def _snap_pinned(self, snap) -> bool:
+        return snap is not None and any(
+            t["snap"] is snap for t in self._tx.values()
+        )
+
+    def _assert_writable(self) -> None:
+        if self._read_only:
+            raise PermissionError(
+                "read-only transaction view: mutations must go through "
+                "the unisolated engine"
+            )
+
+    def begin_read_tx(self) -> int:
+        """CREATE-TX: open a read-only transaction pinning the current
+        commit point (reference ``TxServlet.doCreateTx`` /
+        ``ITransactionService.newTx`` with a read-historical
+        timestamp).  The tx sees exactly the store as of this commit —
+        later mutations are invisible — because store DataFrames are
+        immutable; the only bookkeeping is keeping the compaction
+        lifecycle from freeing a snapshot the tx's lineage needs."""
+        txid = self._tx_next
+        self._tx_next += 1
+        self._tx[txid] = {
+            "store": self.store,
+            "snap": self._compact_snapshot,
+            "reads_on": self._commit_count,
+            "begun": time.time(),
+            "view": None,
+        }
+        return txid
+
+    def tx_view(self, txid: int) -> "SparqlEngine":
+        """A read-only engine evaluating queries against the commit
+        point the transaction pinned (KeyError for unknown/ended tx).
+        Shares the service registry; mutation entry points raise."""
+        t = self._tx[txid]
+        if t["view"] is None:
+            view = SparqlEngine(
+                t["store"], services=self.services, backchain=self.backchain
+            )
+            view._read_only = True
+            t["view"] = view
+        return t["view"]
+
+    def tx_info(self, txid: int) -> dict:
+        t = self._tx[txid]
+        return {"txId": txid, "readsOnCommitTime": t["reads_on"], "readOnly": True}
+
+    def list_tx(self) -> list:
+        return [self.tx_info(txid) for txid in sorted(self._tx)]
+
+    def end_tx(self, txid: int) -> None:
+        """COMMIT-TX / ABORT-TX (identical for read-only tx, as in the
+        reference where a read-only commit just releases the read
+        lock): drop the pin; free any compaction snapshot that was
+        deferred while this tx read on it."""
+        from ..operators import lifecycle as L
+
+        t = self._tx.pop(txid)
+        snap = t["snap"]
+        if (
+            snap is not None
+            and id(snap) in self._deferred_snaps
+            and not self._snap_pinned(snap)
+        ):
+            L.unprotect_and_free(self._deferred_snaps.pop(id(snap)))
 
     def _fire_changeset(self) -> None:
         """Deliver the accumulated commit delta to subscribers
@@ -796,6 +889,7 @@ class SparqlEngine:
         commit bookkeeping: the matching set stays a DataFrame end to
         end (never driver-enumerated), truth maintenance retracts
         consequences, and change listeners get the exact delta."""
+        self._assert_writable()
         self._cs_added, self._cs_removed = [], []
         matches = self._pattern_matches(s, p, o, g, from_all_graphs)
         if self._track_changes:
@@ -828,6 +922,7 @@ class SparqlEngine:
         (bigdata-blueprints ``BigdataElement.setProperty`` retracts the
         old values and asserts the new one before the one commit), so a
         failure can never land between the retract and the assert."""
+        self._assert_writable()
         self._cs_added, self._cs_removed = [], []
         matches = self._pattern_matches(s, p, o, g, from_all_graphs)
         if self._track_changes:
@@ -851,6 +946,7 @@ class SparqlEngine:
         ``removeStatements``.  The triple set stays distributed: a
         semi-join on term ids picks the store rows, never a driver
         enumeration."""
+        self._assert_writable()
         self._cs_added, self._cs_removed = [], []
         keys = df.select(
             T.term_id(F.col("st")).alias("__ks"),
