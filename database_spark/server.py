@@ -24,9 +24,12 @@ Supported, mirroring the reference's servlet API:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import threading
+import time
 import urllib.parse
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 RESULT_MEDIA = {
@@ -77,6 +80,12 @@ class SparqlEndpoint:
         # the default namespace ("kb", like the reference default)
         self.default_namespace = namespace
         self.engines = {namespace: engine}
+        #: StatusServlet counters: every accepted query registers here
+        #: (queryId → begun/sparql/namespace) for the lifetime of its
+        #: evaluation; cancelQuery kills its Spark job group.
+        self._running: dict = {}
+        self._queries_accepted = 0
+        self._started_at = time.time()
         endpoint = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -195,7 +204,10 @@ class SparqlEndpoint:
                         body, ctype = endpoint.explain(query, engine)
                         self._reply(200, body, ctype)
                         return
-                    body, ctype = endpoint.evaluate(query, accept, engine)
+                    with endpoint._track_query(
+                        query, params.get("queryId"), self.path
+                    ):
+                        body, ctype = endpoint.evaluate(query, accept, engine)
                     self._reply(200, body, ctype)
                 except Exception as e:  # noqa: BLE001 — protocol error path
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
@@ -224,11 +236,31 @@ class SparqlEndpoint:
                         return None
                 return (eng, txid)
 
+            def _status(self, multi: dict) -> None:
+                """StatusServlet: ``cancelQuery&queryId=…`` (repeatable)
+                kills those queries' Spark job groups; ``health`` is a
+                JSON probe; otherwise the HTML status page."""
+                if "cancelQuery" in multi:
+                    endpoint.cancel_queries(multi.get("queryId", []))
+                    flat = {k: v[0] for k, v in multi.items()}
+                    self._reply(200, endpoint.status_html(flat), "text/html")
+                    return
+                if "health" in multi:
+                    self._reply(200, endpoint.health_json(), "application/json")
+                    return
+                flat = {k: v[0] for k, v in multi.items()}
+                self._reply(200, endpoint.status_html(flat), "text/html")
+
             def do_GET(self):
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
                 if parts == ["namespace"]:
                     self._reply(200, endpoint.list_namespaces(), "application/xml")
+                    return
+                if parts and parts[-1] == "status":
+                    self._status(
+                        urllib.parse.parse_qs(u.query, keep_blank_values=True)
+                    )
                     return
                 tx = self._tx_route(parts)
                 if tx is not None:
@@ -256,6 +288,14 @@ class SparqlEndpoint:
                 raw = self.rfile.read(n).decode()
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
+                if parts and parts[-1] == "status":
+                    self._status(
+                        urllib.parse.parse_qs(
+                            (raw or "") + "&" + (u.query or ""),
+                            keep_blank_values=True,
+                        )
+                    )
+                    return
                 tx = self._tx_route(parts)
                 if tx is not None:
                     self._tx_post(tx, u)
@@ -668,6 +708,90 @@ class SparqlEndpoint:
         return (
             "\n".join(lines) + ("\n" if lines else ""),
             "application/n-triples",
+        )
+
+    # ------------------------------------------------ status / cancel
+    def _spark_context(self):
+        return self.engines[self.default_namespace].store.spark.sparkContext
+
+    @contextlib.contextmanager
+    def _track_query(self, query: str, qid: str | None = None, namespace: str = ""):
+        """Register a running query (StatusServlet's RunningQuery
+        table) and scope its Spark jobs to a job group named by the
+        queryId, so ``cancelQuery&queryId=`` can actually kill the
+        running stages (``SparkContext.cancelJobGroup`` — the
+        QueryCancellationHelper analog).  Job-group locality is
+        per-Python-thread (pinned-thread mode), so concurrent handler
+        threads don't leak groups into each other."""
+        qid = qid or str(uuid.uuid4())
+        sc = self._spark_context()
+        sc.setJobGroup(qid, f"sparql query {qid}", interruptOnCancel=True)
+        self._running[qid] = {
+            "queryId": qid,
+            "query": query,
+            "namespace": namespace,
+            "begun": time.time(),
+        }
+        self._queries_accepted += 1
+        try:
+            yield qid
+        finally:
+            self._running.pop(qid, None)
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
+    def cancel_queries(self, qids: list) -> list:
+        """CANCEL-QUERY: kill the Spark job group of each queryId;
+        returns the subset that was actually running."""
+        sc = self._spark_context()
+        hit = []
+        for qid in qids:
+            if qid in self._running:
+                hit.append(qid)
+            # cancel regardless (reference: cancel requests for
+            # unknown/finished ids are harmless no-ops)
+            sc.cancelJobGroup(qid)
+        return hit
+
+    def status_html(self, params: dict) -> str:
+        """StatusServlet.doGet page: accepted/running counters, and
+        optionally the namespace list (``showNamespaces``) and the
+        running-query table (``showQueries``, ``details`` adding the
+        SPARQL text)."""
+        now = time.time()
+        rows = [
+            "<html><body>",
+            f"<p>Build: database_spark (PySpark), uptime "
+            f"{now - self._started_at:.0f}s</p>",
+            f"<p>Accepted query count={self._queries_accepted}</p>",
+            f"<p>Running query count={len(self._running)}</p>",
+        ]
+        if "showNamespaces" in params:
+            rows.append("<h3>Namespaces</h3><ul>")
+            rows += [f"<li>{ns}</li>" for ns in sorted(self.engines)]
+            rows.append("</ul>")
+        if "showQueries" in params:
+            rows.append("<h3>Running queries</h3>")
+            for q in sorted(self._running.values(), key=lambda r: r["begun"]):
+                rows.append(
+                    f'<p>queryId={q["queryId"]} namespace={q["namespace"]} '
+                    f"elapsed={int((now - q['begun']) * 1000)}ms</p>"
+                )
+                if params.get("showQueries") == "details" or "details" in params:
+                    import html as _html
+
+                    rows.append(f"<pre>{_html.escape(q['query'])}</pre>")
+        rows.append("</body></html>")
+        return "\n".join(rows)
+
+    def health_json(self) -> str:
+        """``/status?health`` (HealthStatusServlet shape)."""
+        return json.dumps(
+            {
+                "deployment": "standalone",
+                "status": "Good",
+                "details": [],
+                "timestamp": int(time.time() * 1000),
+            }
         )
 
     # --------------------------------------------------- tx responses

@@ -1,0 +1,103 @@
+"""StatusServlet surface: /status page, counters, running-query table,
+health probe, and cancelQuery killing the query's Spark job group.
+
+Reference: ``bigdata-core/bigdata-sails/.../webapp/StatusServlet.java``
+(SHOW_QUERIES / CANCEL_QUERY / QUERY_ID / health).
+"""
+
+import threading
+import time
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from database_spark.server import SparqlEndpoint
+from database_spark.sparql.engine import SparqlEngine
+from database_spark.store import TripleStore
+from database_spark.terms import Term
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def endpoint(spark):
+    trips = [
+        (Term.iri(EX + f"s{i}"), Term.iri(EX + "p"), Term.literal(str(i)))
+        for i in range(4)
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, trips))
+    ep = SparqlEndpoint(eng).start()
+    yield ep
+    ep.stop()
+
+
+def _get(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read().decode()
+
+
+def _base(ep):
+    return ep.url.rsplit("/", 1)[0]
+
+
+def test_status_page_counters_and_namespaces(endpoint):
+    # run one query so the accepted counter moves
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    _get(endpoint.url + "?" + urllib.parse.urlencode({"query": q}))
+    status, ctype, body = _get(_base(endpoint) + "/status")
+    assert status == 200 and "html" in ctype
+    assert "Accepted query count=" in body
+    assert "Running query count=0" in body
+    status, _, body = _get(_base(endpoint) + "/status?showNamespaces")
+    assert "<li>kb</li>" in body
+
+
+def test_status_health(endpoint):
+    import json
+
+    status, ctype, body = _get(_base(endpoint) + "/status?health")
+    assert status == 200 and "json" in ctype
+    got = json.loads(body)
+    assert got["status"] == "Good"
+
+
+def test_show_queries_and_cancel(endpoint, spark):
+    """A running query appears in showQueries (with its text under
+    details) and cancelQuery&queryId= kills its Spark job group — the
+    held job must fail promptly instead of running to completion."""
+    qid = "cancel-me-123"
+    state = {}
+
+    def victim():
+        with endpoint._track_query("SELECT * WHERE { huge }", qid, "/sparql"):
+            try:
+                # a job far too large to finish: cancellation must
+                # interrupt it (job group set by _track_query)
+                spark.range(1 << 40).selectExpr("sum(id * id)").collect()
+                state["outcome"] = "completed"
+            except Exception:  # noqa: BLE001 — cancellation error
+                state["outcome"] = "cancelled"
+
+    t = threading.Thread(target=victim, daemon=True)
+    t.start()
+    # wait until it registers
+    for _ in range(100):
+        if qid in endpoint._running:
+            break
+        time.sleep(0.05)
+    assert qid in endpoint._running
+
+    _, _, body = _get(_base(endpoint) + "/status?showQueries=details")
+    assert qid in body and "huge" in body
+
+    status, _, _ = _get(
+        _base(endpoint)
+        + "/status?cancelQuery&"
+        + urllib.parse.urlencode({"queryId": qid})
+    )
+    assert status == 200
+    t.join(timeout=60)
+    assert not t.is_alive(), "cancelled job still running after 60s"
+    assert state["outcome"] == "cancelled"
+    assert qid not in endpoint._running
