@@ -296,6 +296,38 @@ class SparqlEndpoint:
                         )
                     )
                     return
+                if parts and parts[-1] == "backup":
+                    # BackupServlet: write a consistent snapshot of the
+                    # addressed namespace to ?file= (defaults next to
+                    # the cwd like the reference's backup.jnl; must not
+                    # already exist).  The parquet snapshot round-trips
+                    # through TripleStore.load; ?compress/?block are
+                    # accepted for protocol parity (parquet pages are
+                    # always codec-compressed; no quorum to block on).
+                    multi = urllib.parse.parse_qs(
+                        (raw or "") + "&" + (u.query or ""),
+                        keep_blank_values=True,
+                    )
+                    eng = endpoint.engines.get(
+                        parts[1]
+                        if len(parts) == 3 and parts[0] == "namespace"
+                        else endpoint.default_namespace
+                    )
+                    if eng is None:
+                        self._reply(404, "no such namespace", "text/plain")
+                        return
+                    try:
+                        body = endpoint.backup(
+                            eng, multi.get("file", ["backup.parquet"])[0]
+                        )
+                    except FileExistsError as e:
+                        self._reply(409, str(e), "text/plain")
+                        return
+                    except Exception as e:  # noqa: BLE001
+                        self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+                        return
+                    self._reply(200, body, "application/xml")
+                    return
                 tx = self._tx_route(parts)
                 if tx is not None:
                     self._tx_post(tx, u)
@@ -793,6 +825,26 @@ class SparqlEndpoint:
                 "timestamp": int(time.time() * 1000),
             }
         )
+
+    # --------------------------------------------------------- backup
+    @staticmethod
+    def backup(engine, file: str) -> str:
+        """BackupServlet: snapshot the namespace's current commit point
+        to ``file`` as a loadable parquet store.  The store DataFrame
+        is immutable, so the written snapshot is transactionally
+        consistent even while concurrent updates land (they swap the
+        engine's store pointer; they cannot mutate the frame being
+        written).  Refuses to overwrite (the reference requires the
+        target not exist)."""
+        import os
+        import time as _t
+
+        if os.path.exists(file):
+            raise FileExistsError(f"backup target exists: {file}")
+        t0 = _t.time()
+        engine.store.save(file)
+        ms = int((_t.time() - t0) * 1000)
+        return f'<?xml version="1.0"?><data file="{file}" milliseconds="{ms}"/>'
 
     # --------------------------------------------------- tx responses
     @staticmethod

@@ -101,3 +101,36 @@ def test_show_queries_and_cancel(endpoint, spark):
     assert not t.is_alive(), "cancelled job still running after 60s"
     assert state["outcome"] == "cancelled"
     assert qid not in endpoint._running
+
+
+def test_backup_roundtrip(endpoint, spark, tmp_path):
+    """BackupServlet: POST /backup?file= writes a loadable snapshot of
+    the current commit point; existing targets are refused 409."""
+    import urllib.error
+
+    from database_spark.store import TripleStore
+
+    target = str(tmp_path / "backup.parquet")
+    data = urllib.parse.urlencode({"file": target}).encode()
+    req = urllib.request.Request(
+        _base(endpoint) + "/backup",
+        method="POST",
+        data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert f'file="{target}"' in r.read().decode()
+    restored = TripleStore.load(spark, target)
+    assert restored.df.count() == 4
+    # second attempt at the same path → 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(
+            urllib.request.Request(
+                _base(endpoint) + "/backup",
+                method="POST",
+                data=data,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+        )
+    assert e.value.code == 409
