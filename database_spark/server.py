@@ -296,6 +296,21 @@ class SparqlEndpoint:
                         )
                     )
                     return
+                if parts and parts[-1] == "dataloader":
+                    # DataLoaderServlet: POST a java.util.Properties
+                    # document (XML <properties><entry key=…> or plain
+                    # k=v lines) naming fileOrDirs to bulk-load
+                    # server-side into ?namespace (auto-created).
+                    try:
+                        body = endpoint.dataloader(raw)
+                    except ValueError as e:
+                        self._reply(400, str(e), "text/plain")
+                        return
+                    except Exception as e:  # noqa: BLE001
+                        self._reply(500, f"{type(e).__name__}: {e}", "text/plain")
+                        return
+                    self._reply(200, body, "application/xml")
+                    return
                 if parts and parts[-1] == "backup":
                     # BackupServlet: write a consistent snapshot of the
                     # addressed namespace to ?file= (defaults next to
@@ -824,6 +839,77 @@ class SparqlEndpoint:
                 "details": [],
                 "timestamp": int(time.time() * 1000),
             }
+        )
+
+    # ----------------------------------------------------- dataloader
+    #: RDF file suffixes the server-side loader picks up when walking
+    #: directories (DataLoaderServlet's RDFFormat filter analog)
+    _RDF_SUFFIXES = (
+        ".nt", ".nq", ".ttl", ".trig", ".rdf", ".xml", ".owl",
+        ".jsonld",
+    )
+
+    def dataloader(self, body: str) -> str:
+        """DataLoaderServlet.doBulkLoad: bulk-load the files/directories
+        named by the ``fileOrDirs`` property into ``namespace``
+        (auto-created when absent, like the reference), optionally into
+        ``defaultGraph``.  All files land as LOAD ops inside ONE engine
+        commit — one changeset, one compaction tick — and bulk formats
+        take the distributed parse path.  ``quiet``/``verbose``/
+        ``durableQueues``/``baseURI`` are accepted for protocol parity.
+
+        The properties document is either the reference's XML
+        ``<properties><entry key="…">v</entry></properties>`` shape or
+        plain ``k=v`` lines."""
+        import os
+        import re as _re
+        import time as _t
+
+        props: dict = {}
+        if "<properties" in body:
+            for m in _re.finditer(
+                r'<entry\s+key="([^"]+)"\s*>(.*?)</entry>', body, _re.S
+            ):
+                props[m.group(1).strip()] = m.group(2).strip()
+        else:
+            for line in body.splitlines():
+                k, sep, v = line.partition("=")
+                if sep:
+                    props[k.strip()] = v.strip()
+        file_or_dirs = props.get("fileOrDirs")
+        if not file_or_dirs:
+            raise ValueError("fileOrDirs is required for the DataLoader")
+        ns = props.get("namespace", self.default_namespace)
+        if ns not in self.engines:
+            self.create_namespace(ns)
+        engine = self.engines[ns]
+        files = []
+        for entry in file_or_dirs.split(","):
+            entry = entry.strip()
+            if not entry:
+                continue
+            if os.path.isdir(entry):
+                for root, _dirs, names in sorted(os.walk(entry)):
+                    files += [
+                        os.path.join(root, n)
+                        for n in sorted(names)
+                        if n.endswith(self._RDF_SUFFIXES)
+                    ]
+            elif os.path.exists(entry):
+                files.append(entry)
+            else:
+                raise ValueError(f"no such file or directory: {entry}")
+        if not files:
+            raise ValueError(f"no RDF files under: {file_or_dirs}")
+        t0 = _t.time()
+        count, _ms = self.insert_uris(
+            files, engine=engine, context=props.get("defaultGraph") or None
+        )
+        ms = int((_t.time() - t0) * 1000)
+        return (
+            '<?xml version="1.0"?>'
+            f'<data modified="{count}" milliseconds="{ms}" '
+            f'files="{len(files)}"/>'
         )
 
     # --------------------------------------------------------- backup
