@@ -204,10 +204,56 @@ class SparqlEndpoint:
                         body, ctype = endpoint.explain(query, engine)
                         self._reply(200, body, ctype)
                         return
+                    if params.get("includeInferred", "").lower() == "false":
+                        # reference API: evaluate against the EXPLICIT
+                        # statements only (StatementEnum filter)
+                        engine = endpoint._explicit_view(engine)
+                    # ?format= overrides content negotiation (the
+                    # workbench's format parameter)
+                    accept = {
+                        "json": "application/sparql-results+json",
+                        "xml": "application/sparql-results+xml",
+                        "csv": "text/csv",
+                        "tsv": "text/tab-separated-values",
+                    }.get(params.get("format", ""), accept)
+                    # query deadline: ?timeout= (seconds) or the
+                    # X-BIGDATA-MAX-QUERY-MILLIS header; past it the
+                    # query's job group is cancelled → 503
+                    deadline_ms = None
+                    if params.get("timeout"):
+                        deadline_ms = float(params["timeout"]) * 1000
+                    hdr = self.headers.get("X-BIGDATA-MAX-QUERY-MILLIS")
+                    if hdr:
+                        deadline_ms = float(hdr)
+                    timed_out = []
+                    timer = None
                     with endpoint._track_query(
                         query, params.get("queryId"), self.path
-                    ):
-                        body, ctype = endpoint.evaluate(query, accept, engine)
+                    ) as qid:
+                        if deadline_ms is not None:
+                            sc = endpoint._spark_context()
+
+                            def _expire(q=qid):
+                                timed_out.append(q)
+                                sc.cancelJobGroup(q)
+
+                            timer = threading.Timer(deadline_ms / 1000, _expire)
+                            timer.daemon = True
+                            timer.start()
+                        try:
+                            body, ctype = endpoint.evaluate(query, accept, engine)
+                        except Exception:
+                            if timed_out:
+                                self._reply(
+                                    503,
+                                    f"query deadline exceeded ({deadline_ms:.0f}ms)",
+                                    "text/plain",
+                                )
+                                return
+                            raise
+                        finally:
+                            if timer is not None:
+                                timer.cancel()
                     self._reply(200, body, ctype)
                 except Exception as e:  # noqa: BLE001 — protocol error path
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
@@ -756,6 +802,30 @@ class SparqlEndpoint:
             "\n".join(lines) + ("\n" if lines else ""),
             "application/n-triples",
         )
+
+    # --------------------------------------------- includeInferred=false
+    def _explicit_view(self, engine):
+        """A read-only engine over the EXPLICIT statements only
+        (``includeInferred=false`` — the StatementEnum filter the
+        reference applies in its access paths).  Cached per store
+        version; mutations swap the store object, invalidating it."""
+        from .sparql.engine import SparqlEngine
+        from .store import TripleStore
+
+        cached = getattr(self, "_explicit_cache", None)
+        if cached is not None and cached[0] is engine.store:
+            return cached[1]
+        view = SparqlEngine(
+            TripleStore(
+                engine.store.spark,
+                engine.store.explicit(),
+                has_named=engine.store.has_named,
+            ),
+            services=engine.services,
+        )
+        view._read_only = True
+        self._explicit_cache = (engine.store, view)
+        return view
 
     # ------------------------------------------------ status / cancel
     def _spark_context(self):

@@ -134,3 +134,77 @@ def test_backup_roundtrip(endpoint, spark, tmp_path):
             )
         )
     assert e.value.code == 409
+
+
+def test_format_param_overrides_accept(endpoint):
+    q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+    url = endpoint.url + "?" + urllib.parse.urlencode({"query": q, "format": "csv"})
+    req = urllib.request.Request(url, headers={"Accept": "application/sparql-results+json"})
+    with urllib.request.urlopen(req) as r:
+        assert "csv" in r.headers.get("Content-Type", "")
+        assert r.read().decode().strip().splitlines()[-1] == "4"
+
+
+def test_query_deadline_times_out(endpoint, spark):
+    """?timeout= (reference QueryServlet maxQueryTime surface): when the
+    query's Spark jobs outlive the deadline, the timer cancels the job
+    group and the endpoint replies 503.
+
+    The victim work is a huge spark.range aggregation injected through
+    evaluate() rather than a SPARQL cross product: cancellation lands at
+    task interruption checks, and a broadcast-nested-loop cross join
+    compiles to ONE codegen task with no such check (a Spark codegen
+    property) — scan-shaped plans, which real queries are made of,
+    cancel fine."""
+    import urllib.error
+
+    real = endpoint.evaluate
+
+    def slow_evaluate(query, accept="", engine=None):
+        spark.range(1 << 40).selectExpr("sum(id * id)").collect()
+        return real(query, accept, engine)
+
+    endpoint.evaluate = slow_evaluate
+    try:
+        q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+        url = endpoint.url + "?" + urllib.parse.urlencode(
+            {"query": q, "timeout": "1"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(url, timeout=120)
+        assert e.value.code == 503
+        assert "deadline" in e.value.read().decode()
+    finally:
+        endpoint.evaluate = real
+
+
+def test_include_inferred_false(spark):
+    """includeInferred=false evaluates over EXPLICIT statements only
+    (StatementEnum filter), and refuses updates (read-only view)."""
+    from database_spark.terms import Term as T2
+
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    trips = [
+        (T2.iri(EX + "Dog"), T2.iri(RDFS + "subClassOf"), T2.iri(EX + "Animal")),
+        (T2.iri(EX + "rex"), T2.iri(RDF + "type"), T2.iri(EX + "Dog")),
+    ]
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(spark, trips), maintain_entailments=True
+    )
+    eng.update(f'INSERT DATA {{ <{EX}fido> <{RDF}type> <{EX}Dog> }}')
+    ep = SparqlEndpoint(eng).start()
+    try:
+        q = (f"SELECT (COUNT(*) AS ?n) WHERE {{ ?s <{RDF}type> "
+             f"<{EX}Animal> }}")
+
+        def run(extra):
+            url = ep.url + "?" + urllib.parse.urlencode(
+                {"query": q, "format": "csv", **extra})
+            with urllib.request.urlopen(url) as r:
+                return int(r.read().decode().strip().splitlines()[-1])
+
+        assert run({}) == 2  # rex + fido inferred Animal
+        assert run({"includeInferred": "false"}) == 0
+        assert run({"includeInferred": "true"}) == 2
+    finally:
+        ep.stop()
