@@ -15,10 +15,17 @@ never mutated.  Writers use optimistic concurrency: ``commit()``
 verifies the head hasn't moved since ``begin()`` (the reference
 serializes writers with a lock; OCC is the shared-nothing analog).
 
-At 100 TB each version is a full rewrite here; the production upgrade
-path is delta commits (base + tombstone/insert files, compacted
-periodically) with the same pointer-swap protocol — the API below
-doesn't change.
+Commit layout: ``commit()`` writes a FULL immutable version directory;
+``commit_delta()`` writes only the commit's added/removed statements
+(one small parquet with an ``op`` column — the tombstone/insert file
+pattern) and every ``compact_every``-th version materializes a full
+directory again, so reconstruction folds at most ``compact_every - 1``
+deltas over the nearest full base.  At 100 TB this is the difference
+between a full rewrite per commit and writing kilobytes per commit:
+``Transaction`` knows its exact delta from the engine's changeset
+tracking, so nothing is ever diffed against the base.  The pointer
+file records each version's kind (full/delta/empty); the swap protocol
+is unchanged.
 """
 
 from __future__ import annotations
@@ -77,20 +84,58 @@ class Journal:
             raise IOError(f"atomic swap failed for {rel}")
 
     # ---------------------------------------------------------- protocol
+    #: delta commits per full materialization (``commit_delta``)
+    COMPACT_EVERY = 8
+
     def head(self) -> int:
         """Current committed version (0 = empty journal)."""
         meta = self._read_json(self.POINTER)
         return int(meta["version"]) if meta else 0
 
+    def _meta(self) -> dict:
+        return self._read_json(self.POINTER) or {"version": 0, "kinds": {}}
+
+    def _kinds(self) -> dict:
+        """version(str) → 'full' | 'delta' | 'empty'.  Journals written
+        before delta commits have no kinds entry: every version full."""
+        meta = self._meta()
+        kinds = meta.get("kinds")
+        if kinds is None:
+            kinds = {str(v): "full" for v in range(1, meta["version"] + 1)}
+        return kinds
+
     def _vdir(self, version: int) -> str:
         return f"{self.path}/versions/v{version:08d}"
 
+    def _ddir(self, version: int) -> str:
+        return f"{self.path}/deltas/d{version:08d}"
+
     def open(self, version: int | None = None) -> TripleStore:
-        """Snapshot read of a commit point (default: head)."""
+        """Snapshot read of a commit point (default: head).  Delta
+        versions reconstruct as (nearest full base \\ removes) ∪ adds
+        per delta, at most ``COMPACT_EVERY - 1`` folds."""
+        from pyspark.sql import functions as F
+
         v = self.head() if version is None else version
         if v == 0:
             return TripleStore.from_python_triples(self.spark, [])
-        return TripleStore.load(self.spark, self._vdir(v))
+        kinds = self._kinds()
+        base_v = v
+        while base_v > 0 and kinds.get(str(base_v), "full") != "full":
+            base_v -= 1
+        store = (
+            TripleStore.load(self.spark, self._vdir(base_v))
+            if base_v > 0
+            else TripleStore.from_python_triples(self.spark, [])
+        )
+        for d in range(base_v + 1, v + 1):
+            if kinds.get(str(d)) == "empty":
+                continue
+            delta = self.spark.read.parquet(self._ddir(d))
+            removes = delta.where(F.col("op") == 1).drop("op")
+            adds = delta.where(F.col("op") == 0).drop("op")
+            store = store.remove(removes).add(adds)
+        return store
 
     def commit(
         self,
@@ -110,13 +155,61 @@ class Journal:
             raise CommitConflict(f"head moved: expected v{expected_head}, is v{cur}")
         new = cur + 1
         store.save(self._vdir(new), partition_by_predicate=partition_by_predicate)
+        return self._advance(new, "full", expected_head, message)
+
+    def commit_delta(
+        self,
+        added,
+        removed,
+        expected_head: int | None = None,
+        message: str = "",
+        store: TripleStore | None = None,
+    ) -> int:
+        """Write a new commit point as a DELTA: only the added/removed
+        statement frames land on storage (columns of the store layout
+        plus ``op`` 0=add 1=remove) — kilobytes for a CRUD commit where
+        ``commit()`` rewrites the store.  Callers supply the EXACT
+        delta (the engine's changeset tracking knows it; nothing is
+        diffed against the base).  Every ``COMPACT_EVERY``-th version
+        materializes ``store`` as a full directory instead, bounding
+        reconstruction to ``COMPACT_EVERY - 1`` folds; pass ``store``
+        whenever available so compaction can fire.  A commit with no
+        changes records an 'empty' version (a commit point with no
+        file, like the reference's empty commit records)."""
+        from .store import _with_ids
+
+        cur = self.head()
+        if expected_head is not None and cur != expected_head:
+            raise CommitConflict(f"head moved: expected v{expected_head}, is v{cur}")
+        new = cur + 1
+        if store is not None and new % self.COMPACT_EVERY == 0:
+            store.save(self._vdir(new))
+            return self._advance(new, "full", expected_head, message)
+        from pyspark.sql import functions as F
+
+        parts = []
+        if added is not None:
+            parts.append(_with_ids(added).withColumn("op", F.lit(0).cast("tinyint")))
+        if removed is not None:
+            parts.append(_with_ids(removed).withColumn("op", F.lit(1).cast("tinyint")))
+        if not parts:
+            return self._advance(new, "empty", expected_head, message)
+        delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        delta.write.mode("overwrite").parquet(self._ddir(new))
+        return self._advance(new, "delta", expected_head, message)
+
+    def _advance(
+        self, new: int, kind: str, expected_head: int | None, message: str
+    ) -> int:
         # re-check before the swap to narrow (not close — OCC, not 2PC)
         # the lost-update window
         if expected_head is not None and self.head() != expected_head:
             raise CommitConflict("head moved during write")
+        kinds = self._kinds()
+        kinds[str(new)] = kind
         self._write_json_atomic(
             self.POINTER,
-            {"version": new, "ts": time.time(), "message": message},
+            {"version": new, "ts": time.time(), "message": message, "kinds": kinds},
         )
         return new
 
@@ -125,17 +218,35 @@ class Journal:
 
 
 class Transaction:
-    """A read-write transaction: snapshot in, optimistic commit out.
+    """A read-write transaction: snapshot in, optimistic DELTA commit
+    out.
 
     ``tx.engine`` is a full SparqlEngine over the snapshot — run any
     UPDATE verbs against it; they mutate only the in-memory snapshot
     until ``tx.commit()`` publishes a new commit point.
+
+    The engine's changeset tracking records each update's EXACT
+    added/removed statements (checkpointed at delivery — small frames,
+    and holding raw lineage across the engine's own compaction would
+    dangle on freed snapshots).  ``commit()`` folds them into one net
+    (added, removed) pair — later removes cancel earlier adds and vice
+    versa — and publishes it through :meth:`Journal.commit_delta`, so
+    a CRUD commit writes kilobytes, not the store.
     """
 
     def __init__(self, journal: Journal):
         self.journal = journal
         self.base_version = journal.head()
         self.engine = SparqlEngine(journal.open(self.base_version))
+        self._changesets: list = []
+        self.engine.add_change_listener(self._on_changeset)
+
+    def _on_changeset(self, cs) -> None:
+        from .operators import lifecycle as L
+
+        self._changesets.append(
+            (L.checkpoint(cs.added), L.checkpoint(cs.removed))
+        )
 
     def update(self, text: str) -> None:
         self.engine.update(text)
@@ -143,7 +254,50 @@ class Transaction:
     def select(self, text: str, **kw):
         return self.engine.select(text, **kw)
 
-    def commit(self, message: str = "") -> int:
-        return self.journal.commit(
-            self.engine.store, expected_head=self.base_version, message=message
+    @staticmethod
+    def _anti(a, b):
+        """Rows of ``a`` whose (s,p,o,g) key is absent from ``b``
+        (null-safe on g: NULL g = default graph)."""
+        from pyspark.sql import functions as F
+
+        from .store import _with_ids
+
+        a, b = _with_ids(a), _with_ids(b)
+        keys = b.select(
+            F.col("s").alias("__ks"), F.col("p").alias("__kp"),
+            F.col("o").alias("__ko"), F.col("g").alias("__kg"),
         )
+        cond = (
+            (F.col("s") == F.col("__ks"))
+            & (F.col("p") == F.col("__kp"))
+            & (F.col("o") == F.col("__ko"))
+            & F.col("g").eqNullSafe(F.col("__kg"))
+        )
+        return a.join(keys, cond, "left_anti")
+
+    def commit(self, message: str = "") -> int:
+        from .operators import lifecycle as L
+
+        from .store import _with_ids
+
+        net_a = net_r = None
+        for a, r in self._changesets:
+            a, r = _with_ids(a), _with_ids(r)
+            # replay algebra for (base \ R) ∪ A: a later add revives a
+            # removed statement; a later remove cancels an earlier add
+            # (removing a never-in-base statement is a harmless no-op
+            # at reconstruction, so it may stay in net_r)
+            net_a = a if net_a is None else self._anti(net_a, r).unionByName(a)
+            net_r = r if net_r is None else self._anti(net_r, a).unionByName(r)
+        try:
+            return self.journal.commit_delta(
+                net_a,
+                net_r,
+                expected_head=self.base_version,
+                message=message,
+                store=self.engine.store,
+            )
+        finally:
+            for a, r in self._changesets:
+                L.free(a, r)
+            self._changesets = []

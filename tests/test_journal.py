@@ -81,3 +81,60 @@ def test_time_travel_read(journal):
     old = SparqlEngine(journal.open(version=1))
     assert names(old) == ["Alice"]
     assert names(journal.begin()) == []
+
+
+def test_delta_commits_record_kinds_and_compact(journal):
+    """CRUD commits write DELTAS (kilobytes, not the store); every
+    COMPACT_EVERY-th version materializes full, bounding reconstruction
+    to COMPACT_EVERY-1 folds; an empty commit records an empty kind."""
+    n = journal.COMPACT_EVERY
+    for i in range(n):
+        tx = journal.begin()
+        tx.update(
+            f'PREFIX ex: <{EX}> INSERT DATA {{ ex:p{i} ex:name "N{i}" }}'
+        )
+        tx.commit(f"c{i}")
+    kinds = journal._kinds()
+    assert kinds[str(n)] == "full"  # compaction fired
+    assert all(kinds[str(v)] == "delta" for v in range(1, n))
+    # empty commit → empty kind, still a commit point
+    tx = journal.begin()
+    assert tx.commit("noop") == n + 1
+    assert journal._kinds()[str(n + 1)] == "empty"
+    # reconstruction across the chain and time travel into it
+    assert len(names(journal.begin())) == n
+    from database_spark.sparql.engine import SparqlEngine
+
+    assert names(SparqlEngine(journal.open(version=3))) == ["N0", "N1", "N2"]
+
+
+def test_delta_add_then_remove_folds_to_net(journal):
+    """Several updates in ONE tx fold to the net delta: an add that a
+    later remove cancels never reaches storage as an add."""
+    tx = journal.begin()
+    tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:name "Keep" }}')
+    tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:b ex:name "Gone" }}')
+    tx.update(f'PREFIX ex: <{EX}> DELETE DATA {{ ex:b ex:name "Gone" }}')
+    tx.commit()
+    assert names(journal.begin()) == ["Keep"]
+    # remove-then-revive across two updates
+    tx = journal.begin()
+    tx.update(f'PREFIX ex: <{EX}> DELETE DATA {{ ex:a ex:name "Keep" }}')
+    tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:name "Keep" }}')
+    tx.commit()
+    assert names(journal.begin()) == ["Keep"]
+
+
+def test_full_commit_api_still_interoperates(journal):
+    """Direct Journal.commit (full snapshot) and delta commits mix:
+    kinds track each, and reconstruction uses the nearest full base."""
+    tx = journal.begin()
+    tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:name "A" }}')
+    tx.commit()  # delta v1
+    journal.commit(journal.open(), message="manual full")  # full v2
+    tx = journal.begin()
+    tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:b ex:name "B" }}')
+    tx.commit()  # delta v3 on full base v2
+    kinds = journal._kinds()
+    assert (kinds["1"], kinds["2"], kinds["3"]) == ("delta", "full", "delta")
+    assert names(journal.begin()) == ["A", "B"]
