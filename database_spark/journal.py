@@ -216,6 +216,28 @@ class Journal:
     def begin(self) -> "Transaction":
         return Transaction(self)
 
+    def durable_engine(self, **engine_kwargs) -> SparqlEngine:
+        """A SparqlEngine whose every commit is persisted to this
+        journal as a delta commit — the journal-backed namespace shape
+        (reference: a Sail over the journal; every connection commit
+        lands a commit record).  Opening again after a restart replays
+        the head commit point, so the engine's state survives the
+        session.
+
+        Single-writer per journal (the reference serializes writers
+        the same way): deltas append sequentially with no OCC check.
+        The write happens inside the commit (the changeset listener
+        runs before the mutation returns), so the statement frames are
+        materialized to storage before the engine's own lineage
+        compaction could free anything they depend on."""
+        engine = SparqlEngine(self.open(), **engine_kwargs)
+
+        def _persist(cs) -> None:
+            self.commit_delta(cs.added, cs.removed, store=engine.store)
+
+        engine.add_change_listener(_persist)
+        return engine
+
 
 class Transaction:
     """A read-write transaction: snapshot in, optimistic DELTA commit

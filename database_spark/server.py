@@ -231,11 +231,10 @@ class SparqlEndpoint:
                         query, params.get("queryId"), self.path
                     ) as qid:
                         if deadline_ms is not None:
-                            sc = endpoint._spark_context()
 
                             def _expire(q=qid):
                                 timed_out.append(q)
-                                sc.cancelJobGroup(q)
+                                endpoint._cancel_until_dead(q)
 
                             timer = threading.Timer(deadline_ms / 1000, _expire)
                             timer.daemon = True
@@ -856,17 +855,35 @@ class SparqlEndpoint:
             self._running.pop(qid, None)
             sc.setLocalProperty("spark.jobGroup.id", None)
 
+    def _cancel_until_dead(self, qid: str, interval: float = 0.25, max_wait: float = 600) -> None:
+        """Cancel ``qid``'s job group repeatedly until the query leaves
+        the running table.  ``cancelJobGroup`` only kills ACTIVE jobs —
+        a cancel that lands between the request registering and its
+        first job submitting would otherwise be silently missed (there
+        is no cancel-future-jobs variant in the Python API), so the
+        sweep keeps firing until the handler thread unregisters."""
+        sc = self._spark_context()
+
+        def loop():
+            t0 = time.time()
+            while qid in self._running and time.time() - t0 < max_wait:
+                sc.cancelJobGroup(qid)
+                time.sleep(interval)
+            sc.cancelJobGroup(qid)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+
     def cancel_queries(self, qids: list) -> list:
         """CANCEL-QUERY: kill the Spark job group of each queryId;
-        returns the subset that was actually running."""
-        sc = self._spark_context()
+        returns the subset that was actually running.  Cancels of
+        unknown/finished ids are harmless no-ops (reference
+        behavior)."""
         hit = []
         for qid in qids:
             if qid in self._running:
                 hit.append(qid)
-            # cancel regardless (reference: cancel requests for
-            # unknown/finished ids are harmless no-ops)
-            sc.cancelJobGroup(qid)
+            self._cancel_until_dead(qid)
         return hit
 
     def status_html(self, params: dict) -> str:

@@ -138,3 +138,23 @@ def test_full_commit_api_still_interoperates(journal):
     kinds = journal._kinds()
     assert (kinds["1"], kinds["2"], kinds["3"]) == ("delta", "full", "delta")
     assert names(journal.begin()) == ["A", "B"]
+
+
+def test_durable_engine_survives_restart(spark, tmp_path):
+    """A journal-backed engine persists every commit as a delta; a new
+    engine over the same journal path replays the head commit point —
+    the durable-namespace shape."""
+    path = str(tmp_path / "durable")
+    eng = Journal(spark, path).durable_engine()
+    eng.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:name "Alice" }}')
+    eng.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:b ex:name "Bob" }}')
+    eng.update(f'PREFIX ex: <{EX}> DELETE DATA {{ ex:a ex:name "Alice" }}')
+    del eng
+
+    # "restart": a fresh Journal object on the same path
+    j2 = Journal(spark, path)
+    assert j2.head() == 3
+    eng2 = j2.durable_engine()
+    assert names(eng2) == ["Bob"]
+    eng2.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:c ex:name "Cara" }}')
+    assert names(Journal(spark, path).durable_engine()) == ["Bob", "Cara"]

@@ -74,7 +74,7 @@ def test_show_queries_and_cancel(endpoint, spark):
             try:
                 # a job far too large to finish: cancellation must
                 # interrupt it (job group set by _track_query)
-                spark.range(1 << 40).selectExpr("sum(id * id)").collect()
+                spark.range(1 << 40).selectExpr("sum(id % 1000)").collect()
                 state["outcome"] = "completed"
             except Exception:  # noqa: BLE001 — cancellation error
                 state["outcome"] = "cancelled"
@@ -161,7 +161,7 @@ def test_query_deadline_times_out(endpoint, spark):
     real = endpoint.evaluate
 
     def slow_evaluate(query, accept="", engine=None):
-        spark.range(1 << 40).selectExpr("sum(id * id)").collect()
+        spark.range(1 << 40).selectExpr("sum(id % 1000)").collect()
         return real(query, accept, engine)
 
     endpoint.evaluate = slow_evaluate
