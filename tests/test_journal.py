@@ -158,3 +158,37 @@ def test_durable_engine_survives_restart(spark, tmp_path):
     assert names(eng2) == ["Bob"]
     eng2.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:c ex:name "Cara" }}')
     assert names(Journal(spark, path).durable_engine()) == ["Bob", "Cara"]
+
+
+def test_delta_replay_equivalence_randomized(journal):
+    """Randomized add/remove sequences across several delta commits:
+    after every commit, reconstructing the head from base+deltas must
+    equal the committing engine's own store (the delta fold algebra is
+    the correctness-critical surface)."""
+    import random
+
+    rng = random.Random(20260815)
+    universe = [(f"s{i}", f"v{i % 3}") for i in range(8)]
+    live: set = set()
+    for commit_i in range(5):
+        tx = journal.begin()
+        for _ in range(rng.randint(1, 4)):
+            s, v = rng.choice(universe)
+            if rng.random() < 0.6 or (s, v) not in live:
+                tx.update(
+                    f'PREFIX ex: <{EX}> INSERT DATA {{ ex:{s} ex:name "{v}" }}'
+                )
+                live.add((s, v))
+            else:
+                tx.update(
+                    f'PREFIX ex: <{EX}> DELETE DATA {{ ex:{s} ex:name "{v}" }}'
+                )
+                live.discard((s, v))
+        tx.commit(f"r{commit_i}")
+        got = {
+            (r["s"]["lex"].rsplit("/", 1)[-1], r["n"]["lex"])
+            for r in journal.begin()
+            .select(f'PREFIX ex: <{EX}> SELECT ?s ?n WHERE {{ ?s ex:name ?n }}')
+            .df.collect()
+        }
+        assert got == live, f"divergence after commit {commit_i + 1}"
