@@ -819,6 +819,9 @@ class SparqlEndpoint:
                 engine.store.spark,
                 engine.store.explicit(),
                 has_named=engine.store.has_named,
+                # the inferred filter keeps the p_bucket layout column,
+                # so bound-predicate partition pruning still applies
+                p_buckets=engine.store.p_buckets,
             ),
             services=engine.services,
         )
