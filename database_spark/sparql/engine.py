@@ -10,6 +10,7 @@ Catalyst.  Query forms SELECT/ASK/CONSTRUCT/DESCRIBE
 
 from __future__ import annotations
 
+import threading
 import time
 from collections import OrderedDict
 from dataclasses import dataclass
@@ -22,6 +23,22 @@ from ..store import TripleStore
 from . import ast as A
 from .compiler import Compiler, Sol
 from .parser import parse_query, parse_update
+
+
+def _serialized(fn):
+    """Serialize mutation entry points per engine (the reference
+    serializes writers on the unisolated connection; concurrent HTTP
+    handler threads would otherwise interleave store-pointer swaps and
+    changeset accumulation).  Reads stay lock-free — stores are
+    immutable, a reader just keeps whichever pointer it grabbed."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._write_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 @dataclass
@@ -152,6 +169,8 @@ class SparqlEngine:
         self._commit_count = 0
         #: set on tx view engines; all mutation entry points refuse
         self._read_only = False
+        #: writer serialization (see _serialized)
+        self._write_lock = threading.RLock()
         if services:
             self.services.update(services)
 
@@ -664,6 +683,7 @@ class SparqlEngine:
         """Remove driver-parsed statements; DeleteServlet body path."""
         self._run_update_ops([A.DeleteData(triples=list(quads))])
 
+    @_serialized
     def insert_dataframe(self, df: DataFrame, graph: T.Term | None = None) -> None:
         """Bulk-insert a distributed statement frame (``st``/``pt``/
         ``ot`` [+ ``gt``] TERM-struct columns) with full commit
@@ -684,6 +704,7 @@ class SparqlEngine:
         self._fire_changeset()
         self._maybe_compact()
 
+    @_serialized
     def remove_dataframe(self, df: DataFrame) -> None:
         """Bulk-remove a distributed statement frame (``st``/``pt``/
         ``ot`` [+ ``gt``] columns) with full commit bookkeeping; the
@@ -707,6 +728,7 @@ class SparqlEngine:
         self._fire_changeset()
         self._maybe_compact()
 
+    @_serialized
     def _run_update_ops(self, ops: list) -> None:
         self._assert_writable()
         self._cs_added, self._cs_removed = [], []
@@ -878,6 +900,7 @@ class SparqlEngine:
             cond = cond & F.col("g").isNull()
         return self.store.df.where(cond)
 
+    @_serialized
     def remove_pattern(
         self, s=None, p=None, o=None, g=None, from_all_graphs: bool = False
     ) -> None:
@@ -905,6 +928,7 @@ class SparqlEngine:
         self._fire_changeset()
         self._maybe_compact()
 
+    @_serialized
     def replace_pattern(
         self,
         s=None,
@@ -937,6 +961,7 @@ class SparqlEngine:
         self._fire_changeset()
         self._maybe_compact()
 
+    @_serialized
     def remove_triples_all_graphs(self, df: DataFrame) -> None:
         """Set-oriented delete of (st,pt,ot) triples in EVERY context —
         the engine half of the reference's DeleteServlet

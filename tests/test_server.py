@@ -382,3 +382,40 @@ def test_getstmts_and_service_description(spark):
             assert r.read().decode().startswith("urn:uuid:")
     finally:
         ep.stop()
+
+
+def test_concurrent_updates_serialize(spark):
+    """Concurrent POST updates must serialize per engine (the reference
+    serializes writers on the unisolated connection): N threads each
+    insert a distinct statement; all N must land."""
+    import threading
+
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    ep = SparqlEndpoint(eng).start()
+    try:
+        def post(i):
+            data = urllib.parse.urlencode(
+                {"update": f'INSERT DATA {{ <{EX}s{i}> <{EX}p> "{i}" }}'}
+            ).encode()
+            req = urllib.request.Request(
+                ep.url, method="POST", data=data,
+                headers={"Content-Type": "application/x-www-form-urlencoded"},
+            )
+            urllib.request.urlopen(req).read()
+
+        threads = [
+            threading.Thread(target=post, args=(i,)) for i in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
+        req = urllib.request.Request(
+            ep.url + "?" + urllib.parse.urlencode({"query": q}),
+            headers={"Accept": "text/csv"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert int(r.read().decode().strip().splitlines()[-1]) == 6
+    finally:
+        ep.stop()
