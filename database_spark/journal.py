@@ -62,14 +62,13 @@ class Journal:
         p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{rel}")
         if not fs.exists(p):
             return None
+        # bulk copy through the JVM: one py4j transfer for the whole
+        # file (a byte-at-a-time stream.read() loop costs one py4j
+        # round trip PER BYTE — hundreds of ms per pointer read)
         stream = fs.open(p)
-        data = bytearray()
-        b = stream.read()
-        while b >= 0:
-            data.append(b)
-            b = stream.read()
-        stream.close()
-        return json.loads(bytes(data).decode())
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+        return json.loads(bytes(baos.toByteArray()).decode())
 
     def _write_json_atomic(self, rel: str, obj: dict) -> None:
         jvm, fs = self._fs()
