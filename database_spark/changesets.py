@@ -44,3 +44,43 @@ class ChangeSet:
 
     added: DataFrame
     removed: DataFrame
+
+
+def _key_anti(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Rows of ``a`` whose (s,p,o,g) key is absent from ``b``
+    (null-safe on g: NULL g = default graph)."""
+    from pyspark.sql import functions as F
+
+    from .store import _with_ids
+
+    a, b = _with_ids(a), _with_ids(b)
+    keys = b.select(
+        F.col("s").alias("__ks"), F.col("p").alias("__kp"),
+        F.col("o").alias("__ko"), F.col("g").alias("__kg"),
+    )
+    cond = (
+        (F.col("s") == F.col("__ks"))
+        & (F.col("p") == F.col("__kp"))
+        & (F.col("o") == F.col("__ko"))
+        & F.col("g").eqNullSafe(F.col("__kg"))
+    )
+    return a.join(keys, cond, "left_anti")
+
+
+def fold_net_delta(pairs: list) -> tuple:
+    """Fold an ordered sequence of per-commit (added, removed) frame
+    pairs into ONE net (added, removed) pair with replay semantics
+    ``(base \\ removed) ∪ added``: a later add revives an earlier
+    remove, a later remove cancels an earlier add.  A remove of a
+    never-in-base statement may remain in the net removed set — it is
+    a harmless no-op at replay.  Returns (None, None) for an empty
+    sequence.  Used by journal delta commits and read-write
+    transaction publication."""
+    net_a = net_r = None
+    for a, r in pairs:
+        from .store import _with_ids
+
+        a, r = _with_ids(a), _with_ids(r)
+        net_a = a if net_a is None else _key_anti(net_a, r).unionByName(a)
+        net_r = r if net_r is None else _key_anti(net_r, a).unionByName(r)
+    return net_a, net_r

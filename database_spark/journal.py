@@ -275,41 +275,11 @@ class Transaction:
     def select(self, text: str, **kw):
         return self.engine.select(text, **kw)
 
-    @staticmethod
-    def _anti(a, b):
-        """Rows of ``a`` whose (s,p,o,g) key is absent from ``b``
-        (null-safe on g: NULL g = default graph)."""
-        from pyspark.sql import functions as F
-
-        from .store import _with_ids
-
-        a, b = _with_ids(a), _with_ids(b)
-        keys = b.select(
-            F.col("s").alias("__ks"), F.col("p").alias("__kp"),
-            F.col("o").alias("__ko"), F.col("g").alias("__kg"),
-        )
-        cond = (
-            (F.col("s") == F.col("__ks"))
-            & (F.col("p") == F.col("__kp"))
-            & (F.col("o") == F.col("__ko"))
-            & F.col("g").eqNullSafe(F.col("__kg"))
-        )
-        return a.join(keys, cond, "left_anti")
-
     def commit(self, message: str = "") -> int:
+        from .changesets import fold_net_delta
         from .operators import lifecycle as L
 
-        from .store import _with_ids
-
-        net_a = net_r = None
-        for a, r in self._changesets:
-            a, r = _with_ids(a), _with_ids(r)
-            # replay algebra for (base \ R) ∪ A: a later add revives a
-            # removed statement; a later remove cancels an earlier add
-            # (removing a never-in-base statement is a harmless no-op
-            # at reconstruction, so it may stay in net_r)
-            net_a = a if net_a is None else self._anti(net_a, r).unionByName(a)
-            net_r = r if net_r is None else self._anti(net_r, a).unionByName(r)
+        net_a, net_r = fold_net_delta(self._changesets)
         try:
             return self.journal.commit_delta(
                 net_a,

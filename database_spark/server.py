@@ -530,7 +530,13 @@ class SparqlEndpoint:
                     ).items()
                 }
                 if txid is None:
-                    tid = eng.begin_read_tx()
+                    # reference CREATE-TX: ?timestamp=0 (ITx.UNISOLATED)
+                    # opens a READ-WRITE transaction; the default is a
+                    # read-only tx on the current commit point
+                    if qs.get("TIMESTAMP") == "0":
+                        tid = eng.begin_read_write_tx()
+                    else:
+                        tid = eng.begin_read_tx()
                     body = endpoint.tx_xml(eng.tx_info(tid))
                     data = body.encode()
                     self.send_response(201)
@@ -545,11 +551,28 @@ class SparqlEndpoint:
                 except KeyError:
                     self._reply(404, f"Transaction not found: txId={txid}", "text/plain")
                     return
+                from .sparql.engine import TxConflict
+
                 if "PREPARE" in qs:
-                    # read-only tx always validates
+                    # read-only tx always validate; a writable tx
+                    # re-checks the coarse OCC condition
+                    if not info["readOnly"] and eng._commit_count != info["readsOnCommitTime"]:
+                        self._reply(
+                            409, f"PREPARE-TX: validation failed: txId={txid}",
+                            "text/plain",
+                        )
+                        return
                     self._reply(200, endpoint.tx_xml(info), "application/xml")
                     return
-                if "COMMIT" in qs or "ABORT" in qs:
+                if "COMMIT" in qs:
+                    try:
+                        eng.commit_tx(txid)
+                    except TxConflict as e:
+                        self._reply(409, f"COMMIT-TX: {e}", "text/plain")
+                        return
+                    self._reply(200, endpoint.tx_xml(info), "application/xml")
+                    return
+                if "ABORT" in qs:
                     eng.end_tx(txid)
                     self._reply(200, endpoint.tx_xml(info), "application/xml")
                     return

@@ -41,6 +41,12 @@ def _serialized(fn):
     return wrapper
 
 
+class TxConflict(Exception):
+    """A writable transaction failed validation: the store advanced
+    since the transaction began (coarse OCC over the commit counter —
+    over-approximates the reference's write-write validation)."""
+
+
 @dataclass
 class SelectResult:
     df: DataFrame  # term-struct column per projected variable
@@ -796,7 +802,35 @@ class SparqlEngine:
         else:
             L.unprotect_and_free(prev)
 
-    # ------------------------------------------- read-only transactions
+    @_serialized
+    def apply_changeset(self, added=None, removed=None) -> None:
+        """Retract ``removed`` and assert ``added`` (term-struct
+        statement frames, disjoint) in ONE commit with full
+        bookkeeping — one changeset delivered, one compaction tick.
+        The set-oriented retract-and-assert primitive behind read-write
+        transaction publication (reference: a tx's write set lands as
+        one unisolated commit)."""
+        self._assert_writable()
+        self._cs_added, self._cs_removed = [], []
+        before = self.store.df
+        if removed is not None:
+            if "gt" not in removed.columns:
+                removed = removed.withColumn("gt", F.lit(None).cast(T.TERM_TYPE))
+            if self._track_changes:
+                self._track_delete(removed, before)
+            self.store = self.store.remove(removed.select("st", "pt", "ot", "gt"))
+        if added is not None:
+            if self._track_changes:
+                self._track_insert(added, before)
+            self.store = self.store.add(added)
+        self._backchain_maps = None
+        self._describe_cache_invalidate()
+        if self.maintain_entailments:
+            self._recompute_entailments()
+        self._fire_changeset()
+        self._maybe_compact()
+
+    # ------------------------------------------------ transactions
     def _snap_pinned(self, snap) -> bool:
         return snap is not None and any(
             t["snap"] is snap for t in self._tx.values()
@@ -843,19 +877,82 @@ class SparqlEngine:
 
     def tx_info(self, txid: int) -> dict:
         t = self._tx[txid]
-        return {"txId": txid, "readsOnCommitTime": t["reads_on"], "readOnly": True}
+        return {
+            "txId": txid,
+            "readsOnCommitTime": t["reads_on"],
+            "readOnly": not t.get("writable", False),
+        }
 
     def list_tx(self) -> list:
         return [self.tx_info(txid) for txid in sorted(self._tx)]
 
+    def begin_read_write_tx(self) -> int:
+        """CREATE-TX with the unisolated timestamp (reference
+        ``ITx.UNISOLATED`` = 0): a WRITABLE transaction.  Updates
+        through the tx view stage against the pinned snapshot — the
+        unisolated engine never sees them — and the view's changeset
+        tracking records each update's exact delta (checkpointed at
+        delivery).  ``commit_tx`` publishes the folded net delta as ONE
+        unisolated commit under coarse OCC; ``end_tx`` (ABORT)
+        discards the staging."""
+        txid = self.begin_read_tx()
+        t = self._tx[txid]
+        view = SparqlEngine(
+            t["store"], services=self.services, backchain=self.backchain
+        )
+        t["view"], t["writable"], t["staged"] = view, True, []
+
+        def _capture(cs, staged=t["staged"]):
+            from ..operators import lifecycle as L
+
+            staged.append((L.checkpoint(cs.added), L.checkpoint(cs.removed)))
+
+        view.add_change_listener(_capture)
+        return txid
+
+    def commit_tx(self, txid: int) -> None:
+        """COMMIT-TX: read-only tx just release their pin; a writable
+        tx validates (coarse OCC — ANY commit since the tx began
+        conflicts; the reference validates write-write overlap, which
+        this over-approximates) and publishes its folded net delta as
+        one unisolated commit."""
+        from ..changesets import fold_net_delta
+        from ..operators import lifecycle as L
+
+        with self._write_lock:
+            t = self._tx[txid]
+            if not t.get("writable"):
+                self.end_tx(txid)
+                return
+            if self._commit_count != t["reads_on"]:
+                self.end_tx(txid)
+                raise TxConflict(
+                    f"tx {txid} began on commit {t['reads_on']} but the "
+                    f"store is at {self._commit_count}: validation failed"
+                )
+            staged, t["staged"] = t["staged"], []
+            net_a, net_r = fold_net_delta(staged)
+            if net_a is not None:
+                # materialize the (delta-sized) net frames so the
+                # staged per-update checkpoints can be freed; the
+                # blocks are reclaimed by the next lifecycle sweep
+                net_a, net_r = L.checkpoint(net_a), L.checkpoint(net_r)
+            self.end_tx(txid)
+            for a, r in staged:
+                L.free(a, r)
+            if net_a is not None:
+                self.apply_changeset(net_a, net_r)
+
     def end_tx(self, txid: int) -> None:
-        """COMMIT-TX / ABORT-TX (identical for read-only tx, as in the
-        reference where a read-only commit just releases the read
-        lock): drop the pin; free any compaction snapshot that was
-        deferred while this tx read on it."""
+        """ABORT-TX (and the read-only COMMIT, which is identical — a
+        read-only commit just releases the read lock): drop the pin,
+        discard any staged writes, free any compaction snapshot whose
+        release was deferred while this tx read on it."""
         from ..operators import lifecycle as L
 
         t = self._tx.pop(txid)
+        for a, r in t.get("staged") or []:
+            L.free(a, r)
         snap = t["snap"]
         if (
             snap is not None

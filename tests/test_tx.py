@@ -196,3 +196,81 @@ def test_tx_survives_compaction(spark):
         ).df.collect()
     ]
     assert n == [str(1 + 2 * every)]
+
+
+def test_read_write_tx_http(endpoint):
+    """CREATE-TX?timestamp=0 (ITx.UNISOLATED) opens a WRITABLE tx:
+    updates stage against the pinned snapshot (invisible to the
+    unisolated view), COMMIT publishes them as one commit."""
+    status, _, body = _req(
+        _base(endpoint) + "/tx?timestamp=0", method="POST"
+    )
+    assert status == 201 and 'readOnly="false"' in body
+    txid = re.search(r'txId="(\d+)"', body).group(1)
+
+    n0 = _count(endpoint.url)
+    upd = f'INSERT DATA {{ <{EX}staged> <{EX}p> "s" }} ; ' \
+          f'INSERT DATA {{ <{EX}staged2> <{EX}p> "s2" }}'
+    _req(
+        endpoint.url,
+        method="POST",
+        data=urllib.parse.urlencode({"update": upd, "timestamp": txid}).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    # staged: visible inside the tx, invisible outside
+    assert _count(endpoint.url) == n0
+    assert _count(endpoint.url, {"timestamp": txid}) == n0 + 2
+
+    status, _, _ = _req(
+        _base(endpoint) + f"/tx/{txid}?COMMIT", method="POST"
+    )
+    assert status == 200
+    assert _count(endpoint.url) == n0 + 2
+
+
+def test_read_write_tx_conflict_and_abort(endpoint):
+    """Coarse OCC: a commit that lands after the tx began fails the
+    tx's COMMIT with 409 and the staged writes are discarded; ABORT
+    discards without publishing."""
+    # conflict case
+    _, _, body = _req(_base(endpoint) + "/tx?timestamp=0", method="POST")
+    txid = re.search(r'txId="(\d+)"', body).group(1)
+    _req(
+        endpoint.url,
+        method="POST",
+        data=urllib.parse.urlencode(
+            {"update": f'INSERT DATA {{ <{EX}mine> <{EX}p> "m" }}',
+             "timestamp": txid}
+        ).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    # concurrent unisolated commit → the tx must now fail validation
+    _req(
+        endpoint.url,
+        method="POST",
+        data=urllib.parse.urlencode(
+            {"update": f'INSERT DATA {{ <{EX}intruder> <{EX}p> "i" }}'}
+        ).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    n_before = _count(endpoint.url)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(_base(endpoint) + f"/tx/{txid}?COMMIT", method="POST")
+    assert e.value.code == 409
+    assert _count(endpoint.url) == n_before  # staged writes discarded
+
+    # abort case
+    _, _, body = _req(_base(endpoint) + "/tx?timestamp=0", method="POST")
+    txid = re.search(r'txId="(\d+)"', body).group(1)
+    _req(
+        endpoint.url,
+        method="POST",
+        data=urllib.parse.urlencode(
+            {"update": f'INSERT DATA {{ <{EX}aborted> <{EX}p> "a" }}',
+             "timestamp": txid}
+        ).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+    )
+    status, _, _ = _req(_base(endpoint) + f"/tx/{txid}?ABORT", method="POST")
+    assert status == 200
+    assert _count(endpoint.url) == n_before
