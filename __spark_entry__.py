@@ -1204,6 +1204,27 @@ def q_sparql_describe(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (``pipeline/decontaminate.py``; the
+    GPT-3 appendix-C n-gram hygiene step a training pipeline runs
+    before every model): documents with ``doc_id % 10 == 0`` play the
+    held-out benchmark set; every other document sharing a word 5-gram
+    with any of them is flagged with the count of distinct benchmark
+    docs it hits.  The benchmark shingle set is BROADCAST, so the
+    corpus side streams map-side — no corpus shuffle, nothing
+    all-pairs.  The oracle rebuilds the identical shingles with
+    DuckDB's regexp_extract_all + list slicing."""
+    from database_spark.pipeline.decontaminate import contaminated
+
+    # the test parquet is a single split, which would serialize the
+    # shingle build on one core; at 100 TB the scan arrives already
+    # split, so this repartition is a local-shape correction only
+    docs = _read(spark, sf_dir, "documents").repartition(32, "doc_id")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return contaminated(corpus, bench).orderBy("doc_id")
+
+
 def q_text_quality(spark, sf_dir):
     """Language-ID + quality heuristics + fingerprint — every component
     mirrored exactly by the SQL oracle."""
@@ -1600,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_construct": q_sparql_construct,
     "sparql_describe": q_sparql_describe,
     "text_quality": q_text_quality,
+    "decontaminate": q_decontaminate,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine_pairs": q_lsh_cosine_pairs,
@@ -2250,6 +2272,23 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
                         'urn:r:' || CAST(n_regionkey AS VARCHAR) AS o
         FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "decontaminate": """
+        WITH words AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM documents
+        ),
+        shingles AS (
+          SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+          FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+        ),
+        bench AS (
+          SELECT DISTINCT doc_id AS b_id, sh FROM shingles WHERE doc_id % 10 = 0
+        )
+        SELECT s.doc_id, COUNT(DISTINCT b.b_id) AS n_bench
+        FROM shingles s JOIN bench b USING (sh)
+        WHERE s.doc_id % 10 <> 0
+        GROUP BY s.doc_id ORDER BY s.doc_id
     """,
     "text_quality": _TEXT_QUALITY_ORACLE,
     "simhash_pairs": _simhash_oracle(),
