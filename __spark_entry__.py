@@ -1204,6 +1204,21 @@ def q_sparql_describe(spark, sf_dir):
     )
 
 
+def q_text_chunks(spark, sf_dir):
+    """Document chunking (``pipeline/chunk.py``): 64-token windows
+    advancing by 48 (16-token overlap) — the context-window packing /
+    RAG-indexing unit-of-work transform.  Pure column expressions, one
+    Generate pair per document, no shuffle.  The DuckDB oracle
+    rebuilds identical windows with range()+list slicing over the same
+    tokenization."""
+    from database_spark.pipeline.chunk import chunk_frame
+
+    docs = _read(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return chunk_frame(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (``pipeline/decontaminate.py``; the
     GPT-3 appendix-C n-gram hygiene step a training pipeline runs
@@ -1622,6 +1637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_describe": q_sparql_describe,
     "text_quality": q_text_quality,
     "decontaminate": q_decontaminate,
+    "text_chunks": q_text_chunks,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine_pairs": q_lsh_cosine_pairs,
@@ -2272,6 +2288,18 @@ ORACLES: dict[str, str] = {
         SELECT DISTINCT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
                         'urn:r:' || CAST(n_regionkey AS VARCHAR) AS o
         FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "text_chunks": """
+        WITH words AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST((i - 1) // 48 AS BIGINT) AS chunk_idx,
+               array_to_string(w[i:i+63], ' ') AS chunk,
+               CAST(len(w[i:i+63]) AS BIGINT) AS n_tok
+        FROM words, UNNEST(range(1, len(w) + 1, 48)) AS t(i)
+        ORDER BY doc_id, chunk_idx
     """,
     "decontaminate": """
         WITH words AS (
