@@ -12,8 +12,12 @@ version directory and atomically swaps a commit-pointer file
 need a conditional-put variant).  Readers pin the version directory
 they opened — snapshot isolation for free, because published dirs are
 never mutated.  Writers use optimistic concurrency: ``commit()``
-verifies the head hasn't moved since ``begin()`` (the reference
-serializes writers with a lock; OCC is the shared-nothing analog).
+verifies the head hasn't moved since ``begin()``; the check + data
+write + pointer swap run under a cross-process lock file
+(``_commit_lock`` — atomic ``O_EXCL`` create locally,
+``createNewFile`` on HDFS), so two processes sharing a journal path
+cannot both advance (the reference serializes writers with the
+journal's write lock).
 
 Commit layout: ``commit()`` writes a FULL immutable version directory;
 ``commit_delta()`` writes only the commit's added/removed statements
@@ -30,7 +34,9 @@ is unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import os
 import time
 
 from pyspark.sql import SparkSession
@@ -82,6 +88,67 @@ class Journal:
         if not fs.rename(tmp, dst):
             raise IOError(f"atomic swap failed for {rel}")
 
+    # ---------------------------------------------------------- locking
+    LOCKFILE = "_commit.lock"
+
+    @contextlib.contextmanager
+    def _commit_lock(self, timeout: float = 30.0, stale: float = 120.0):
+        """Cross-process writer mutex: an atomically-created lock file
+        held across data write + pointer swap, so two PROCESSES sharing
+        a journal path cannot interleave between the head re-check and
+        the pointer rename (the reference serializes writers on the
+        journal's write lock; within one process the engine's write
+        lock already serializes).  Local paths use POSIX
+        ``O_CREAT|O_EXCL`` (truly atomic); remote filesystems use
+        ``FileSystem.createNewFile`` (atomic on HDFS).  A lock older
+        than ``stale`` seconds is presumed orphaned by a dead process
+        and broken."""
+        local = not ("://" in self.path and not self.path.startswith("file:"))
+        lock_path = f"{self.path.removeprefix('file:')}/{self.LOCKFILE}"
+        deadline = time.time() + timeout
+        if local:
+            os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lock_path) > stale:
+                            os.unlink(lock_path)
+                            continue
+                    except FileNotFoundError:
+                        continue
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"journal commit lock busy: {lock_path}"
+                        )
+                    time.sleep(0.02)
+            try:
+                yield
+            finally:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(lock_path)
+        else:
+            jvm, fs = self._fs()
+            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{self.LOCKFILE}")
+            while not fs.createNewFile(p):
+                st = fs.getFileStatus(p) if fs.exists(p) else None
+                if st is not None and (
+                    time.time() - st.getModificationTime() / 1000 > stale
+                ):
+                    fs.delete(p, False)
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"journal commit lock busy: {p}")
+                time.sleep(0.05)
+            try:
+                yield
+            finally:
+                fs.delete(p, False)
+
     # ---------------------------------------------------------- protocol
     #: delta commits per full materialization (``commit_delta``)
     COMPACT_EVERY = 8
@@ -95,13 +162,30 @@ class Journal:
         return self._read_json(self.POINTER) or {"version": 0, "kinds": {}}
 
     def _kinds(self) -> dict:
-        """version(str) → 'full' | 'delta' | 'empty'.  Journals written
-        before delta commits have no kinds entry: every version full."""
-        meta = self._meta()
-        kinds = meta.get("kinds")
-        if kinds is None:
-            kinds = {str(v): "full" for v in range(1, meta["version"] + 1)}
-        return kinds
+        """version(str) → 'full' | 'delta' | 'empty' for versions the
+        pointer still tracks.  Entries at or below the most recent full
+        materialization are PRUNED at commit time (head reconstruction
+        never folds past the nearest full base), so the pointer stays
+        O(COMPACT_EVERY) instead of O(total versions); pruned or
+        pre-delta-journal versions resolve via :meth:`_kind_of`'s
+        filesystem probe."""
+        return self._meta().get("kinds") or {}
+
+    def _kind_of(self, version: int, kinds: dict) -> str:
+        """Resolve a version's kind: the pointer's (bounded) kinds map
+        first, else probe the immutable version/delta directories —
+        pruned history and journals written before delta commits have
+        no map entry, but a full version always has its vdir and a
+        delta its ddir (an empty commit wrote neither)."""
+        k = kinds.get(str(version))
+        if k is not None:
+            return k
+        jvm, fs = self._fs()
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(self._vdir(version))):
+            return "full"
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(self._ddir(version))):
+            return "delta"
+        return "empty"
 
     def _vdir(self, version: int) -> str:
         return f"{self.path}/versions/v{version:08d}"
@@ -120,7 +204,7 @@ class Journal:
             return TripleStore.from_python_triples(self.spark, [])
         kinds = self._kinds()
         base_v = v
-        while base_v > 0 and kinds.get(str(base_v), "full") != "full":
+        while base_v > 0 and self._kind_of(base_v, kinds) != "full":
             base_v -= 1
         store = (
             TripleStore.load(self.spark, self._vdir(base_v))
@@ -128,7 +212,7 @@ class Journal:
             else TripleStore.from_python_triples(self.spark, [])
         )
         for d in range(base_v + 1, v + 1):
-            if kinds.get(str(d)) == "empty":
+            if self._kind_of(d, kinds) == "empty":
                 continue
             delta = self.spark.read.parquet(self._ddir(d))
             removes = delta.where(F.col("op") == 1).drop("op")
@@ -147,14 +231,23 @@ class Journal:
 
         ``expected_head`` enables optimistic concurrency: the commit
         aborts with CommitConflict if another writer advanced the
-        journal since the caller read that head.
+        journal since the caller read that head.  The whole commit
+        (head check + data write + pointer swap) runs under the
+        cross-process :meth:`_commit_lock`, so a losing racer fails its
+        head check BEFORE writing data — it can never clobber the
+        winner's version directory (both would target v(head+1)).
         """
-        cur = self.head()
-        if expected_head is not None and cur != expected_head:
-            raise CommitConflict(f"head moved: expected v{expected_head}, is v{cur}")
-        new = cur + 1
-        store.save(self._vdir(new), partition_by_predicate=partition_by_predicate)
-        return self._advance(new, "full", expected_head, message)
+        with self._commit_lock():
+            cur = self.head()
+            if expected_head is not None and cur != expected_head:
+                raise CommitConflict(
+                    f"head moved: expected v{expected_head}, is v{cur}"
+                )
+            new = cur + 1
+            store.save(
+                self._vdir(new), partition_by_predicate=partition_by_predicate
+            )
+            return self._advance(new, "full", message)
 
     def commit_delta(
         self,
@@ -177,35 +270,48 @@ class Journal:
         file, like the reference's empty commit records)."""
         from .store import _with_ids
 
-        cur = self.head()
-        if expected_head is not None and cur != expected_head:
-            raise CommitConflict(f"head moved: expected v{expected_head}, is v{cur}")
-        new = cur + 1
-        if store is not None and new % self.COMPACT_EVERY == 0:
-            store.save(self._vdir(new))
-            return self._advance(new, "full", expected_head, message)
-        from pyspark.sql import functions as F
+        with self._commit_lock():
+            cur = self.head()
+            if expected_head is not None and cur != expected_head:
+                raise CommitConflict(
+                    f"head moved: expected v{expected_head}, is v{cur}"
+                )
+            new = cur + 1
+            if store is not None and new % self.COMPACT_EVERY == 0:
+                store.save(self._vdir(new))
+                return self._advance(new, "full", message)
+            from pyspark.sql import functions as F
 
-        parts = []
-        if added is not None:
-            parts.append(_with_ids(added).withColumn("op", F.lit(0).cast("tinyint")))
-        if removed is not None:
-            parts.append(_with_ids(removed).withColumn("op", F.lit(1).cast("tinyint")))
-        if not parts:
-            return self._advance(new, "empty", expected_head, message)
-        delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-        delta.write.mode("overwrite").parquet(self._ddir(new))
-        return self._advance(new, "delta", expected_head, message)
+            parts = []
+            if added is not None:
+                parts.append(
+                    _with_ids(added).withColumn("op", F.lit(0).cast("tinyint"))
+                )
+            if removed is not None:
+                parts.append(
+                    _with_ids(removed).withColumn("op", F.lit(1).cast("tinyint"))
+                )
+            if not parts:
+                return self._advance(new, "empty", message)
+            delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+            delta.write.mode("overwrite").parquet(self._ddir(new))
+            return self._advance(new, "delta", message)
 
-    def _advance(
-        self, new: int, kind: str, expected_head: int | None, message: str
-    ) -> int:
-        # re-check before the swap to narrow (not close — OCC, not 2PC)
-        # the lost-update window
-        if expected_head is not None and self.head() != expected_head:
-            raise CommitConflict("head moved during write")
+    def _advance(self, new: int, kind: str, message: str) -> int:
+        """Swap the pointer to ``new``.  Callers hold
+        :meth:`_commit_lock` across their head check, data write, and
+        this swap — the check-then-write window the OCC-only protocol
+        had is closed by the lock, not narrowed.
+
+        Kinds-map hygiene: a full materialization prunes every entry
+        BELOW it (head reconstruction never folds past the nearest
+        full base, and historical ``open()`` resolves pruned versions
+        by probing the immutable dirs), so pointer metadata stays
+        O(COMPACT_EVERY) instead of growing per commit forever."""
         kinds = self._kinds()
         kinds[str(new)] = kind
+        if kind == "full":
+            kinds = {v: k for v, k in kinds.items() if int(v) >= new}
         self._write_json_atomic(
             self.POINTER,
             {"version": new, "ts": time.time(), "message": message, "kinds": kinds},
@@ -276,19 +382,33 @@ class Transaction:
         return self.engine.select(text, **kw)
 
     def commit(self, message: str = "") -> int:
+        """Publish the folded net delta.  The staged changesets are
+        freed only on SUCCESS: a ``CommitConflict`` (or any other
+        failure) leaves the staging intact, so the transaction's delta
+        is not silently lost — the caller can inspect it, replay the
+        updates on a fresh transaction, or abort explicitly via
+        :meth:`rollback`."""
         from .changesets import fold_net_delta
         from .operators import lifecycle as L
 
         net_a, net_r = fold_net_delta(self._changesets)
-        try:
-            return self.journal.commit_delta(
-                net_a,
-                net_r,
-                expected_head=self.base_version,
-                message=message,
-                store=self.engine.store,
-            )
-        finally:
-            for a, r in self._changesets:
-                L.free(a, r)
-            self._changesets = []
+        version = self.journal.commit_delta(
+            net_a,
+            net_r,
+            expected_head=self.base_version,
+            message=message,
+            store=self.engine.store,
+        )
+        for a, r in self._changesets:
+            L.free(a, r)
+        self._changesets = []
+        return version
+
+    def rollback(self) -> None:
+        """Discard the staged delta (frees the checkpointed changeset
+        frames).  The snapshot engine stays readable."""
+        from .operators import lifecycle as L
+
+        for a, r in self._changesets:
+            L.free(a, r)
+        self._changesets = []

@@ -46,32 +46,44 @@ def _term_json(row_val) -> dict | None:
     return out
 
 
-def results_json(result) -> str:
-    """SelectResult → W3C SPARQL 1.1 Query Results JSON string."""
-    bindings = []
+def iter_results_json(result):
+    """SelectResult → W3C SPARQL 1.1 Query Results JSON, streamed as
+    string chunks (one binding row per chunk via ``toLocalIterator`` —
+    the driver never holds the whole result set)."""
+    yield (
+        '{"head": {"vars": ' + json.dumps(list(result.vars))
+        + '}, "results": {"bindings": ['
+    )
+    first = True
     for row in result.df.toLocalIterator():
         b = {}
         for v in result.vars:
             tj = _term_json(row[v])
             if tj is not None:
                 b[v] = tj
-        bindings.append(b)
-    return json.dumps(
-        {"head": {"vars": list(result.vars)}, "results": {"bindings": bindings}}
+        chunk = json.dumps(b)
+        yield chunk if first else ", " + chunk
+        first = False
+    yield "]}}"
+
+
+def results_json(result) -> str:
+    """SelectResult → W3C SPARQL 1.1 Query Results JSON string."""
+    return "".join(iter_results_json(result))
+
+
+def iter_results_xml(result):
+    """SelectResult → SPARQL Query Results XML, streamed (one result
+    element per chunk)."""
+    yield (
+        '<?xml version="1.0"?>'
+        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">'
+        "<head>"
+        + "".join(f'<variable name="{v}"/>' for v in result.vars)
+        + "</head><results>"
     )
-
-
-def results_xml(result) -> str:
-    """SelectResult → SPARQL Query Results XML string."""
-    parts = [
-        '<?xml version="1.0"?>',
-        '<sparql xmlns="http://www.w3.org/2005/sparql-results#">',
-        "<head>",
-    ]
-    parts += [f'<variable name="{v}"/>' for v in result.vars]
-    parts += ["</head>", "<results>"]
     for row in result.df.toLocalIterator():
-        parts.append("<result>")
+        parts = ["<result>"]
         for v in result.vars:
             t = row[v]
             if t is None:
@@ -89,8 +101,13 @@ def results_xml(result) -> str:
                 inner = f"<literal>{lex}</literal>"
             parts.append(f'<binding name="{v}">{inner}</binding>')
         parts.append("</result>")
-    parts += ["</results>", "</sparql>"]
-    return "".join(parts)
+        yield "".join(parts)
+    yield "</results></sparql>"
+
+
+def results_xml(result) -> str:
+    """SelectResult → SPARQL Query Results XML string."""
+    return "".join(iter_results_xml(result))
 
 
 def _csv_cell(t, sep: str) -> str:
@@ -125,20 +142,29 @@ def _n3_py(t) -> str:
     return f'"{esc}"'
 
 
-def results_csv(result, sep: str = ",") -> str:
-    lines = [sep.join(result.vars)]
+def iter_results_csv(result, sep: str = ","):
+    yield sep.join(result.vars) + "\n"
     for row in result.df.toLocalIterator():
-        lines.append(sep.join(_csv_cell(row[v], sep) for v in result.vars))
-    return "\n".join(lines) + "\n"
+        yield sep.join(_csv_cell(row[v], sep) for v in result.vars) + "\n"
+
+
+def results_csv(result, sep: str = ",") -> str:
+    return "".join(iter_results_csv(result, sep))
+
+
+def iter_results_tsv(result):
+    yield "\t".join("?" + v for v in result.vars) + "\n"
+    for row in result.df.toLocalIterator():
+        yield (
+            "\t".join(
+                "" if row[v] is None else _n3_py(row[v]) for v in result.vars
+            )
+            + "\n"
+        )
 
 
 def results_tsv(result) -> str:
-    lines = ["\t".join("?" + v for v in result.vars)]
-    for row in result.df.toLocalIterator():
-        lines.append(
-            "\t".join("" if row[v] is None else _n3_py(row[v]) for v in result.vars)
-        )
-    return "\n".join(lines) + "\n"
+    return "".join(iter_results_tsv(result))
 
 
 # --------------------------------------------------- distributed N-Triples
@@ -359,21 +385,35 @@ def turtle_blocks(triples: DataFrame, prefixes: dict) -> DataFrame:
     )
 
 
-def turtle_string(triples: DataFrame, prefixes: dict | None = None) -> str:
-    """Full Turtle document as a driver-side string (header + blocks);
-    for protocol responses and round-trip tests.  Human-sized results —
-    use write_turtle for bulk dumps."""
+def iter_turtle(triples: DataFrame, prefixes: dict | None = None):
+    """Stream a Turtle document as string chunks: @prefix header, then
+    one subject block per chunk via ``toLocalIterator`` — bounded
+    driver memory for arbitrarily large graphs."""
     prefixes = _with_xsd(
         infer_prefixes(triples) if prefixes is None else prefixes
     )
-    blocks = [
-        r["value"]
-        for r in turtle_blocks(triples, prefixes).orderBy("value").toLocalIterator()
-    ]
-    header = turtle_header(prefixes)
-    return header + ("\n" if blocks else "") + "\n\n".join(blocks) + (
-        "\n" if blocks else ""
-    )
+    yield turtle_header(prefixes)
+    first = True
+    for r in (
+        turtle_blocks(triples, prefixes).orderBy("value").toLocalIterator()
+    ):
+        yield ("\n" if first else "\n\n") + r["value"]
+        first = False
+    if not first:
+        yield "\n"
+
+
+def turtle_string(triples: DataFrame, prefixes: dict | None = None) -> str:
+    """Full Turtle document as a driver-side string (header + blocks,
+    assembled distributed and streamed)."""
+    return "".join(iter_turtle(triples, prefixes))
+
+
+def iter_ntriples(triples: DataFrame):
+    """Stream an N-Triples document line by line (bounded driver
+    memory); use :func:`write_ntriples` for distributed dumps."""
+    for r in ntriples_lines(triples).toLocalIterator():
+        yield r["value"] + "\n"
 
 
 def write_turtle(
@@ -404,114 +444,340 @@ def write_turtle(
 #
 # Reference: ``rio/rdfxml/BigdataRDFXMLWriter.java`` (Sesame's
 # RDFXMLWriter under the Bigdata value factory).  Subject-grouped
-# rdf:Description blocks with namespace-abbreviated property elements;
-# driver-side serialization (protocol responses are human-sized — bulk
-# dumps use the distributed N-Triples/Turtle writers).
+# rdf:Description blocks with namespace-abbreviated property elements.
+# Spark design (mirrors the Turtle writer): block assembly is pure
+# column expressions over one hash aggregation (subject → sorted
+# property-element lines); the only driver-side work is the xmlns
+# table — distinct PREDICATE namespaces, schema-sized in any real
+# dataset — and streaming the blocks out via ``toLocalIterator`` (one
+# Arrow batch resident at a time, never the whole graph).
+
+#: NCName tail: the longest XML-name suffix of a predicate IRI becomes
+#: the element's local part (the grammar REQUIRES abbreviation)
+_NCNAME_TAIL_RE = "([A-Za-z_][A-Za-z0-9_.-]*)$"
 
 
-def _xml_split(iri: str):
-    """namespace/local split at the last NCName boundary."""
-    import re as _re
+def _xml_text_col(c: Column) -> Column:
+    """Escape element text: & < > (saxutils.escape as columns)."""
+    e = F.regexp_replace(c, "&", "&amp;")
+    e = F.regexp_replace(e, "<", "&lt;")
+    return F.regexp_replace(e, ">", "&gt;")
 
-    m = _re.search(r"[A-Za-z_][A-Za-z0-9_.-]*$", iri)
-    if not m or m.start() == 0:
-        return None
-    return iri[: m.start()], iri[m.start():]
+
+def _xml_attr_col(c: Column) -> Column:
+    """Render an attribute value: escaped and double-quoted
+    (saxutils.quoteattr shape)."""
+    return F.concat(
+        F.lit('"'), F.regexp_replace(_xml_text_col(c), '"', "&quot;"), F.lit('"')
+    )
+
+
+def predicate_namespaces(triples: DataFrame) -> dict:
+    """xmlns table for the RDF/XML dump: namespace → prefix over the
+    DISTINCT predicate IRIs (bounded by schema size — the one
+    driver-side collect this writer performs).  Raises for a predicate
+    with no NCName tail (not XML-serializable, reference behavior)."""
+    p_lex = F.col("pt").getField("lex")
+    pns = (
+        triples.select(p_lex.alias("p"))
+        .distinct()
+        .select("p", F.regexp_extract("p", _NCNAME_TAIL_RE, 1).alias("local"))
+        .select(
+            "p",
+            F.col("p").substr(
+                F.lit(1), F.length("p") - F.length("local")
+            ).alias("ns"),
+            "local",
+        )
+    )
+    bad = pns.where(
+        (F.length("local") == 0) | (F.length("ns") == 0)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"predicate IRI not XML-serializable: {bad[0]['p']}"
+        )
+    ns_table: dict[str, str] = {T.RDF: "rdf"}
+    for r in pns.select("ns").distinct().orderBy("ns").collect():
+        if r["ns"] not in ns_table:
+            ns_table[r["ns"]] = f"ns{len(ns_table)}"
+    return ns_table
+
+
+def rdfxml_header(ns_table: dict) -> str:
+    from xml.sax.saxutils import quoteattr
+
+    xmlns = "".join(
+        f"\n    xmlns:{p}={quoteattr(ns)}"
+        for ns, p in sorted(ns_table.items(), key=lambda kv: kv[1])
+    )
+    return '<?xml version="1.0" encoding="UTF-8"?>\n' + f"<rdf:RDF{xmlns}>"
+
+
+RDFXML_FOOTER = "</rdf:RDF>\n"
+
+
+def rdfxml_blocks(triples: DataFrame, ns_table: dict | None = None):
+    """(st, pt, ot) → (ns_table, one-column DataFrame ``value`` of
+    ``<rdf:Description>`` blocks, one subject per row, property lines
+    sorted (pred, obj) within the block).  Entirely column
+    expressions + one groupBy — scales like any aggregation."""
+    if ns_table is None:
+        ns_table = predicate_namespaces(triples)
+    p_lex = F.col("pt").getField("lex")
+    local = F.regexp_extract(p_lex, _NCNAME_TAIL_RE, 1)
+    ns_col = p_lex.substr(F.lit(1), F.length(p_lex) - F.length(local))
+    tag = F.lit(None).cast("string")
+    for ns, pfx in ns_table.items():
+        tag = F.when(ns_col == ns, F.lit(pfx + ":")).otherwise(tag)
+    tag = F.concat(tag, local)
+
+    ot = F.col("ot")
+    o_lex = ot.getField("lex")
+    line = (
+        F.when(
+            ot.getField("kind") == T.KIND_IRI,
+            F.concat(
+                F.lit("    <"), tag, F.lit(" rdf:resource="),
+                _xml_attr_col(o_lex), F.lit("/>"),
+            ),
+        )
+        .when(
+            ot.getField("kind") == T.KIND_BNODE,
+            F.concat(
+                F.lit("    <"), tag, F.lit(" rdf:nodeID="),
+                _xml_attr_col(o_lex), F.lit("/>"),
+            ),
+        )
+        .when(
+            ot.getField("lang").isNotNull(),
+            F.concat(
+                F.lit("    <"), tag, F.lit(" xml:lang="),
+                _xml_attr_col(ot.getField("lang")), F.lit(">"),
+                _xml_text_col(o_lex), F.lit("</"), tag, F.lit(">"),
+            ),
+        )
+        .when(
+            ot.getField("dt").isNotNull() & (ot.getField("dt") != T.XSD_STRING),
+            F.concat(
+                F.lit("    <"), tag, F.lit(" rdf:datatype="),
+                _xml_attr_col(ot.getField("dt")), F.lit(">"),
+                _xml_text_col(o_lex), F.lit("</"), tag, F.lit(">"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("    <"), tag, F.lit(">"),
+                _xml_text_col(o_lex), F.lit("</"), tag, F.lit(">"),
+            )
+        )
+    )
+    st = F.col("st")
+    about = F.when(
+        st.getField("kind") == T.KIND_IRI,
+        F.concat(F.lit(" rdf:about="), _xml_attr_col(st.getField("lex"))),
+    ).otherwise(
+        F.concat(F.lit(" rdf:nodeID="), _xml_attr_col(st.getField("lex")))
+    )
+    blocks = (
+        triples.select(
+            st.getField("kind").alias("s_kind"),
+            st.getField("lex").alias("s_lex"),
+            about.alias("about"),
+            F.struct(
+                p_lex.alias("pk"), o_lex.alias("ok"), line.alias("line")
+            ).alias("pl"),
+        )
+        .groupBy("s_kind", "s_lex", "about")
+        .agg(F.array_sort(F.collect_list("pl")).alias("pls"))
+        .select(
+            F.col("s_kind"),
+            F.col("s_lex"),
+            F.concat(
+                F.lit("  <rdf:Description"),
+                F.col("about"),
+                F.lit(">\n"),
+                F.array_join(
+                    F.transform("pls", lambda x: x["line"]), "\n"
+                ),
+                F.lit("\n  </rdf:Description>"),
+            ).alias("value"),
+        )
+    )
+    return ns_table, blocks
+
+
+def iter_rdfxml(triples: DataFrame):
+    """Stream an RDF/XML document as string chunks: header, one chunk
+    per subject block (via ``toLocalIterator`` — bounded driver
+    memory), footer.  Deterministic: blocks ordered by subject."""
+    ns_table, blocks = rdfxml_blocks(triples)
+    yield rdfxml_header(ns_table)
+    for r in blocks.orderBy("s_kind", "s_lex").select("value").toLocalIterator():
+        yield "\n" + r["value"]
+    yield "\n" + RDFXML_FOOTER
 
 
 def rdfxml_string(triples: DataFrame) -> str:
     """(st, pt, ot) → RDF/XML document string, one rdf:Description per
     subject; property IRIs get xmlns-abbreviated (required by the
-    grammar), bnodes use rdf:nodeID."""
-    from xml.sax.saxutils import escape as esc
-    from xml.sax.saxutils import quoteattr
+    grammar), bnodes use rdf:nodeID.  Assembled distributed and
+    streamed — the driver never holds more than the output string
+    plus one block batch."""
+    return "".join(iter_rdfxml(triples))
 
-    rows = triples.select("st", "pt", "ot").collect()
-    ns_table: dict[str, str] = {T.RDF: "rdf"}
-    by_subject: dict = {}
-    for r in rows:
-        key = (r["st"]["kind"], r["st"]["lex"])
-        by_subject.setdefault(key, (r["st"], []))[1].append((r["pt"], r["ot"]))
 
-    def prefix_for(ns: str) -> str:
-        if ns not in ns_table:
-            ns_table[ns] = f"ns{len(ns_table)}"
-        return ns_table[ns]
+def write_rdfxml(
+    triples: DataFrame, path: str, partitions: int | None = None
+) -> None:
+    """Distributed RDF/XML dump: every output partition file carries
+    the xmlns header and footer (each part is a standalone RDF/XML
+    document, like ``write_turtle``'s parts).  Block assembly stays in
+    column expressions; mapInPandas only brackets each partition.
+    ``partitions`` sizes the output file count (AQE otherwise picks
+    it from data volume)."""
+    import pandas as pd
 
-    body = []
-    for (_, _), (st, pos) in sorted(by_subject.items()):
-        about = (
-            f" rdf:about={quoteattr(st['lex'])}"
-            if st["kind"] == T.KIND_IRI
-            else f" rdf:nodeID={quoteattr(st['lex'])}"
-        )
-        lines = [f"  <rdf:Description{about}>"]
-        for pt, ot in sorted(pos, key=lambda po: (po[0]["lex"], po[1]["lex"])):
-            split = _xml_split(pt["lex"])
-            if split is None:
-                raise ValueError(
-                    f"predicate IRI not XML-serializable: {pt['lex']}"
-                )
-            ns, local = split
-            tag = f"{prefix_for(ns)}:{local}"
-            if ot["kind"] == T.KIND_IRI:
-                lines.append(
-                    f"    <{tag} rdf:resource={quoteattr(ot['lex'])}/>"
-                )
-            elif ot["kind"] == T.KIND_BNODE:
-                lines.append(f"    <{tag} rdf:nodeID={quoteattr(ot['lex'])}/>")
-            elif ot["lang"]:
-                lines.append(
-                    f"    <{tag} xml:lang={quoteattr(ot['lang'])}>"
-                    f"{esc(ot['lex'])}</{tag}>"
-                )
-            elif ot["dt"] and ot["dt"] != T.XSD_STRING:
-                lines.append(
-                    f"    <{tag} rdf:datatype={quoteattr(ot['dt'])}>"
-                    f"{esc(ot['lex'])}</{tag}>"
-                )
-            else:
-                lines.append(f"    <{tag}>{esc(ot['lex'])}</{tag}>")
-        lines.append("  </rdf:Description>")
-        body.append("\n".join(lines))
-    xmlns = "".join(
-        f'\n    xmlns:{p}={quoteattr(ns)}' for ns, p in sorted(ns_table.items(), key=lambda kv: kv[1])
-    )
-    return (
-        '<?xml version="1.0" encoding="UTF-8"?>\n'
-        f"<rdf:RDF{xmlns}>\n" + "\n".join(body) + "\n</rdf:RDF>\n"
-    )
+    ns_table, blocks = rdfxml_blocks(triples)
+    if partitions:
+        blocks = blocks.repartition(partitions)
+    header, footer = rdfxml_header(ns_table), RDFXML_FOOTER.rstrip("\n")
+
+    def bracket(batches):
+        yield pd.DataFrame({"value": [header]})
+        yield from batches
+        yield pd.DataFrame({"value": [footer]})
+
+    blocks.select("value").mapInPandas(bracket, "value string").write.mode(
+        "overwrite"
+    ).text(path)
 
 
 # ------------------------------------------------------ JSON-LD writer
+#
+# Expanded-form JSON-LD (@id / @type keyed node objects in a top-level
+# @graph array) — the shape our own reader and any conformant
+# processor accepts.  Spark design: each node object is rendered as a
+# JSON STRING by column expressions (``to_json`` drops null struct
+# fields, giving exactly the {"@id"} / {"@value","@language"} /
+# {"@value","@type"} object shapes), so serialization scales like a
+# groupBy and the driver only streams finished node strings.
+
+
+def _json_quote(c: Column) -> Column:
+    """JSON string literal of a column (quoted + escaped): to_json of
+    a 1-element array, brackets stripped — exact, no hand escaping."""
+    arr = F.to_json(F.array(c))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
+def jsonld_nodes(triples: DataFrame) -> DataFrame:
+    """(st, pt, ot) → one-column DataFrame ``value``: one expanded
+    JSON-LD node object string per subject (``@id`` first, then
+    ``@type`` and predicate entries in sorted order; each entry's
+    value array sorted for determinism)."""
+    st, pt, ot = F.col("st"), F.col("pt"), F.col("ot")
+    sid = F.when(
+        st.getField("kind") == T.KIND_IRI, st.getField("lex")
+    ).otherwise(F.concat(F.lit("_:"), st.getField("lex")))
+    is_type = (pt.getField("lex") == T.RDF + "type") & (
+        ot.getField("kind") == T.KIND_IRI
+    )
+    key = F.when(is_type, F.lit("@type")).otherwise(pt.getField("lex"))
+    o_lex = ot.getField("lex")
+    is_lit = ot.getField("kind") == T.KIND_LITERAL
+    val_obj = F.to_json(
+        F.struct(
+            F.when(
+                ot.getField("kind") == T.KIND_IRI, o_lex
+            ).when(
+                ot.getField("kind") == T.KIND_BNODE,
+                F.concat(F.lit("_:"), o_lex),
+            ).alias("@id"),
+            F.when(is_lit, o_lex).alias("@value"),
+            ot.getField("lang").alias("@language"),
+            F.when(
+                is_lit
+                & ot.getField("lang").isNull()
+                & ot.getField("dt").isNotNull()
+                & (ot.getField("dt") != T.XSD_STRING),
+                ot.getField("dt"),
+            ).alias("@type"),
+        )
+    )
+    elem = F.when(is_type, _json_quote(o_lex)).otherwise(val_obj)
+    entries = (
+        triples.select(sid.alias("sid"), key.alias("k"), elem.alias("e"))
+        .groupBy("sid", "k")
+        .agg(
+            F.concat(
+                _json_quote(F.col("k")),
+                F.lit(":["),
+                F.array_join(F.array_sort(F.collect_list("e")), ","),
+                F.lit("]"),
+            ).alias("entry")
+        )
+    )
+    return (
+        entries.groupBy("sid")
+        .agg(F.array_sort(F.collect_list("entry")).alias("es"))
+        .select(
+            F.col("sid"),
+            F.concat(
+                F.lit('{"@id":'),
+                _json_quote(F.col("sid")),
+                F.lit(","),
+                F.array_join("es", ","),
+                F.lit("}"),
+            ).alias("value"),
+        )
+    )
+
+
+def iter_jsonld(triples: DataFrame):
+    """Stream a JSON-LD document as string chunks (bounded driver
+    memory via ``toLocalIterator``); nodes ordered by @id."""
+    yield '{"@graph":['
+    first = True
+    for r in jsonld_nodes(triples).orderBy("sid").select("value").toLocalIterator():
+        yield r["value"] if first else "," + r["value"]
+        first = False
+    yield "]}"
 
 
 def jsonld_string(triples: DataFrame) -> str:
-    """(st, pt, ot) → expanded-form JSON-LD (@id / @type keyed node
-    objects in a top-level @graph array) — the shape our own reader and
-    any conformant processor accepts."""
-    import json as _json
+    """(st, pt, ot) → expanded-form JSON-LD string; node objects are
+    assembled distributed and streamed to the driver."""
+    return "".join(iter_jsonld(triples))
 
-    rows = triples.select("st", "pt", "ot").collect()
-    nodes: dict = {}
-    for r in rows:
-        st, pt, ot = r["st"], r["pt"], r["ot"]
-        sid = st["lex"] if st["kind"] == T.KIND_IRI else "_:" + st["lex"]
-        node = nodes.setdefault(sid, {"@id": sid})
-        if pt["lex"] == T.RDF + "type" and ot["kind"] == T.KIND_IRI:
-            node.setdefault("@type", []).append(ot["lex"])
-            continue
-        if ot["kind"] == T.KIND_IRI:
-            val = {"@id": ot["lex"]}
-        elif ot["kind"] == T.KIND_BNODE:
-            val = {"@id": "_:" + ot["lex"]}
-        elif ot["lang"]:
-            val = {"@value": ot["lex"], "@language": ot["lang"]}
-        elif ot["dt"] and ot["dt"] != T.XSD_STRING:
-            val = {"@value": ot["lex"], "@type": ot["dt"]}
-        else:
-            val = {"@value": ot["lex"]}
-        node.setdefault(pt["lex"], []).append(val)
-    return _json.dumps(
-        {"@graph": [nodes[k] for k in sorted(nodes)]}, indent=1, sort_keys=True
+
+def write_jsonld(
+    triples: DataFrame, path: str, partitions: int | None = None
+) -> None:
+    """Distributed JSON-LD dump: each output partition file is a
+    standalone ``{"@graph": [...]}`` document (mapInPandas brackets
+    the partition and inserts the element commas; node rendering is
+    column expressions).  ``partitions`` sizes the output file
+    count."""
+    import pandas as pd
+
+    nodes = jsonld_nodes(triples).select("value")
+    if partitions:
+        nodes = nodes.repartition(partitions)
+
+    def bracket(batches):
+        yield pd.DataFrame({"value": ['{"@graph":[']})
+        first = True
+        for b in batches:
+            if not len(b):
+                continue
+            vals = ("," + b["value"]).tolist()
+            if first:
+                vals[0] = vals[0][1:]
+                first = False
+            yield pd.DataFrame({"value": vals})
+        yield pd.DataFrame({"value": ["]}"]})
+
+    nodes.mapInPandas(bracket, "value string").write.mode("overwrite").text(
+        path
     )

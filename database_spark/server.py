@@ -32,6 +32,8 @@ import urllib.parse
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from .workbench import WORKBENCH_HTML, WORKBENCH_PATHS
+
 RESULT_MEDIA = {
     "application/sparql-results+json": "json",
     "application/json": "json",
@@ -59,6 +61,19 @@ def _negotiate(accept: str) -> str:
         if fmt:
             return fmt
     return "json"
+
+
+def _primed(chunks, n: int = 2):
+    """Materialize the first ``n`` chunks of a lazy writer eagerly (the
+    first is usually a static header; the second pulls the first row
+    from ``toLocalIterator``, i.e. actually runs the query), so
+    execution errors surface before any HTTP status line is sent.  The
+    rest streams lazily — bounded driver memory."""
+    import itertools
+
+    it = iter(chunks)
+    head = list(itertools.islice(it, n))
+    return itertools.chain(head, it)
 
 
 class SparqlEndpoint:
@@ -89,16 +104,53 @@ class SparqlEndpoint:
         endpoint = self
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1: keep-alive for string replies (Content-Length
+            # always set) and Transfer-Encoding: chunked for streamed
+            # bodies — a big SELECT/CONSTRUCT never materializes as one
+            # driver-side string
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
-            def _reply(self, code: int, body: str, ctype: str):
-                data = body.encode()
+            def handle_one_request(self):
+                # keep-alive reuses the handler instance: the sent-flag
+                # must reset per request or an error on request N+1
+                # would be mistaken for a mid-stream failure
+                self._headers_sent = False
+                super().handle_one_request()
+
+            def _reply(self, code: int, body, ctype: str):
+                """Send a response.  ``body`` is a ``str`` (sized reply,
+                Content-Length framing) or an ITERATOR of string chunks
+                (chunked transfer — each chunk hits the wire as it
+                leaves ``toLocalIterator``, bounded server memory).
+                ``_headers_sent`` lets error paths know when it is too
+                late to send a status line (mid-stream failures abort
+                the connection, the only correct chunked behavior)."""
+                if isinstance(body, str):
+                    data = body.encode()
+                    self.send_response(code)
+                    self.send_header(
+                        "Content-Type", ctype + "; charset=utf-8"
+                    )
+                    self.send_header("Content-Length", str(len(data)))
+                    self._headers_sent = True
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
                 self.send_response(code)
                 self.send_header("Content-Type", ctype + "; charset=utf-8")
-                self.send_header("Content-Length", str(len(data)))
+                self.send_header("Transfer-Encoding", "chunked")
+                self._headers_sent = True
                 self.end_headers()
-                self.wfile.write(data)
+                for chunk in body:
+                    data = chunk.encode()
+                    if data:
+                        self.wfile.write(
+                            f"{len(data):x}\r\n".encode() + data + b"\r\n"
+                        )
+                self.wfile.write(b"0\r\n\r\n")
 
             def _route_engine(self):
                 """/sparql → default ns; /namespace/<ns>/sparql → <ns>;
@@ -216,6 +268,15 @@ class SparqlEndpoint:
                         "csv": "text/csv",
                         "tsv": "text/tab-separated-values",
                     }.get(params.get("format", ""), accept)
+                    # result-set paging (SliceServiceFactory shape, as
+                    # protocol params so the workbench can page without
+                    # editing the query): ?limit= / ?offset=
+                    limit = (
+                        int(params["limit"]) if params.get("limit") else None
+                    )
+                    offset = (
+                        int(params["offset"]) if params.get("offset") else None
+                    )
                     # query deadline: ?timeout= (seconds) or the
                     # X-BIGDATA-MAX-QUERY-MILLIS header; past it the
                     # query's job group is cancelled → 503
@@ -240,9 +301,19 @@ class SparqlEndpoint:
                             timer.daemon = True
                             timer.start()
                         try:
-                            body, ctype = endpoint.evaluate(query, accept, engine)
+                            body, ctype = endpoint.evaluate(
+                                query, accept, engine,
+                                limit=limit, offset=offset,
+                            )
+                            # stream INSIDE the tracking scope: chunked
+                            # replies execute Spark jobs while sending,
+                            # so the job group / cancel sweep / status
+                            # row must stay live until the last chunk
+                            self._reply(200, body, ctype)
                         except Exception:
-                            if timed_out:
+                            if timed_out and not getattr(
+                                self, "_headers_sent", False
+                            ):
                                 self._reply(
                                     503,
                                     f"query deadline exceeded ({deadline_ms:.0f}ms)",
@@ -253,8 +324,13 @@ class SparqlEndpoint:
                         finally:
                             if timer is not None:
                                 timer.cancel()
-                    self._reply(200, body, ctype)
                 except Exception as e:  # noqa: BLE001 — protocol error path
+                    if getattr(self, "_headers_sent", False):
+                        # mid-stream failure: the status line is gone;
+                        # aborting the connection is the only honest
+                        # signal chunked transfer has
+                        self.close_connection = True
+                        return
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
 
             def _tx_route(self, parts):
@@ -299,6 +375,12 @@ class SparqlEndpoint:
             def do_GET(self):
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
+                if "/".join(parts) in WORKBENCH_PATHS and not u.query:
+                    # the workbench UI (reference: bigdata-war-html
+                    # index.html via WorkbenchServlet) — what a human
+                    # pointing a browser at the server sees
+                    self._reply(200, WORKBENCH_HTML, "text/html")
+                    return
                 if parts == ["namespace"]:
                     self._reply(200, endpoint.list_namespaces(), "application/xml")
                     return
@@ -814,16 +896,12 @@ class SparqlEndpoint:
             for part in (accept or "").split(",")
         ]
         if any(k in ("text/turtle", "application/x-turtle") for k in kinds):
-            return W.turtle_string(triples), "text/turtle"
+            return _primed(W.iter_turtle(triples)), "text/turtle"
         if "application/rdf+xml" in kinds:
-            return W.rdfxml_string(triples), "application/rdf+xml"
-        lines = [
-            r["value"] for r in W.ntriples_lines(triples).toLocalIterator()
-        ]
-        return (
-            "\n".join(lines) + ("\n" if lines else ""),
-            "application/n-triples",
-        )
+            return _primed(W.iter_rdfxml(triples)), "application/rdf+xml"
+        if "application/ld+json" in kinds:
+            return _primed(W.iter_jsonld(triples)), "application/ld+json"
+        return _primed(W.iter_ntriples(triples)), "application/n-triples"
 
     # --------------------------------------------- includeInferred=false
     def _explicit_view(self, engine):
@@ -864,11 +942,21 @@ class SparqlEndpoint:
         running stages (``SparkContext.cancelJobGroup`` — the
         QueryCancellationHelper analog).  Job-group locality is
         per-Python-thread (pinned-thread mode), so concurrent handler
-        threads don't leak groups into each other."""
+        threads don't leak groups into each other.
+
+        The registry (and the Spark job group) is keyed by a
+        SERVER-minted unique id; the client-supplied queryId is only a
+        display/cancel-lookup attribute.  Two concurrent requests that
+        send the same queryId therefore get independent entries and
+        job groups — the first to finish cannot pop the other's entry
+        (which would end its cancel sweep and deadline tracking), and
+        cancelling that queryId kills each matching query's own group
+        rather than one shared group."""
         qid = qid or str(uuid.uuid4())
+        key = str(uuid.uuid4())
         sc = self._spark_context()
-        sc.setJobGroup(qid, f"sparql query {qid}", interruptOnCancel=True)
-        self._running[qid] = {
+        sc.setJobGroup(key, f"sparql query {qid}", interruptOnCancel=True)
+        self._running[key] = {
             "queryId": qid,
             "query": query,
             "namespace": namespace,
@@ -876,9 +964,9 @@ class SparqlEndpoint:
         }
         self._queries_accepted += 1
         try:
-            yield qid
+            yield key
         finally:
-            self._running.pop(qid, None)
+            self._running.pop(key, None)
             sc.setLocalProperty("spark.jobGroup.id", None)
 
     def _cancel_until_dead(self, qid: str, interval: float = 0.25, max_wait: float = 600) -> None:
@@ -901,22 +989,33 @@ class SparqlEndpoint:
         t.start()
 
     def cancel_queries(self, qids: list) -> list:
-        """CANCEL-QUERY: kill the Spark job group of each queryId;
-        returns the subset that was actually running.  Cancels of
-        unknown/finished ids are harmless no-ops (reference
-        behavior)."""
+        """CANCEL-QUERY: kill the Spark job group of every running
+        query whose client-visible queryId matches; returns the subset
+        of ids that matched something running.  The registry is keyed
+        by server-minted ids, so duplicate client queryIds each cancel
+        their own job group.  Cancels of unknown/finished ids are
+        harmless no-ops (reference behavior)."""
         hit = []
         for qid in qids:
-            if qid in self._running:
+            keys = [
+                k for k, q in list(self._running.items())
+                if q["queryId"] == qid or k == qid
+            ]
+            if keys:
                 hit.append(qid)
-            self._cancel_until_dead(qid)
+            for k in keys:
+                self._cancel_until_dead(k)
         return hit
 
     def status_html(self, params: dict) -> str:
         """StatusServlet.doGet page: accepted/running counters, and
         optionally the namespace list (``showNamespaces``) and the
         running-query table (``showQueries``, ``details`` adding the
-        SPARQL text)."""
+        SPARQL text).  EVERY client-influenced value (queryId,
+        namespace/path, SPARQL text, namespace names) is HTML-escaped
+        before interpolation — reflected-XSS hygiene."""
+        import html as _html
+
         now = time.time()
         rows = [
             "<html><body>",
@@ -927,18 +1026,19 @@ class SparqlEndpoint:
         ]
         if "showNamespaces" in params:
             rows.append("<h3>Namespaces</h3><ul>")
-            rows += [f"<li>{ns}</li>" for ns in sorted(self.engines)]
+            rows += [
+                f"<li>{_html.escape(ns)}</li>" for ns in sorted(self.engines)
+            ]
             rows.append("</ul>")
         if "showQueries" in params:
             rows.append("<h3>Running queries</h3>")
             for q in sorted(self._running.values(), key=lambda r: r["begun"]):
                 rows.append(
-                    f'<p>queryId={q["queryId"]} namespace={q["namespace"]} '
+                    f'<p>queryId={_html.escape(q["queryId"])} '
+                    f'namespace={_html.escape(q["namespace"])} '
                     f"elapsed={int((now - q['begun']) * 1000)}ms</p>"
                 )
                 if params.get("showQueries") == "details" or "details" in params:
-                    import html as _html
-
                     rows.append(f"<pre>{_html.escape(q['query'])}</pre>")
         rows.append("</body></html>")
         return "\n".join(rows)
@@ -1203,8 +1303,29 @@ class SparqlEndpoint:
         )
         return body, "text/plain"
 
-    def evaluate(self, query: str, accept: str = "", engine=None) -> tuple[str, str]:
-        """Run one protocol request; returns (body, content_type)."""
+    def evaluate(
+        self,
+        query: str,
+        accept: str = "",
+        engine=None,
+        limit: int | None = None,
+        offset: int | None = None,
+    ):
+        """Run one protocol request; returns (body, content_type) where
+        body is a ``str`` for small fixed replies (ASK) or a PRIMED
+        iterator of string chunks for SELECT/CONSTRUCT/DESCRIBE — the
+        HTTP layer streams it chunked, so a big result never
+        materializes as one driver-side string.  Priming (pulling the
+        first chunks eagerly) forces query compilation + the first
+        Spark job, so evaluation errors and deadline cancellations
+        surface BEFORE the 200 status line is committed.
+
+        ``limit``/``offset`` page the RESULT SET (protocol-level slice
+        — SliceServiceFactory's convenience shape): applied as
+        DataFrame offset/limit on top of whatever the query computed,
+        so the workbench pages without editing the query.  Page
+        boundaries are deterministic only under ORDER BY, same as
+        SPARQL's own OFFSET."""
         engine = engine or self.engine
         from .rio import writers as W
         from .sparql import ast as A
@@ -1231,28 +1352,35 @@ class SparqlEndpoint:
                 if isinstance(q, A.ConstructQuery)
                 else engine.describe(query)
             )
+            if offset:
+                df = df.offset(offset)
+            if limit is not None:
+                df = df.limit(limit)
             # graph content negotiation (ConnegUtil): Turtle, RDF/XML
-            # and JSON-LD writers; N-Triples default
+            # and JSON-LD writers; N-Triples default — all streamed
             kinds = [
                 part.split(";")[0].strip().lower()
                 for part in (accept or "").split(",")
             ]
             if any(k in ("text/turtle", "application/x-turtle") for k in kinds):
-                return W.turtle_string(df), "text/turtle"
+                return _primed(W.iter_turtle(df)), "text/turtle"
             if "application/rdf+xml" in kinds:
-                return W.rdfxml_string(df), "application/rdf+xml"
+                return _primed(W.iter_rdfxml(df)), "application/rdf+xml"
             if "application/ld+json" in kinds:
-                return W.jsonld_string(df), "application/ld+json"
-            lines = [r["value"] for r in W.ntriples_lines(df).toLocalIterator()]
-            return "\n".join(lines) + ("\n" if lines else ""), "application/n-triples"
+                return _primed(W.iter_jsonld(df)), "application/ld+json"
+            return _primed(W.iter_ntriples(df)), "application/n-triples"
         res = engine.select(query)
+        if offset:
+            res.df = res.df.offset(offset)
+        if limit is not None:
+            res.df = res.df.limit(limit)
         writer = {
-            "json": W.results_json,
-            "xml": W.results_xml,
-            "csv": W.results_csv,
-            "tsv": W.results_tsv,
+            "json": W.iter_results_json,
+            "xml": W.iter_results_xml,
+            "csv": W.iter_results_csv,
+            "tsv": W.iter_results_tsv,
         }[fmt]
-        return writer(res), CONTENT_TYPES[fmt]
+        return _primed(writer(res)), CONTENT_TYPES[fmt]
 
     # ------------------------------------------------------------ life
     @property

@@ -843,6 +843,7 @@ class SparqlEngine:
                 "the unisolated engine"
             )
 
+    @_serialized
     def begin_read_tx(self) -> int:
         """CREATE-TX: open a read-only transaction pinning the current
         commit point (reference ``TxServlet.doCreateTx`` /
@@ -850,7 +851,13 @@ class SparqlEngine:
         timestamp).  The tx sees exactly the store as of this commit —
         later mutations are invisible — because store DataFrames are
         immutable; the only bookkeeping is keeping the compaction
-        lifecycle from freeing a snapshot the tx's lineage needs."""
+        lifecycle from freeing a snapshot the tx's lineage needs.
+
+        Serialized: registration must be atomic with respect to
+        ``_maybe_compact``'s pin scan (a concurrent writer could
+        otherwise free the snapshot between our store read and the
+        ``self._tx`` insert) and ``_tx_next`` must not mint duplicate
+        txids under ThreadingHTTPServer concurrency."""
         txid = self._tx_next
         self._tx_next += 1
         self._tx[txid] = {
@@ -886,6 +893,7 @@ class SparqlEngine:
     def list_tx(self) -> list:
         return [self.tx_info(txid) for txid in sorted(self._tx)]
 
+    @_serialized
     def begin_read_write_tx(self) -> int:
         """CREATE-TX with the unisolated timestamp (reference
         ``ITx.UNISOLATED`` = 0): a WRITABLE transaction.  Updates
@@ -943,11 +951,14 @@ class SparqlEngine:
             if net_a is not None:
                 self.apply_changeset(net_a, net_r)
 
+    @_serialized
     def end_tx(self, txid: int) -> None:
         """ABORT-TX (and the read-only COMMIT, which is identical — a
         read-only commit just releases the read lock): drop the pin,
         discard any staged writes, free any compaction snapshot whose
-        release was deferred while this tx read on it."""
+        release was deferred while this tx read on it.  Serialized so
+        the pop + deferred-snapshot free cannot interleave with a
+        writer's compaction pin scan (RLock: ``commit_tx`` re-enters)."""
         from ..operators import lifecycle as L
 
         t = self._tx.pop(txid)

@@ -88,15 +88,26 @@ def test_delta_commits_record_kinds_and_compact(journal):
     COMPACT_EVERY-th version materializes full, bounding reconstruction
     to COMPACT_EVERY-1 folds; an empty commit records an empty kind."""
     n = journal.COMPACT_EVERY
-    for i in range(n):
+    for i in range(n - 1):
         tx = journal.begin()
         tx.update(
             f'PREFIX ex: <{EX}> INSERT DATA {{ ex:p{i} ex:name "N{i}" }}'
         )
         tx.commit(f"c{i}")
+    # before the full materialization every commit is a tracked delta
+    kinds = journal._kinds()
+    assert all(kinds[str(v)] == "delta" for v in range(1, n))
+    tx = journal.begin()
+    tx.update(
+        f'PREFIX ex: <{EX}> INSERT DATA {{ ex:p{n - 1} ex:name "N{n - 1}" }}'
+    )
+    tx.commit(f"c{n - 1}")
     kinds = journal._kinds()
     assert kinds[str(n)] == "full"  # compaction fired
-    assert all(kinds[str(v)] == "delta" for v in range(1, n))
+    # …and PRUNED the map below it (pointer metadata stays bounded);
+    # pruned versions resolve by probing the immutable dirs
+    assert all(int(v) >= n for v in kinds)
+    assert journal._kind_of(2, kinds) == "delta"
     # empty commit → empty kind, still a commit point
     tx = journal.begin()
     assert tx.commit("noop") == n + 1
@@ -136,7 +147,10 @@ def test_full_commit_api_still_interoperates(journal):
     tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:b ex:name "B" }}')
     tx.commit()  # delta v3 on full base v2
     kinds = journal._kinds()
-    assert (kinds["1"], kinds["2"], kinds["3"]) == ("delta", "full", "delta")
+    # the manual full at v2 pruned v1's entry; v1 resolves by fs probe
+    assert (kinds["2"], kinds["3"]) == ("full", "delta")
+    assert "1" not in kinds
+    assert journal._kind_of(1, kinds) == "delta"
     assert names(journal.begin()) == ["A", "B"]
 
 

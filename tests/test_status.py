@@ -79,14 +79,19 @@ def test_show_queries_and_cancel(endpoint, spark):
             except Exception:  # noqa: BLE001 — cancellation error
                 state["outcome"] = "cancelled"
 
+    def running():
+        # the registry is keyed by server-minted ids; the client
+        # queryId is a display/cancel-lookup attribute
+        return any(q["queryId"] == qid for q in endpoint._running.values())
+
     t = threading.Thread(target=victim, daemon=True)
     t.start()
     # wait until it registers
     for _ in range(100):
-        if qid in endpoint._running:
+        if running():
             break
         time.sleep(0.05)
-    assert qid in endpoint._running
+    assert running()
 
     _, _, body = _get(_base(endpoint) + "/status?showQueries=details")
     assert qid in body and "huge" in body
@@ -100,7 +105,7 @@ def test_show_queries_and_cancel(endpoint, spark):
     t.join(timeout=60)
     assert not t.is_alive(), "cancelled job still running after 60s"
     assert state["outcome"] == "cancelled"
-    assert qid not in endpoint._running
+    assert not running()
 
 
 def test_backup_roundtrip(endpoint, spark, tmp_path):
