@@ -240,6 +240,7 @@ def multi_sssp(
     max_iter: int | None = None,
     max_rounds: int | None = None,
     stats: dict | None = None,
+    dir_col: str | None = None,
 ) -> DataFrame:
     """All-seeds shortest paths in ONE fixpoint: state keyed
     ``(node, seed)``.
@@ -258,12 +259,21 @@ def multi_sssp(
     exactly how a 1000-executor cluster wants it (more parallel keys,
     no new shuffle boundaries).
 
+    ``dir_col``: name of an edge/seed TAG column (e.g. ``dir`` 0/1)
+    that partitions the problem into independent subgraphs sharing the
+    fixpoint — FuzzySSSP fuses its forward and backward SSSPs this
+    way: relaxations only follow edges whose tag matches the state's
+    tag (the state key becomes ``(node, seed, tag)``), so BOTH
+    directions ride the same per-round Spark jobs — one fixpoint's
+    barriers for the pair.  Output then also carries ``dir_col``.
+
     ``stats``: optional dict; ``stats["rounds"]`` = relaxation rounds
     the distributed loop ran (0 for the driver-local path).
     """
     if stats is not None:
         stats["rounds"] = 0
-    e = L.checkpoint(edges.select("src", "dst", "weight"))
+    extra = [dir_col] if dir_col else []
+    e = L.checkpoint(edges.select("src", "dst", "weight", *extra))
     small = (
         None
         if (max_iter is not None or max_rounds is not None)
@@ -271,30 +281,46 @@ def multi_sssp(
     )
     if small is not None:
         edge_rows = small[0]
-        seed_rows = seeds.select("node", "seed").collect()
+        seed_rows = seeds.select("node", "seed", *extra).collect()
         L.free(e)
         rows = []
-        for sr in sorted({r["seed"] for r in seed_rows}):
-            one = [r for r in seed_rows if r["seed"] == sr]
+        groups = sorted(
+            {(r["seed"], *(r[c] for c in extra)) for r in seed_rows}
+        )
+        for g in groups:
+            sr, tag = g[0], (g[1] if extra else None)
+            one = [
+                r
+                for r in seed_rows
+                if r["seed"] == sr and (not extra or r[extra[0]] == tag)
+            ]
+            ers = (
+                edge_rows
+                if not extra
+                else [r for r in edge_rows if r[extra[0]] == tag]
+            )
             rows += [
-                (n, sr, float(d)) for n, d in _local_sssp(edge_rows, one)
+                (n, sr, tag, float(d)) for n, d in _local_sssp(ers, one)
             ]
         spark = edges.sparkSession
+        cols = "node, seed" + (f", {dir_col}" if dir_col else "") + ", dist"
         if not rows:
+            null_tag = f" CAST(NULL AS INT) {dir_col}," if dir_col else ""
             return spark.sql(
                 "SELECT CAST(NULL AS BIGINT) node, CAST(NULL AS BIGINT) seed,"
-                " CAST(NULL AS DOUBLE) dist WHERE FALSE"
+                f"{null_tag} CAST(NULL AS DOUBLE) dist WHERE FALSE"
             )
         vals = ",".join(
             f"(CAST({int(n)} AS BIGINT), CAST({int(s)} AS BIGINT),"
-            f" CAST({float(d)!r} AS DOUBLE))"
-            for n, s, d in rows
+            + (f" CAST({int(t)} AS INT)," if dir_col else "")
+            + f" CAST({float(d)!r} AS DOUBLE))"
+            for n, s, t, d in rows
         )
-        return spark.sql(f"SELECT * FROM VALUES {vals} AS t(node, seed, dist)")
-    key = ["node", "seed"]
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
+    key = ["node", "seed", *extra]
     dist = L.checkpoint(
         seeds.select(
-            F.col("node").cast("long"), F.col("seed").cast("long"),
+            F.col("node").cast("long"), F.col("seed").cast("long"), *extra,
             F.lit(0.0).alias("dist"),
         ).dropDuplicates(key)
     )
@@ -304,11 +330,15 @@ def multi_sssp(
         if max_rounds is not None and rounds >= max_rounds:
             break
         rounds += 1
+        cond = frontier["node"] == e["src"]
+        for c in extra:
+            cond = cond & (frontier[c] == e[c])
         cand = (
-            frontier.join(e, frontier["node"] == e["src"])
+            frontier.join(e, cond)
             .select(
-                F.col("dst").alias("node"), "seed",
-                (F.col("dist") + F.col("weight")).alias("nd"),
+                e["dst"].alias("node"), frontier["seed"].alias("seed"),
+                *[frontier[c].alias(c) for c in extra],
+                (frontier["dist"] + e["weight"]).alias("nd"),
             )
             .groupBy(*key)
             .agg(F.min("nd").alias("nd"))
@@ -316,7 +346,7 @@ def multi_sssp(
         joined = cand.join(dist, key, "left_outer")
         improved = L.checkpoint(
             joined.where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-            .select("node", "seed", F.col("nd").alias("dist"))
+            .select(*key, F.col("nd").alias("dist"))
         )
         if improved.isEmpty():
             L.free(improved)
@@ -554,9 +584,12 @@ def fuzzy_sssp(
     Execution differs from the reference on purpose: instead of one
     GAS run per source and per target (|S|+|T| sequential programs,
     each paying rounds× scheduler barriers), BOTH distance maps come
-    from ONE :func:`multi_sssp` fixpoint each — state keyed
-    (node, seed) — so the whole analytic costs 2·rounds barriers plus
-    one BFS regardless of seed-set size.  Distances are identical.
+    from ONE direction-tagged :func:`multi_sssp` fixpoint — forward
+    edges and source seeds tagged ``dir=0``, REVERSED edges and target
+    seeds tagged ``dir=1``, state keyed (node, seed, dir) — so the
+    whole analytic costs 1·rounds barriers plus one BFS regardless of
+    seed-set size or direction count.  Distances are identical (the
+    tag keeps the two subproblems disjoint inside the shared jobs).
 
     sources/targets: driver-side node-id lists (the reference takes
     Value[] arrays); everything per-vertex stays distributed.  Returns
@@ -565,10 +598,10 @@ def fuzzy_sssp(
 
     ``reach``: optional dict, filled with {(src, tgt): dist | None}
     — the FuzzySSSPResult reachability map (one bounded |S|·|T|-row
-    collect).  ``max_rounds`` (``gas:maxIterations``) bounds each of
-    the three phases' rounds.  ``stats``: optional dict;
-    ``stats["fwd_rounds"]``/``stats["bwd_rounds"]`` = the two
-    fixpoints' round counts.
+    collect).  ``max_rounds`` (``gas:maxIterations``) bounds the fused
+    fixpoint's and the band BFS's rounds.  ``stats``: optional dict;
+    ``stats["rounds"]`` = the fused fixpoint's round count
+    (``fwd_rounds``/``bwd_rounds`` kept as aliases of it).
     """
     spark = edges.sparkSession
     if not sources or not targets:
@@ -582,21 +615,27 @@ def fuzzy_sssp(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
     )
 
-    def seed_frame(ids):
+    def seed_frame(ids, tag):
         vals = ",".join(f"(CAST({int(i)} AS BIGINT))" for i in ids)
-        return spark.sql(f"SELECT node, node AS seed FROM VALUES {vals} AS t(node)")
+        return spark.sql(
+            f"SELECT node, node AS seed, {int(tag)} AS dir"
+            f" FROM VALUES {vals} AS t(node)"
+        )
 
     fst = {} if stats is None else stats
-    s1, s2 = {}, {}
-    fwd = L.checkpoint(multi_sssp(
-        e, seed_frame(sources), max_iter=max_iter, max_rounds=max_rounds,
-        stats=s1,
+    s1 = {}
+    fused = L.checkpoint(multi_sssp(
+        e.withColumn("dir", F.lit(0)).unionByName(
+            rev.withColumn("dir", F.lit(1))
+        ),
+        seed_frame(sources, 0).unionByName(seed_frame(targets, 1)),
+        max_iter=max_iter, max_rounds=max_rounds, stats=s1, dir_col="dir",
     ))
-    bwd = L.checkpoint(multi_sssp(
-        rev, seed_frame(targets), max_iter=max_iter, max_rounds=max_rounds,
-        stats=s2,
-    ))
-    fst["fwd_rounds"], fst["bwd_rounds"] = s1.get("rounds"), s2.get("rounds")
+    fwd = L.checkpoint(fused.where(F.col("dir") == 0).drop("dir"))
+    bwd = L.checkpoint(fused.where(F.col("dir") == 1).drop("dir"))
+    L.free(fused)
+    fst["rounds"] = s1.get("rounds")
+    fst["fwd_rounds"] = fst["bwd_rounds"] = s1.get("rounds")
     # source→target distances: |S|·|T| bounded rows (the
     # FuzzySSSPResult reachability map) — also the d_st join relation
     tgt_ids = [int(t) for t in targets]

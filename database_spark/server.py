@@ -100,6 +100,11 @@ class SparqlEndpoint:
         #: evaluation; cancelQuery kills its Spark job group.
         self._running: dict = {}
         self._queries_accepted = 0
+        #: CountersServlet tree inputs: lifetime done/error counts and
+        #: accumulated wall-clock over all finished queries
+        self._queries_done = 0
+        self._queries_errored = 0
+        self._query_millis = 0.0
         self._started_at = time.time()
         endpoint = self
 
@@ -388,6 +393,21 @@ class SparqlEndpoint:
                     self._status(
                         urllib.parse.parse_qs(u.query, keep_blank_values=True)
                     )
+                    return
+                if parts == ["counters"]:
+                    # CountersServlet: the performance-counter tree
+                    flat = {
+                        k: v[0]
+                        for k, v in urllib.parse.parse_qs(
+                            u.query, keep_blank_values=True
+                        ).items()
+                    }
+                    try:
+                        body = endpoint.counters_xml(flat)
+                    except Exception as e:  # noqa: BLE001 — bad regex/depth
+                        self._reply(400, str(e), "text/plain")
+                        return
+                    self._reply(200, body, "application/xml")
                     return
                 tx = self._tx_route(parts)
                 if tx is not None:
@@ -963,9 +983,15 @@ class SparqlEndpoint:
             "begun": time.time(),
         }
         self._queries_accepted += 1
+        t0 = time.time()
         try:
             yield key
+            self._queries_done += 1
+        except BaseException:
+            self._queries_errored += 1
+            raise
         finally:
+            self._query_millis += (time.time() - t0) * 1000
             self._running.pop(key, None)
             sc.setLocalProperty("spark.jobGroup.id", None)
 
@@ -1053,6 +1079,72 @@ class SparqlEndpoint:
                 "timestamp": int(time.time() * 1000),
             }
         )
+
+    # ------------------------------------------------------- counters
+    def counters_tree(self) -> dict:
+        """The performance-counter hierarchy (CountersServlet's
+        CounterSet shape): query-engine lifetime counters, per-namespace
+        store counters, server counters.  Per-namespace triple counts
+        use the fast range count (pushdown-backed, metadata-mostly) —
+        cheap enough for ops tooling to scrape."""
+        qe = {
+            "queriesAccepted": self._queries_accepted,
+            "queriesDone": self._queries_done,
+            "queriesErrored": self._queries_errored,
+            "queriesRunning": len(self._running),
+            "totalElapsedMillis": int(self._query_millis),
+        }
+        ns = {
+            name: {
+                "commitCount": getattr(eng, "_commit_count", 0),
+                "triples": eng.store.count_pattern(),
+            }
+            for name, eng in sorted(self.engines.items())
+        }
+        return {
+            "Query Engine": qe,
+            "Namespaces": ns,
+            "Server": {
+                "uptimeSeconds": int(time.time() - self._started_at),
+                "namespaceCount": len(self.engines),
+            },
+        }
+
+    def counters_xml(self, params: dict) -> str:
+        """GET ``/counters`` (CountersServlet): the counter tree as
+        CounterSet-style XML.  ``?depth=N`` prunes the hierarchy below
+        N levels (a counter at ``/A/x`` has depth 2); ``?filter=regex``
+        keeps only counters whose full path matches."""
+        import html as _html
+        import re as _re
+
+        depth = int(params["depth"]) if params.get("depth") else None
+        pat = _re.compile(params["filter"]) if params.get("filter") else None
+
+        def walk(tree, path):
+            sets, counters = [], []
+            for name, val in tree.items():
+                if isinstance(val, dict):
+                    sets.append(walk(val, path + [name]))
+                else:
+                    cp = "/" + "/".join(path + [name])
+                    if depth is not None and len(path) + 1 > depth:
+                        continue
+                    if pat is not None and not pat.search(cp):
+                        continue
+                    counters.append(
+                        f'  <c name="{_html.escape(name)}" value="{val}"/>'
+                    )
+            body = "".join(s for s in sets if s)
+            if not counters:
+                return body
+            p = _html.escape("/" + "/".join(path))
+            return (
+                f'<cs path="{p}">\n' + "\n".join(counters) + "\n</cs>\n" + body
+            )
+
+        inner = walk(self.counters_tree(), [])
+        return '<?xml version="1.0"?>\n<counters>\n' + inner + "</counters>\n"
 
     # ----------------------------------------------------- dataloader
     #: RDF file suffixes the server-side loader picks up when walking
@@ -1168,16 +1260,76 @@ class SparqlEndpoint:
         )
         return f'<?xml version="1.0"?><response>{txs}</response>'
 
+    #: class/property partitions reported in the SD (top-N by count —
+    #: the VoID spec allows partial partitions; N bounds the collect)
+    VOID_MAX_PARTITIONS = 20
+
+    def _void_stats(self, engine):
+        """VoID dataset statistics (reference ``SD.java``/``VoID.java``
+        embed these in the service description): total triples plus
+        top-N property and class partitions.  Two hash aggregates +
+        one fast range count; results cached per store version (the
+        store pointer swaps on mutation, invalidating)."""
+        from pyspark.sql import functions as F
+
+        from . import terms as T
+
+        cached = getattr(self, "_void_cache", None)
+        if cached is not None and cached[0] is engine.store:
+            return cached[1]
+        df = engine.store.df
+        total = engine.store.count_pattern()
+        props = (
+            df.groupBy(F.col("pt").getField("lex").alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "p")
+            .limit(self.VOID_MAX_PARTITIONS)
+            .collect()
+        )
+        classes = (
+            df.where(
+                (F.col("pt").getField("lex") == T.RDF + "type")
+                & (F.col("ot").getField("kind") == T.KIND_IRI)
+            )
+            .groupBy(F.col("ot").getField("lex").alias("c"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "c")
+            .limit(self.VOID_MAX_PARTITIONS)
+            .collect()
+        )
+        stats = (
+            total,
+            [(r["p"], r["n"]) for r in props],
+            [(r["c"], r["n"]) for r in classes],
+        )
+        self._void_cache = (engine.store, stats)
+        return stats
+
     def service_description(self) -> str:
         """SPARQL 1.1 Service Description (QueryServlet
         doServiceDescription on a bare GET): the endpoint's languages,
-        result formats, and named graphs in Turtle."""
+        result formats, named graphs, and VoID dataset statistics
+        (void:triples + class/property partitions via fast range
+        counts — reference SD.java + VoID.java) in Turtle."""
         graphs = "".join(
             f"    sd:namedGraph [ sd:name <{t['lex']}> ] ;\n"
             for t in self.engine.store.contexts()
         )
+        total, props, classes = self._void_stats(self.engine)
+        void = f"    void:triples {total} ;\n"
+        void += "".join(
+            f"    void:propertyPartition [ void:property <{p}> ;"
+            f" void:triples {n} ] ;\n"
+            for p, n in props
+        )
+        void += "".join(
+            f"    void:classPartition [ void:class <{c}> ;"
+            f" void:entities {n} ] ;\n"
+            for c, n in classes
+        )
         return (
             "@prefix sd: <http://www.w3.org/ns/sparql-service-description#> .\n"
+            "@prefix void: <http://rdfs.org/ns/void#> .\n"
             "@prefix fmt: <http://www.w3.org/ns/formats/> .\n\n"
             "[] a sd:Service ;\n"
             f"  sd:endpoint <{self.url}> ;\n"
@@ -1186,8 +1338,9 @@ class SparqlEndpoint:
             " fmt:SPARQL_Results_CSV , fmt:SPARQL_Results_TSV ,"
             " fmt:N-Triples , fmt:Turtle , fmt:RDF_XML , fmt:JSON-LD ;\n"
             "  sd:defaultDataset [\n"
-            "    a sd:Dataset ;\n"
+            "    a sd:Dataset , void:Dataset ;\n"
             f"{graphs}"
+            f"{void}"
             "    sd:defaultGraph [ a sd:Graph ]\n"
             "  ] .\n"
         )
