@@ -1240,6 +1240,50 @@ def q_decontaminate(spark, sf_dir):
     return contaminated(corpus, bench).orderBy("doc_id")
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (``pipeline/clean.py``): scrub emails, phone
+    numbers, and IPv4 addresses; report per-document match counts.
+    Row-local regexp chains — no shuffle, the corpus streams map-side
+    through its scan partitioning.  The synthetic corpus carries no
+    PII, so the entry SPIKES each document with deterministic
+    doc_id-derived PII first (both engines build the identical spiked
+    text); the DuckDB oracle runs the same RE2-safe patterns."""
+    from database_spark.pipeline.clean import pii_frame
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("@mail.example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 415-555-0142"),
+        ).alias("text"),
+    )
+    return pii_frame(spiked).orderBy("doc_id")
+
+
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing (``pipeline/pack.py``): document-order greedy
+    packing into 512-token bins across 16 shards — ONE shuffle, then a
+    per-shard window cumsum (sorts are per shard, never global; shard
+    count = write parallelism at 100 TB).  Returns the per-bin
+    manifest; the DuckDB oracle computes identical bins with the same
+    window function."""
+    from database_spark.pipeline.pack import pack_summary
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        pack_summary(docs, budget=512, shards=16)
+        .select(
+            "shard", "bin", "n_docs", F.col("n_tokens").cast("long").alias("n_tokens")
+        )
+        .orderBy("shard", "bin")
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Language-ID + quality heuristics + fingerprint — every component
     mirrored exactly by the SQL oracle."""
@@ -1638,6 +1682,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "decontaminate": q_decontaminate,
     "text_chunks": q_text_chunks,
+    "pii_redact": q_pii_redact,
+    "seq_pack": q_seq_pack,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_pairs": q_simhash_pairs,
     "lsh_cosine_pairs": q_lsh_cosine_pairs,
@@ -2317,6 +2363,52 @@ ORACLES: dict[str, str] = {
         FROM shingles s JOIN bench b USING (sh)
         WHERE s.doc_id % 10 <> 0
         GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    "pii_redact": """
+        WITH spiked AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id % 100 AS VARCHAR)
+                      || '@mail.example.com at 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 or 415-555-0142' AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                 AS redacted,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(text,
+                 '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT)
+                 AS n_phones
+        FROM spiked ORDER BY doc_id
+    """,
+    "seq_pack": """
+        WITH t AS (
+          SELECT doc_id,
+                 doc_id % 16 AS shard,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                   AS n_tok
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tok,
+                 SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t
+        )
+        SELECT shard,
+               CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        FROM c GROUP BY shard, bin ORDER BY shard, bin
     """,
     "text_quality": _TEXT_QUALITY_ORACLE,
     "simhash_pairs": _simhash_oracle(),

@@ -165,9 +165,9 @@ def test_query_deadline_times_out(endpoint, spark):
 
     real = endpoint.evaluate
 
-    def slow_evaluate(query, accept="", engine=None):
+    def slow_evaluate(query, accept="", engine=None, **kw):
         spark.range(1 << 40).selectExpr("sum(id % 1000)").collect()
-        return real(query, accept, engine)
+        return real(query, accept, engine, **kw)
 
     endpoint.evaluate = slow_evaluate
     try:
