@@ -167,6 +167,36 @@ def results_tsv(result) -> str:
     return "".join(iter_results_tsv(result))
 
 
+def iter_results_html(result):
+    """SelectResult → a readable HTML table, streamed one row per
+    chunk (the reference styles its XML results with
+    ``result-to-html.xsl`` for browsers; this serves the rendered
+    table directly).  Every value is escaped."""
+    yield (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'/>"
+        "<style>table{border-collapse:collapse}"
+        "td,th{border:1px solid #999;padding:.2em .5em;"
+        "font-family:monospace}</style></head><body><table><tr>"
+        + "".join(f"<th>{xml_escape(v)}</th>" for v in result.vars)
+        + "</tr>"
+    )
+    for row in result.df.toLocalIterator():
+        cells = []
+        for v in result.vars:
+            t = row[v]
+            cells.append(
+                "<td></td>"
+                if t is None
+                else f"<td>{xml_escape(_n3_py(t))}</td>"
+            )
+        yield "<tr>" + "".join(cells) + "</tr>"
+    yield "</table></body></html>"
+
+
+def results_html(result) -> str:
+    return "".join(iter_results_html(result))
+
+
 # --------------------------------------------------- distributed N-Triples
 
 

@@ -40,6 +40,9 @@ RESULT_MEDIA = {
     "application/sparql-results+xml": "xml",
     "text/csv": "csv",
     "text/tab-separated-values": "tsv",
+    # a browser hitting the endpoint directly gets a readable table
+    # (the reference ships result-to-html.xsl for the same purpose)
+    "text/html": "html",
 }
 
 CONTENT_TYPES = {
@@ -47,6 +50,7 @@ CONTENT_TYPES = {
     "xml": "application/sparql-results+xml",
     "csv": "text/csv",
     "tsv": "text/tab-separated-values",
+    "html": "text/html",
 }
 
 
@@ -272,6 +276,7 @@ class SparqlEndpoint:
                         "xml": "application/sparql-results+xml",
                         "csv": "text/csv",
                         "tsv": "text/tab-separated-values",
+                        "html": "text/html",
                     }.get(params.get("format", ""), accept)
                     # result-set paging (SliceServiceFactory shape, as
                     # protocol params so the workbench can page without
@@ -1495,6 +1500,12 @@ class SparqlEndpoint:
                     f"{str(got).lower()}</boolean></sparql>",
                     CONTENT_TYPES["xml"],
                 )
+            if fmt == "html":
+                return (
+                    f"<!DOCTYPE html><html><body><p>{str(got).lower()}</p>"
+                    "</body></html>",
+                    CONTENT_TYPES["html"],
+                )
             return (
                 json.dumps({"head": {}, "boolean": got}),
                 CONTENT_TYPES["json"],
@@ -1532,6 +1543,7 @@ class SparqlEndpoint:
             "xml": W.iter_results_xml,
             "csv": W.iter_results_csv,
             "tsv": W.iter_results_tsv,
+            "html": W.iter_results_html,
         }[fmt]
         return _primed(writer(res)), CONTENT_TYPES[fmt]
 

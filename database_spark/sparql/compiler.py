@@ -1393,18 +1393,28 @@ class Compiler:
         out.append(sol)
         return out
 
-    def _corr_endpoint_nodes(self, s, o) -> "DataFrame | None":
+    def _corr_endpoint_nodes(self, s, o):
         """Distinct outer-bound values of a correlated free path
         endpoint (MINUS/EXISTS inner scope, or a sibling-join-bound
         endpoint within a BGP).  Widens the zero-length domain to
         as-bound semantics: any already-bound ?o matches `?o p* ?x`
         at length zero even when ?o never touches p (ticket_bg2066,
         ticket_bg1899h; ArbitraryLengthPathOp evaluates over incoming
-        as-bound solutions)."""
+        as-bound solutions).
+
+        Returns ``(nodes_df | None, exhaustive)``.  ``exhaustive`` is
+        True when some scope binds an endpoint NEVER-NULL: the eventual
+        equi-join on that var restricts zero-length rows to exactly
+        these values, so they can serve as the whole zero domain —
+        skipping the full-graph node distinct, the expensive part of a
+        free-free ``p?`` inside a BGP.  (Result-identical: under
+        as-bound semantics the domain is unioned with these values
+        anyway, and the join drops every other node.)"""
         outers = self._corr_sol
         if not outers:
-            return None
+            return None, False
         dfs = []
+        exhaustive = False
         for outer in outers:
             for node in (s, o):
                 if isinstance(node, A.Var) and node.name in outer.vars:
@@ -1414,12 +1424,14 @@ class Compiler:
                             F.col(node.name + "__id").alias("n__id"),
                         ).where(F.col(node.name + "__id").isNotNull())
                     )
+                    if node.name not in outer.maybe_unbound:
+                        exhaustive = True
         if not dfs:
-            return None
+            return None, False
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionAll(d)
-        return out.dropDuplicates(["n__id"])
+        return out.dropDuplicates(["n__id"]), exhaustive
 
     def _path_mod(self, s, path: A.PathMod, o, graph) -> Sol:
         av, bv = A.Var(self.fresh()), A.Var(self.fresh())
@@ -1439,9 +1451,10 @@ class Compiler:
             # touches (ticket_blzg_1495: p1/<unknown>? over an empty
             # <unknown> relation); `*` below restricts to the relation's
             # own vocabulary (property-paths-6 reference behavior)
+            corr_nodes, corr_exhaustive = self._corr_endpoint_nodes(s, o)
             pairs = self._with_zero_length(
                 step_df, a, b, graph, s_const, o_const, gv, only_zero_union=True,
-                extra_nodes=self._corr_endpoint_nodes(s, o),
+                extra_nodes=corr_nodes, domain_is_extra=corr_exhaustive,
             )
         else:
             seed = None
@@ -1474,7 +1487,7 @@ class Compiler:
             if path.mod == "*":
                 pairs = self._with_zero_length(
                     closed, a, b, graph, s_const, o_const, gv, rel=step_df,
-                    extra_nodes=self._corr_endpoint_nodes(s, o),
+                    extra_nodes=self._corr_endpoint_nodes(s, o)[0],
                 )
             else:
                 pairs = closed
@@ -1548,6 +1561,7 @@ class Compiler:
         only_zero_union: bool = False,
         rel: DataFrame | None = None,
         extra_nodes: DataFrame | None = None,
+        domain_is_extra: bool = False,
     ) -> DataFrame:
         """Add zero-length (x,x) pairs: for bound endpoints just the
         endpoint; with both ends free, the reflexive domain is the
@@ -1580,7 +1594,15 @@ class Compiler:
             )
         else:
             gpass = [F.col(gv), F.col(gv + "__id")] if gv else []
-            if rel is not None:
+            if extra_nodes is not None and domain_is_extra and not gv:
+                # an endpoint is NEVER-NULL bound by a sibling/outer
+                # scope: the join restricts zero-length rows to exactly
+                # those values, so they ARE the domain — skips the
+                # full-graph node distinct (the cost of a free-free
+                # `p?` inside a BGP; result-identical under the
+                # as-bound union semantics below)
+                nodes = extra_nodes.dropDuplicates(["n__id"])
+            elif rel is not None:
                 ends_a = rel.select(F.col(a).alias("n"), F.col(a + "__id").alias("n__id"), *gpass)
                 ends_b = rel.select(F.col(b).alias("n"), F.col(b + "__id").alias("n__id"), *gpass)
                 nodes = ends_a.unionAll(ends_b).dropDuplicates(
@@ -1588,7 +1610,7 @@ class Compiler:
                 )
             else:
                 nodes = self._graph_nodes(graph, gv)
-            if extra_nodes is not None and not gv:
+            if extra_nodes is not None and not domain_is_extra and not gv:
                 # correlated endpoint: outer-bound terms always match
                 # at length zero (as-bound evaluation, ticket_bg2066)
                 nodes = nodes.unionAll(extra_nodes).dropDuplicates(["n__id"])

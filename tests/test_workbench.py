@@ -112,6 +112,34 @@ def test_workbench_ajax_endpoints_answer(endpoint):
     assert status == 200 and "json" in ctype
 
 
+def test_html_results_format(endpoint):
+    """A browser (Accept: text/html or ?format=html) gets a readable
+    escaped table — the reference's result-to-html.xsl surface."""
+    # LIMIT pins the row count (an earlier test's update may have
+    # grown the store — module-scoped fixture)
+    q = f'PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s ex:p ?o }} LIMIT 10'
+    url = _base(endpoint) + "/sparql?" + urllib.parse.urlencode(
+        {"query": q, "format": "html"}
+    )
+    status, ctype, body = _get(url)
+    assert status == 200 and ctype.startswith("text/html")
+    assert "<table>" in body and body.count("<tr>") == 11  # header + 10
+    assert "&lt;" in body  # IRIs rendered as escaped N3 <...>
+    # Accept negotiation picks html too
+    status, ctype, _ = _get(
+        _base(endpoint) + "/sparql?" + urllib.parse.urlencode({"query": q}),
+        headers={"Accept": "text/html"},
+    )
+    assert ctype.startswith("text/html")
+    # ASK in a browser
+    status, ctype, body = _get(
+        _base(endpoint) + "/sparql?" + urllib.parse.urlencode(
+            {"query": "ASK { ?s ?p ?o }", "format": "html"}
+        )
+    )
+    assert "true" in body and ctype.startswith("text/html")
+
+
 def test_limit_offset_paging_params(endpoint):
     """?limit/?offset page a SELECT without editing the query (the
     workbench's pager); under ORDER BY pages are exact and disjoint."""
