@@ -99,6 +99,11 @@ class SparqlEndpoint:
         # the default namespace ("kb", like the reference default)
         self.default_namespace = namespace
         self.engines = {namespace: engine}
+        #: per-namespace java.util.Properties from CREATE, served back
+        #: by GET /namespace/<ns>/properties (doShowProperties)
+        self._namespace_props: dict = {
+            namespace: {"com.bigdata.rdf.sail.namespace": namespace}
+        }
         #: StatusServlet counters: every accepted query registers here
         #: (queryId → begun/sparql/namespace) for the lifetime of its
         #: evaluation; cancelQuery kills its Spark job group.
@@ -394,6 +399,21 @@ class SparqlEndpoint:
                 if parts == ["namespace"]:
                     self._reply(200, endpoint.list_namespaces(), "application/xml")
                     return
+                if (
+                    len(parts) == 3
+                    and parts[0] == "namespace"
+                    and parts[2] == "properties"
+                ):
+                    # MultiTenancyServlet doShowProperties
+                    try:
+                        body = endpoint.namespace_properties_xml(parts[1])
+                    except KeyError:
+                        self._reply(
+                            404, f"no such namespace {parts[1]}", "text/plain"
+                        )
+                        return
+                    self._reply(200, body, "application/xml")
+                    return
                 if parts and parts[-1] == "status":
                     self._status(
                         urllib.parse.parse_qs(u.query, keep_blank_values=True)
@@ -600,17 +620,22 @@ class SparqlEndpoint:
                     }
                 if parts == ["namespace"]:
                     name = params.get("name", "")
-                    if not name and raw:
+                    props = {}
+                    if raw:
                         # reference CREATE contract: a java.util.Properties
                         # body (text/plain) carrying
-                        # com.bigdata.rdf.sail.namespace=<name>
+                        # com.bigdata.rdf.sail.namespace=<name> plus any
+                        # store-configuration properties (kept, served
+                        # back by GET /namespace/<ns>/properties)
                         for line in raw.splitlines():
-                            k, _, v = line.partition("=")
-                            if k.strip().endswith(".namespace"):
+                            k, sep, v = line.partition("=")
+                            if not sep:
+                                continue
+                            props[k.strip()] = v.strip()
+                            if not name and k.strip().endswith(".namespace"):
                                 name = v.strip()
-                                break
                     try:
-                        endpoint.create_namespace(name)
+                        endpoint.create_namespace(name, props=props)
                         self._reply(201, f"CREATED: {name}", "text/plain")
                     except InvalidNamespaceName as e:
                         self._reply(400, str(e), "text/plain")
@@ -1396,9 +1421,11 @@ class SparqlEndpoint:
         )
         return f'<?xml version="1.0"?><namespaces>{items}</namespaces>'
 
-    def create_namespace(self, name: str):
+    def create_namespace(self, name: str, props: dict | None = None):
         """CREATE-NAMESPACE (MultiTenancyServlet doPost): a fresh empty
-        engine over the shared SparkSession."""
+        engine over the shared SparkSession.  ``props`` — the create
+        request's java.util.Properties — are kept and served back by
+        ``GET /namespace/<ns>/properties`` (doShowProperties)."""
         import re as _re
 
         from .sparql.engine import SparqlEngine
@@ -1412,7 +1439,42 @@ class SparqlEndpoint:
         self.engines[name] = SparqlEngine(
             TripleStore.from_python_triples(spark, [])
         )
+        self._namespace_props[name] = {
+            "com.bigdata.rdf.sail.namespace": name,
+            **(props or {}),
+        }
         return self.engines[name]
+
+    def namespace_properties_xml(self, name: str) -> str:
+        """GET ``/namespace/<ns>/properties`` (MultiTenancyServlet
+        doShowProperties): the namespace's effective configuration as a
+        java.util.Properties XML document.  KeyError for unknown
+        namespaces."""
+        from xml.sax.saxutils import escape as _esc
+        from xml.sax.saxutils import quoteattr
+
+        if name not in self.engines:
+            raise KeyError(name)
+        props = dict(
+            self._namespace_props.get(
+                name, {"com.bigdata.rdf.sail.namespace": name}
+            )
+        )
+        eng = self.engines[name]
+        props.setdefault(
+            "com.bigdata.rdf.store.AbstractTripleStore.quads",
+            str(bool(eng.store.has_named)).lower(),
+        )
+        entries = "".join(
+            f"<entry key={quoteattr(k)}>{_esc(str(v))}</entry>"
+            for k, v in sorted(props.items())
+        )
+        return (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<!DOCTYPE properties SYSTEM '
+            '"http://java.sun.com/dtd/properties.dtd">'
+            f"<properties>{entries}</properties>"
+        )
 
     def delete_namespace(self, name: str) -> None:
         """DELETE-NAMESPACE (MultiTenancyServlet doDelete); the default

@@ -158,16 +158,23 @@ async function refreshNamespaces() {
   const xml = new DOMParser().parseFromString(await resp.text(), "text/xml");
   const list = document.getElementById("namespaces-list");
   list.innerHTML = "";
-  for (const t of xml.querySelectorAll("title")) {
+  for (const t of xml.querySelectorAll("namespace")) {
+    const name = t.getAttribute("name");
     const li = document.createElement("li");
     const use = document.createElement("button");
     use.textContent = "use";
     use.addEventListener("click", () => {
-      ns = t.textContent;
+      ns = name;
       document.getElementById("current-namespace").textContent = ns;
     });
-    li.textContent = t.textContent + " ";
+    const props = document.createElement("a");
+    props.textContent = "properties";
+    props.href = "/namespace/" + encodeURIComponent(name) + "/properties";
+    props.target = "_blank";
+    li.textContent = name + " ";
     li.appendChild(use);
+    li.appendChild(document.createTextNode(" "));
+    li.appendChild(props);
     list.appendChild(li);
   }
 }

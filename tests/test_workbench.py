@@ -105,7 +105,18 @@ def test_workbench_ajax_endpoints_answer(endpoint):
     assert status in (200, 201)
     _, _, listing = _get(base + "/namespace")
     assert "wbns" in listing
-    # 5. status + health links
+    # 5. namespace properties (MultiTenancyServlet doShowProperties):
+    # the CREATE body's properties are served back, plus derived ones
+    status, ctype, body = _get(base + "/namespace/wbns/properties")
+    assert status == 200 and "xml" in ctype
+    assert '<entry key="com.bigdata.rdf.sail.namespace">wbns</entry>' in body
+    assert "AbstractTripleStore.quads" in body
+    try:
+        _get(base + "/namespace/nope/properties")
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    # 6. status + health links
     status, ctype, _ = _get(base + "/status")
     assert status == 200 and "html" in ctype
     status, ctype, _ = _get(base + "/status?health")
