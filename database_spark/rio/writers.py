@@ -252,6 +252,41 @@ def write_ntriples(triples: DataFrame, path: str) -> None:
     ntriples_lines(triples).write.mode("overwrite").text(path)
 
 
+# ------------------------------------------------------------- N-Quads
+
+
+def nquads_lines(quads: DataFrame) -> DataFrame:
+    """(st, pt, ot[, gt]) → one-column DataFrame of N-Quads lines; a
+    null/absent graph term emits a default-graph triple line (valid
+    N-Quads).  Pure column expressions like the N-Triples writer."""
+    parts = [n3_col(F.col("st")), n3_col(F.col("pt")), n3_col(F.col("ot"))]
+    if "gt" in quads.columns:
+        parts.append(
+            F.when(F.col("gt").isNotNull(), n3_col(F.col("gt"))).otherwise(
+                F.lit(None)
+            )
+        )
+    return quads.select(
+        F.concat_ws(" ", *parts, F.lit(".")).alias("value")
+    )
+
+
+def iter_nquads(quads: DataFrame):
+    """Stream an N-Quads document line by line (bounded driver
+    memory)."""
+    for r in nquads_lines(quads).toLocalIterator():
+        yield r["value"] + "\n"
+
+
+def nquads_string(quads: DataFrame) -> str:
+    return "".join(iter_nquads(quads))
+
+
+def write_nquads(quads: DataFrame, path: str) -> None:
+    """Distributed N-Quads dump (any size; one file per partition)."""
+    nquads_lines(quads).write.mode("overwrite").text(path)
+
+
 # ------------------------------------------------------- abbreviated Turtle
 #
 # Reference: ``rio/turtle/BigdataTurtleWriter.java`` (prefixed,
@@ -466,6 +501,129 @@ def write_turtle(
         yield from batches
 
     turtle_blocks(triples, prefixes).mapInPandas(
+        with_header, "value string"
+    ).write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------------- TriG
+#
+# TriG = Turtle + graph blocks.  Distributed shape: one output row per
+# (graph, subject) block, each named-graph block individually wrapped
+# as ``<g> { ... }`` — the same graph label may appear in any number of
+# graph statements (their triples union), so blocks never have to be
+# gathered per graph and the dump scales like the Turtle writer.
+
+
+def trig_blocks(quads: DataFrame, prefixes: dict) -> DataFrame:
+    """(st, pt, ot[, gt]) → one-column ``value``: default-graph rows as
+    bare Turtle subject blocks, named-graph rows wrapped per block."""
+    df = quads
+    if "gt" not in df.columns:
+        from pyspark.sql import types as _T  # noqa: F401
+
+        df = df.withColumn("gt", F.lit(None).cast(df.schema["st"].dataType))
+    p_lex = F.col("pt").getField("lex")
+    pred = F.when(p_lex == F.lit(RDF_TYPE), F.lit("a")).otherwise(
+        ttl_term(F.col("pt"), prefixes)
+    )
+    po = (
+        df.select(
+            F.col("gt").getField("kind").alias("g_kind"),
+            F.col("gt").getField("lex").alias("g_lex"),
+            F.when(
+                F.col("gt").isNotNull(), ttl_term(F.col("gt"), prefixes)
+            ).alias("g"),
+            ttl_term(F.col("st"), prefixes).alias("s"),
+            pred.alias("p"),
+            F.when(p_lex == F.lit(RDF_TYPE), F.lit(" a")).otherwise(
+                ttl_term(F.col("pt"), prefixes)
+            ).alias("p_key"),
+            ttl_term(F.col("ot"), prefixes).alias("o"),
+        )
+        .groupBy("g_kind", "g_lex", "g", "s", "p", "p_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("o")), ", ").alias("os"))
+    )
+    block = (
+        po.groupBy("g_kind", "g_lex", "g", "s")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("p_key"), F.col("p"), F.col("os")))
+            ).alias("ps")
+        )
+        .select(
+            "g_kind",
+            "g_lex",
+            F.concat(
+                F.col("s"),
+                F.lit(" "),
+                F.array_join(
+                    F.transform(
+                        "ps", lambda x: F.concat(x["p"], F.lit(" "), x["os"])
+                    ),
+                    " ;\n        ",
+                ),
+                F.lit(" ."),
+            ).alias("body"),
+            F.col("g"),
+        )
+    )
+    return block.select(
+        "g_kind",
+        "g_lex",
+        F.when(
+            F.col("g").isNotNull(),
+            F.concat(
+                F.col("g"), F.lit(" {\n    "), F.col("body"), F.lit("\n}")
+            ),
+        )
+        .otherwise(F.col("body"))
+        .alias("value"),
+    )
+
+
+def iter_trig(quads: DataFrame, prefixes: dict | None = None):
+    """Stream a TriG document: @prefix header, then one (graph,
+    subject) block per chunk — bounded driver memory."""
+    triples_view = quads.select("st", "pt", "ot")
+    prefixes = _with_xsd(
+        infer_prefixes(triples_view) if prefixes is None else prefixes
+    )
+    yield turtle_header(prefixes)
+    first = True
+    for r in (
+        trig_blocks(quads, prefixes)
+        .orderBy("g_kind", "g_lex", "value")
+        .select("value")
+        .toLocalIterator()
+    ):
+        yield ("\n" if first else "\n\n") + r["value"]
+        first = False
+    if not first:
+        yield "\n"
+
+
+def trig_string(quads: DataFrame, prefixes: dict | None = None) -> str:
+    return "".join(iter_trig(quads, prefixes))
+
+
+def write_trig(
+    quads: DataFrame, path: str, prefixes: dict | None = None
+) -> None:
+    """Distributed TriG dump; every partition file carries the @prefix
+    header (each part a standalone TriG document)."""
+    import pandas as pd
+
+    triples_view = quads.select("st", "pt", "ot")
+    prefixes = _with_xsd(
+        infer_prefixes(triples_view) if prefixes is None else prefixes
+    )
+    header = turtle_header(prefixes)
+
+    def with_header(batches):
+        yield pd.DataFrame({"value": [header]})
+        yield from batches
+
+    trig_blocks(quads, prefixes).select("value").mapInPandas(
         with_header, "value string"
     ).write.mode("overwrite").text(path)
 

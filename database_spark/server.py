@@ -951,6 +951,18 @@ class SparqlEndpoint:
             return _primed(W.iter_rdfxml(triples)), "application/rdf+xml"
         if "application/ld+json" in kinds:
             return _primed(W.iter_jsonld(triples)), "application/ld+json"
+        # quad formats keep the graph position (the reference's conneg
+        # offers N-Quads/TriG for context-aware exports)
+        if any(k in ("application/n-quads", "text/x-nquads") for k in kinds):
+            return (
+                _primed(W.iter_nquads(df.select("st", "pt", "ot", "gt"))),
+                "application/n-quads",
+            )
+        if "application/trig" in kinds:
+            return (
+                _primed(W.iter_trig(df.select("st", "pt", "ot", "gt"))),
+                "application/trig",
+            )
         return _primed(W.iter_ntriples(triples)), "application/n-triples"
 
     # --------------------------------------------- includeInferred=false
