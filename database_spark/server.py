@@ -925,13 +925,16 @@ class SparqlEndpoint:
         graph content negotiation (N-Triples default).  The match set
         streams through ``toLocalIterator`` — the HTTP response is the
         materialization point, same as the reference's connection
-        export."""
+        export.  ``includeInferred=false`` restricts to explicit
+        statements (the reference's getStatements flag)."""
         from pyspark.sql import functions as F
 
         from . import terms as T
         from .rio import writers as W
 
         engine = engine or self.engine
+        if params.get("includeInferred", "").lower() == "false":
+            engine = self._explicit_view(engine)
         spoc = self._spoc(params)
         df = engine.store.df
         for col, key in (("s", "s"), ("p", "p"), ("o", "o")):

@@ -211,5 +211,16 @@ def test_include_inferred_false(spark):
         assert run({}) == 2  # rex + fido inferred Animal
         assert run({"includeInferred": "false"}) == 0
         assert run({"includeInferred": "true"}) == 2
+
+        # GETSTMTS honors the same flag (getStatements includeInferred)
+        def stmts(extra):
+            url = ep.url + "?" + urllib.parse.urlencode(
+                {"GETSTMTS": "", "p": f"<{RDF}type>", **extra})
+            with urllib.request.urlopen(url) as r:
+                return r.read().decode()
+
+        assert f"<{EX}Animal>" in stmts({})  # inferred types exported
+        assert f"<{EX}Animal>" not in stmts({"includeInferred": "false"})
+        assert f"<{EX}Dog>" in stmts({"includeInferred": "false"})
     finally:
         ep.stop()

@@ -114,6 +114,50 @@ def test_write_jsonld_distributed_parts_standalone(spark, big_store, tmp_path):
     assert got == _triple_set(big_store.df)
 
 
+def test_streamed_response_is_snapshot_isolated(spark):
+    """A chunked response begun before an UPDATE serves the store AS OF
+    query start — store DataFrames are immutable, so mid-stream commits
+    can't tear the result (MVCC through the streaming path)."""
+    import http.client
+
+    from database_spark.server import SparqlEndpoint
+
+    trips = [
+        (Term.iri(EX + f"r{i}"), Term.iri(EX + "v"), Term.literal(str(i)))
+        for i in range(200)
+    ]
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, trips))
+    ep = SparqlEndpoint(eng).start()
+    try:
+        host, port = ep.url.split("/")[2].split(":")
+        q = f"PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s ex:v ?o }}"
+        conn = http.client.HTTPConnection(host, int(port))
+        conn.request(
+            "GET",
+            "/sparql?" + urllib.parse.urlencode({"query": q, "format": "csv"}),
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200
+        # read only the first chunk's worth, then mutate the store
+        first = resp.read(64)
+        eng.update(
+            f'PREFIX ex: <{EX}> INSERT DATA {{ ex:late ex:v "LATE" }}'
+        )
+        rest = resp.read()
+        conn.close()
+        body = (first + rest).decode()
+        lines = [l for l in body.strip().splitlines() if l]
+        assert len(lines) == 201  # header + the 200 pre-update rows
+        assert "LATE" not in body
+        # a fresh request sees the new row
+        with urllib.request.urlopen(
+            ep.url + "?" + urllib.parse.urlencode({"query": q, "format": "csv"})
+        ) as r:
+            assert "LATE" in r.read().decode()
+    finally:
+        ep.stop()
+
+
 def test_http_chunked_transfer_for_large_bodies(spark, big_store):
     """SELECT and CONSTRUCT responses stream with Transfer-Encoding:
     chunked — the server never buffers the whole body — and the
