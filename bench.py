@@ -49,6 +49,11 @@ def main() -> None:
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
     reps = max(1, reps)
+    # --only a,b,c: time just those entries (dev loop for one operator;
+    # the driver always runs the full set)
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("database-spark-bench")
@@ -87,6 +92,8 @@ def main() -> None:
     exec_samples: dict[str, list] = {}
     for rep in range(reps):
         for name, fn in E.queries().items():
+            if only is not None and name not in only:
+                continue
             t0 = time.time()
             df = fn(spark, sf_dir)
             t1 = time.time()
@@ -128,12 +135,17 @@ def main() -> None:
         "ingest_sec": ingest,
         "sf": sf,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
-        json.dump(detail, f, indent=1)
-        f.write("\n")
+    if only is None:
+        # a partial (--only) run must never clobber the committed
+        # full-catalog record
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
     line = json.dumps(
         {
             "metric": "total_query_wall",
