@@ -90,9 +90,17 @@ class Journal:
 
     # ---------------------------------------------------------- locking
     LOCKFILE = "_commit.lock"
+    #: a lock older than this is presumed orphaned by a DEAD process
+    #: and broken.  Generous on purpose: the lock is held across the
+    #: data write, and a full materialization of a large store can
+    #: legitimately take many minutes — breaking a LIVE writer's lock
+    #: would let two writers interleave, the exact bug the lock closes.
+    LOCK_STALE_SECS = 3600.0
 
     @contextlib.contextmanager
-    def _commit_lock(self, timeout: float = 30.0, stale: float = 120.0):
+    def _commit_lock(self, timeout: float = 30.0, stale: float | None = None):
+        if stale is None:
+            stale = self.LOCK_STALE_SECS
         """Cross-process writer mutex: an atomically-created lock file
         held across data write + pointer swap, so two PROCESSES sharing
         a journal path cannot interleave between the head re-check and
