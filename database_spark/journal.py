@@ -13,8 +13,8 @@ need a conditional-put variant).  Readers pin the version directory
 they opened — snapshot isolation for free, because published dirs are
 never mutated.  Writers use optimistic concurrency: ``commit()``
 verifies the head hasn't moved since ``begin()``; the check + data
-write + pointer swap run under a cross-process lock file
-(``_commit_lock`` — atomic ``O_EXCL`` create locally,
+write + pointer swap run under a cross-process lock
+(``_commit_lock`` — kernel ``flock`` locally, atomic
 ``createNewFile`` on HDFS), so two processes sharing a journal path
 cannot both advance (the reference serializes writers with the
 journal's write lock).
@@ -99,8 +99,6 @@ class Journal:
 
     @contextlib.contextmanager
     def _commit_lock(self, timeout: float = 30.0, stale: float | None = None):
-        if stale is None:
-            stale = self.LOCK_STALE_SECS
         """Cross-process writer mutex: an atomically-created lock file
         held across data write + pointer swap, so two PROCESSES sharing
         a journal path cannot interleave between the head re-check and
@@ -108,46 +106,59 @@ class Journal:
         journal's write lock; within one process the engine's write
         lock already serializes).  Local paths use POSIX
         ``O_CREAT|O_EXCL`` (truly atomic); remote filesystems use
-        ``FileSystem.createNewFile`` (atomic on HDFS).  A lock older
-        than ``stale`` seconds is presumed orphaned by a dead process
-        and broken."""
+        ``FileSystem.createNewFile`` (atomic on HDFS).
+
+        Local paths: ``fcntl.flock`` on a persistent lock file — the
+        KERNEL owns the lock state, so a crashed holder's lock releases
+        automatically and no staleness heuristic exists to misfire
+        (a naive mtime-based break has a TOCTOU where two waiters both
+        break the same stale lock, or steal a freshly re-acquired one).
+        Remote filesystems keep the create-file protocol with an
+        atomic-RENAME stale break (exactly one racer's rename wins)."""
+        if stale is None:
+            stale = self.LOCK_STALE_SECS
         local = not ("://" in self.path and not self.path.startswith("file:"))
         lock_path = f"{self.path.removeprefix('file:')}/{self.LOCKFILE}"
         deadline = time.time() + timeout
         if local:
+            import fcntl
+
             os.makedirs(os.path.dirname(lock_path) or ".", exist_ok=True)
-            while True:
-                try:
-                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                    os.close(fd)
-                    break
-                except FileExistsError:
-                    try:
-                        if time.time() - os.path.getmtime(lock_path) > stale:
-                            os.unlink(lock_path)
-                            continue
-                    except FileNotFoundError:
-                        continue
-                    if time.time() > deadline:
-                        raise TimeoutError(
-                            f"journal commit lock busy: {lock_path}"
-                        )
-                    time.sleep(0.02)
+            fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
             try:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.time() > deadline:
+                            raise TimeoutError(
+                                f"journal commit lock busy: {lock_path}"
+                            )
+                        time.sleep(0.02)
+                os.ftruncate(fd, 0)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
                 yield
             finally:
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(lock_path)
+                with contextlib.suppress(OSError):
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+                os.close(fd)
         else:
             jvm, fs = self._fs()
-            p = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{self.LOCKFILE}")
+            hpath = jvm.org.apache.hadoop.fs.Path
+            p = hpath(f"{self.path}/{self.LOCKFILE}")
             while not fs.createNewFile(p):
                 st = fs.getFileStatus(p) if fs.exists(p) else None
                 if st is not None and (
                     time.time() - st.getModificationTime() / 1000 > stale
                 ):
-                    fs.delete(p, False)
+                    # atomic break: HDFS rename fails for all but one
+                    # racer once the source is gone
+                    broken = hpath(
+                        f"{self.path}/{self.LOCKFILE}.broken.{time.time_ns()}"
+                    )
+                    if fs.rename(p, broken):
+                        fs.delete(broken, False)
                     continue
                 if time.time() > deadline:
                     raise TimeoutError(f"journal commit lock busy: {p}")

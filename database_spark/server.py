@@ -114,6 +114,9 @@ class SparqlEndpoint:
         self._queries_done = 0
         self._queries_errored = 0
         self._query_millis = 0.0
+        #: counter updates are read-modify-write from concurrent
+        #: handler threads — serialize so increments can't be lost
+        self._counters_lock = threading.Lock()
         self._started_at = time.time()
         endpoint = self
 
@@ -142,6 +145,11 @@ class SparqlEndpoint:
                 ``_headers_sent`` lets error paths know when it is too
                 late to send a status line (mid-stream failures abort
                 the connection, the only correct chunked behavior)."""
+                if not isinstance(body, str) and self.request_version < "HTTP/1.1":
+                    # an HTTP/1.0 client cannot parse chunked framing:
+                    # buffer the stream into a sized reply (1.0 clients
+                    # are rare enough that the memory trade is right)
+                    body = "".join(body)
                 if isinstance(body, str):
                     data = body.encode()
                     self.send_response(code)
@@ -199,6 +207,10 @@ class SparqlEndpoint:
                             "text/plain",
                         )
                         return
+                # defined before the try so the except's 503-vs-400
+                # dispatch can always read them
+                timed_out: list = []
+                deadline_ms = None
                 try:
                     # ---- REST probes (QueryServlet.java:122-265):
                     # ESTCARD (fast range count), HASSTMT (limit-1
@@ -276,13 +288,9 @@ class SparqlEndpoint:
                         engine = endpoint._explicit_view(engine)
                     # ?format= overrides content negotiation (the
                     # workbench's format parameter)
-                    accept = {
-                        "json": "application/sparql-results+json",
-                        "xml": "application/sparql-results+xml",
-                        "csv": "text/csv",
-                        "tsv": "text/tab-separated-values",
-                        "html": "text/html",
-                    }.get(params.get("format", ""), accept)
+                    accept = CONTENT_TYPES.get(
+                        params.get("format", ""), accept
+                    )
                     # result-set paging (SliceServiceFactory shape, as
                     # protocol params so the workbench can page without
                     # editing the query): ?limit= / ?offset=
@@ -295,13 +303,11 @@ class SparqlEndpoint:
                     # query deadline: ?timeout= (seconds) or the
                     # X-BIGDATA-MAX-QUERY-MILLIS header; past it the
                     # query's job group is cancelled → 503
-                    deadline_ms = None
                     if params.get("timeout"):
                         deadline_ms = float(params["timeout"]) * 1000
                     hdr = self.headers.get("X-BIGDATA-MAX-QUERY-MILLIS")
                     if hdr:
                         deadline_ms = float(hdr)
-                    timed_out = []
                     timer = None
                     with endpoint._track_query(
                         query, params.get("queryId"), self.path
@@ -325,26 +331,25 @@ class SparqlEndpoint:
                             # so the job group / cancel sweep / status
                             # row must stay live until the last chunk
                             self._reply(200, body, ctype)
-                        except Exception:
-                            if timed_out and not getattr(
-                                self, "_headers_sent", False
-                            ):
-                                self._reply(
-                                    503,
-                                    f"query deadline exceeded ({deadline_ms:.0f}ms)",
-                                    "text/plain",
-                                )
-                                return
-                            raise
                         finally:
                             if timer is not None:
                                 timer.cancel()
+                    # the deadline exception propagates through
+                    # _track_query (counting the query ERRORED, not
+                    # done) and is turned into the 503 below
                 except Exception as e:  # noqa: BLE001 — protocol error path
                     if getattr(self, "_headers_sent", False):
                         # mid-stream failure: the status line is gone;
                         # aborting the connection is the only honest
                         # signal chunked transfer has
                         self.close_connection = True
+                        return
+                    if timed_out:
+                        self._reply(
+                            503,
+                            f"query deadline exceeded ({deadline_ms:.0f}ms)",
+                            "text/plain",
+                        )
                         return
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
 
@@ -626,8 +631,12 @@ class SparqlEndpoint:
                         # body (text/plain) carrying
                         # com.bigdata.rdf.sail.namespace=<name> plus any
                         # store-configuration properties (kept, served
-                        # back by GET /namespace/<ns>/properties)
+                        # back by GET /namespace/<ns>/properties);
+                        # java.util.Properties comment lines (#/!) are
+                        # ignored, not stored as keys
                         for line in raw.splitlines():
+                            if line.lstrip()[:1] in ("#", "!", ""):
+                                continue
                             k, sep, v = line.partition("=")
                             if not sep:
                                 continue
@@ -713,6 +722,12 @@ class SparqlEndpoint:
             def do_DELETE(self):
                 u = urllib.parse.urlparse(self.path)
                 parts = [p for p in u.path.split("/") if p]
+                # drain the body FIRST: under HTTP/1.1 keep-alive an
+                # early-return reply (404/409) would otherwise leave
+                # the body bytes on the socket to be parsed as the
+                # next request line
+                nbytes = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(nbytes).decode() if nbytes else ""
                 if len(parts) == 2 and parts[0] == "namespace":
                     try:
                         endpoint.delete_namespace(parts[1])
@@ -728,8 +743,6 @@ class SparqlEndpoint:
                 eng = self._route_engine()
                 if eng is None:
                     return
-                nbytes = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(nbytes).decode() if nbytes else ""
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
                 from .rio.reader import RDF_BODY_TYPES
 
@@ -1027,16 +1040,20 @@ class SparqlEndpoint:
             "namespace": namespace,
             "begun": time.time(),
         }
-        self._queries_accepted += 1
+        with self._counters_lock:
+            self._queries_accepted += 1
         t0 = time.time()
         try:
             yield key
-            self._queries_done += 1
+            with self._counters_lock:
+                self._queries_done += 1
         except BaseException:
-            self._queries_errored += 1
+            with self._counters_lock:
+                self._queries_errored += 1
             raise
         finally:
-            self._query_millis += (time.time() - t0) * 1000
+            with self._counters_lock:
+                self._query_millis += (time.time() - t0) * 1000
             self._running.pop(key, None)
             sc.setLocalProperty("spark.jobGroup.id", None)
 
@@ -1223,6 +1240,8 @@ class SparqlEndpoint:
                 props[m.group(1).strip()] = m.group(2).strip()
         else:
             for line in body.splitlines():
+                if line.lstrip()[:1] in ("#", "!", ""):
+                    continue  # java.util.Properties comment/blank line
                 k, sep, v = line.partition("=")
                 if sep:
                     props[k.strip()] = v.strip()
@@ -1497,6 +1516,7 @@ class SparqlEndpoint:
         if name == self.default_namespace:
             raise ValueError("cannot delete the default namespace")
         del self.engines[name]
+        self._namespace_props.pop(name, None)
 
     # ------------------------------------------------------------ eval
     def explain(self, query: str, engine=None) -> tuple[str, str]:

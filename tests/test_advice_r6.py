@@ -217,7 +217,8 @@ def test_cross_process_commit_lock_one_winner(spark, tmp_path):
     assert j0.head() == 2
     winner = next(n for n, (o, _) in results.items() if o == "ok")
     assert _names(j0, j0.open()) == ["A", winner]
-    # the lock file is released after the race
-    import os
-
-    assert not os.path.exists(os.path.join(path, Journal.LOCKFILE))
+    # the kernel lock is released after the race: a fresh commit
+    # acquires it immediately (the flock FILE itself persists)
+    t3 = j0.begin()
+    t3.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:post ex:name "post" }}')
+    assert t3.commit() == 3

@@ -170,6 +170,8 @@ def test_query_deadline_times_out(endpoint, spark):
         return real(query, accept, engine, **kw)
 
     endpoint.evaluate = slow_evaluate
+    errored_before = endpoint._queries_errored
+    done_before = endpoint._queries_done
     try:
         q = "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }"
         url = endpoint.url + "?" + urllib.parse.urlencode(
@@ -178,6 +180,9 @@ def test_query_deadline_times_out(endpoint, spark):
             urllib.request.urlopen(url, timeout=120)
         assert e.value.code == 503
         assert "deadline" in e.value.read().decode()
+        # the timed-out query counts as ERRORED in /counters, not done
+        assert endpoint._queries_errored == errored_before + 1
+        assert endpoint._queries_done == done_before
     finally:
         endpoint.evaluate = real
 
