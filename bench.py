@@ -137,10 +137,20 @@ def main() -> None:
     }
     if only is None:
         # a partial (--only) run must never clobber the committed
-        # full-catalog record
+        # full-catalog record.  Record hygiene (VERDICT r7 #3): the
+        # authoritative medians record (reps>1) and the driver's 1-rep
+        # per-round run go to SEPARATE files, and a non-default sf gets
+        # its own suffix — so neither the driver's overwrite nor an sf1
+        # scale run can clobber the committed sf0.1 medians.
+        suffix = "" if abs(sf - 0.1) < 1e-12 else f"_SF{('%g' % sf).replace('.', 'p')}"
+        fname = (
+            f"BENCH_DETAIL{suffix}.json"
+            if reps > 1
+            else f"BENCH_DETAIL{suffix}_1REP.json"
+        )
         with open(
             os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+                os.path.dirname(os.path.abspath(__file__)), fname
             ),
             "w",
         ) as f:

@@ -49,6 +49,14 @@ class CommitConflict(Exception):
     """Another transaction committed since this one began."""
 
 
+class CommitLockTimeout(CommitConflict):
+    """Could not acquire the cross-process writer lock in time.
+
+    A CommitConflict subclass on purpose: callers already handle
+    writer contention as CommitConflict (retry / surface 409), and a
+    busy lock IS writer contention — one failure type for both."""
+
+
 class Journal:
     POINTER = "_head.json"
 
@@ -132,7 +140,7 @@ class Journal:
                         break
                     except OSError:
                         if time.time() > deadline:
-                            raise TimeoutError(
+                            raise CommitLockTimeout(
                                 f"journal commit lock busy: {lock_path}"
                             )
                         time.sleep(0.02)
@@ -148,7 +156,13 @@ class Journal:
             hpath = jvm.org.apache.hadoop.fs.Path
             p = hpath(f"{self.path}/{self.LOCKFILE}")
             while not fs.createNewFile(p):
-                st = fs.getFileStatus(p) if fs.exists(p) else None
+                try:
+                    # racer may delete/rename the lock between the
+                    # failed create and this probe — a vanished file
+                    # just means retry the acquire loop
+                    st = fs.getFileStatus(p) if fs.exists(p) else None
+                except Exception:
+                    continue
                 if st is not None and (
                     time.time() - st.getModificationTime() / 1000 > stale
                 ):
@@ -161,7 +175,7 @@ class Journal:
                         fs.delete(broken, False)
                     continue
                 if time.time() > deadline:
-                    raise TimeoutError(f"journal commit lock busy: {p}")
+                    raise CommitLockTimeout(f"journal commit lock busy: {p}")
                 time.sleep(0.05)
             try:
                 yield

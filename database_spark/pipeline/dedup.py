@@ -5,10 +5,11 @@ for 100 TB corpora):
 
 * exact: one hash-aggregate, no shuffle beyond the groupBy.
 * n-gram Jaccard: exact pairwise similarity via shingle inverted index
-  (explode → self-join on shingle → count).  The join is on shingle
-  hashes (longs), heavy-hitter shingles are capped (`max_df`) exactly
-  like stop-shingle removal in production dedup pipelines — otherwise
-  one viral shingle produces a quadratic join output.
+  (explode → per-shingle posting lists → inline ordered-pair emission
+  → count).  Heavy-hitter shingles are capped (`max_df`) exactly like
+  stop-shingle removal in production dedup pipelines — otherwise one
+  viral shingle produces a quadratic pair blowup; the cap also bounds
+  each posting list, so the collect is memory-safe.
 * MinHash-LSH: the scale path — k permutations via `xxhash64(shingle,
   seed_i)` min-aggregated, banded; candidate pairs only where a band
   matches, then exact-verify.  O(n·k) + band-join instead of O(n²).
@@ -65,9 +66,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-pairs token-n-gram Jaccard ≥ threshold (a < b).
 
-    Inverted-index join on shingles; `max_df` drops shingles appearing
-    in more than that many docs (stop-shingles) — at 100 TB this is the
-    difference between a bounded join and a quadratic blowup.  When
+    Inverted-index postings on shingles (each shingle's sorted doc
+    list emits its pairs directly — no self-join of the exploded
+    table); `max_df` drops shingles appearing in more than that many
+    docs (stop-shingles) — at 100 TB this is the difference between a
+    bounded pair emission (≤ max_df²/2 per shingle, posting lists
+    memory-bounded) and a quadratic blowup (with ``max_df=None`` a
+    viral shingle's posting list is unbounded — only use that on
+    pre-filtered corpora).  When
     `max_df` fires, the Jaccard is over the *surviving* (non-stop)
     shingle sets on both the numerator and the denominator — doc sizes
     are counted after the filter, so the ratio stays consistent instead
@@ -77,16 +83,31 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
     )
     if max_df is not None:
+        # the hot set is tiny (only shingles with df > max_df), so the
+        # cap costs one map-side-combined count + a broadcast anti join
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
     # sizes AFTER the stop-shingle filter: numerator and denominator
     # must use the same shingle universe
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
+    # pair generation from sorted posting lists: ONE shuffle of the
+    # exploded shingles (collect_list per shingle, bounded by max_df so
+    # no unbounded per-group state), then each posting list emits its
+    # d·(d-1)/2 ordered pairs inline — replaces the former a⋈b
+    # self-join, which shuffled the full exploded table twice
+    post = sh.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "sh")
-        .where(F.col("id_a") < F.col("id_b"))
+        post.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )

@@ -587,8 +587,19 @@ class Compiler:
                 b = ldf.join(rd, cond, how)
             elif how == "inner":
                 # unbound side matches everything: the cross product is
-                # the semantics, confined to the (small) null partition
-                b = ldf.crossJoin(rd)
+                # the semantics, confined to the (small) null partition.
+                # Broadcast the null-filtered side: it is small by
+                # construction (rows where a shared var is UNBOUND are
+                # the rare case in real solution sets), turning the
+                # CartesianProduct — which shuffles BOTH sides into
+                # partition pairs — into a BroadcastNestedLoopJoin
+                # streaming the big side map-side.
+                if rfs:
+                    b = ldf.crossJoin(F.broadcast(rd))
+                elif lfs:
+                    b = F.broadcast(ldf).crossJoin(rd)
+                else:
+                    b = ldf.crossJoin(rd)
             else:
                 b = ldf.join(rd, F.lit(True), how)
             out = b if out is None else out.unionByName(b)

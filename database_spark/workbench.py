@@ -103,7 +103,11 @@ document.querySelectorAll("nav button").forEach(b =>
 
 function renderBindings(data, el) {
   const vars = data.head.vars, rows = data.results.bindings;
-  let html = "<table><tr>" + vars.map(v => "<th>" + v + "</th>").join("") + "</tr>";
+  let html = "<table><tr>" + vars.map(v => {
+    const th = document.createElement("th");
+    th.textContent = v;
+    return th.outerHTML;
+  }).join("") + "</tr>";
   for (const r of rows) {
     html += "<tr>" + vars.map(v => {
       const t = r[v];
