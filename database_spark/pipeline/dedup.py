@@ -87,15 +87,20 @@ def ngram_jaccard_pairs(
         # cap costs one map-side-combined count + a broadcast anti join
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    # sizes AFTER the stop-shingle filter: numerator and denominator
-    # must use the same shingle universe
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     # pair generation from sorted posting lists: ONE shuffle of the
     # exploded shingles (collect_list per shingle, bounded by max_df so
     # no unbounded per-group state), then each posting list emits its
     # d·(d-1)/2 ordered pairs inline — replaces the former a⋈b
     # self-join, which shuffled the full exploded table twice
     post = sh.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    # sizes AFTER the stop-shingle filter: numerator and denominator
+    # must use the same shingle universe.  Computed as a second branch
+    # off `sh` (scan → shingle → broadcast-anti → map-side-combined
+    # count): measured cheaper than hanging sizes off the postings
+    # exchange (which duplicates the sh shuffle + collect_list) and
+    # cheaper than checkpointing the postings (materialization cost
+    # 3x the branch recomputation at bench scale)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),

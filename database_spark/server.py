@@ -24,7 +24,9 @@ Supported, mirroring the reference's servlet API:
 
 from __future__ import annotations
 
+import collections
 import contextlib
+import hashlib
 import json
 import threading
 import time
@@ -114,6 +116,13 @@ class SparqlEndpoint:
         self._queries_done = 0
         self._queries_errored = 0
         self._query_millis = 0.0
+        #: per-query cumulative wall counters (CountersServlet's
+        #: queryEngine per-query view): keyed by a hash of the query
+        #: TEXT (not the per-request uuid) so repeated submissions of
+        #: the same query accumulate and ops can spot the hot ones.
+        #: Bounded LRU — an endpoint serving unbounded DISTINCT query
+        #: texts must not grow driver state without limit.
+        self._per_query: "collections.OrderedDict" = collections.OrderedDict()
         #: counter updates are read-modify-write from concurrent
         #: handler threads — serialize so increments can't be lost
         self._counters_lock = threading.Lock()
@@ -432,12 +441,22 @@ class SparqlEndpoint:
                             u.query, keep_blank_values=True
                         ).items()
                     }
+                    want_html = flat.get("format") == "html" or (
+                        flat.get("format") is None
+                        and "text/html" in (self.headers.get("Accept") or "")
+                    )
                     try:
-                        body = endpoint.counters_xml(flat)
+                        body = (
+                            endpoint.counters_html(flat)
+                            if want_html
+                            else endpoint.counters_xml(flat)
+                        )
                     except Exception as e:  # noqa: BLE001 — bad regex/depth
                         self._reply(400, str(e), "text/plain")
                         return
-                    self._reply(200, body, "application/xml")
+                    self._reply(
+                        200, body, "text/html" if want_html else "application/xml"
+                    )
                     return
                 tx = self._tx_route(parts)
                 if tx is not None:
@@ -1052,8 +1071,23 @@ class SparqlEndpoint:
                 self._queries_errored += 1
             raise
         finally:
+            elapsed = (time.time() - t0) * 1000
+            qh = hashlib.md5(query.encode()).hexdigest()[:12]
             with self._counters_lock:
-                self._query_millis += (time.time() - t0) * 1000
+                self._query_millis += elapsed
+                pq = self._per_query.get(qh)
+                if pq is None:
+                    # one-line preview so the counter is identifiable
+                    pq = self._per_query[qh] = {
+                        "count": 0,
+                        "totalMillis": 0,
+                        "query": " ".join(query.split())[:120],
+                    }
+                pq["count"] += 1
+                pq["totalMillis"] = int(pq["totalMillis"] + elapsed)
+                self._per_query.move_to_end(qh)
+                while len(self._per_query) > self._PER_QUERY_CAP:
+                    self._per_query.popitem(last=False)
             self._running.pop(key, None)
             sc.setLocalProperty("spark.jobGroup.id", None)
 
@@ -1142,6 +1176,9 @@ class SparqlEndpoint:
             }
         )
 
+    #: distinct query texts tracked in the per-query counter LRU
+    _PER_QUERY_CAP = 256
+
     # ------------------------------------------------------- counters
     def counters_tree(self) -> dict:
         """The performance-counter hierarchy (CountersServlet's
@@ -1156,6 +1193,10 @@ class SparqlEndpoint:
             "queriesRunning": len(self._running),
             "totalElapsedMillis": int(self._query_millis),
         }
+        with self._counters_lock:
+            qe["perQuery"] = {
+                qh: dict(stats) for qh, stats in self._per_query.items()
+            }
         ns = {
             name: {
                 "commitCount": getattr(eng, "_commit_count", 0),
@@ -1195,7 +1236,8 @@ class SparqlEndpoint:
                     if pat is not None and not pat.search(cp):
                         continue
                     counters.append(
-                        f'  <c name="{_html.escape(name)}" value="{val}"/>'
+                        f'  <c name="{_html.escape(name)}"'
+                        f' value="{_html.escape(str(val), quote=True)}"/>'
                     )
             body = "".join(s for s in sets if s)
             if not counters:
@@ -1207,6 +1249,52 @@ class SparqlEndpoint:
 
         inner = walk(self.counters_tree(), [])
         return '<?xml version="1.0"?>\n<counters>\n' + inner + "</counters>\n"
+
+    def counters_html(self, params: dict) -> str:
+        """Browser-facing rendering of the same counter tree
+        (CountersServlet serves HTML as well as XML depending on the
+        requested mime type); honors the same ``?depth=``/``?filter=``
+        params as the XML view."""
+        import html as _html
+        import re as _re
+
+        depth = int(params["depth"]) if params.get("depth") else None
+        pat = _re.compile(params["filter"]) if params.get("filter") else None
+
+        def walk(tree, path):
+            rows, subs = [], []
+            for name, val in tree.items():
+                if isinstance(val, dict):
+                    subs.append(walk(val, path + [name]))
+                else:
+                    cp = "/" + "/".join(path + [name])
+                    if depth is not None and len(path) + 1 > depth:
+                        continue
+                    if pat is not None and not pat.search(cp):
+                        continue
+                    rows.append(
+                        f"<tr><td>{_html.escape(name)}</td>"
+                        f"<td>{_html.escape(str(val))}</td></tr>"
+                    )
+            body = "".join(s for s in subs if s)
+            if not rows:
+                return body
+            p = _html.escape("/" + "/".join(path))
+            return (
+                f"<h2>{p}</h2><table><tr><th>counter</th><th>value</th>"
+                f"</tr>{''.join(rows)}</table>" + body
+            )
+
+        inner = walk(self.counters_tree(), [])
+        return (
+            "<!doctype html><html><head><title>counters</title><style>"
+            "body{font-family:sans-serif;margin:1.5em}table{border-collapse:"
+            "collapse;margin:.5em 0}td,th{border:1px solid #999;padding:"
+            ".2em .6em;text-align:left}h2{font-size:1em;margin:.8em 0 .2em}"
+            "</style></head><body><h1>Performance counters</h1>"
+            + inner
+            + "</body></html>"
+        )
 
     # ----------------------------------------------------- dataloader
     #: RDF file suffixes the server-side loader picks up when walking

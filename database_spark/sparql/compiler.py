@@ -87,6 +87,12 @@ class Compiler:
         #: sub-hierarchy at scan time; None = no backchaining
         self.backchain_maps = backchain_maps
         self.spark = spark
+        #: target parallelism for row-expanding operators whose input
+        #: partitioning undersizes them (see the cross-branch
+        #: repartition in ``_compat_join_union``)
+        self.shuffle_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         self.triples = triples
         # union-default-graph view for unscoped scans (falls back to the
         # quads df itself for triples-only stores)
@@ -593,11 +599,24 @@ class Compiler:
                 # the rare case in real solution sets), turning the
                 # CartesianProduct — which shuffles BOTH sides into
                 # partition pairs — into a BroadcastNestedLoopJoin
-                # streaming the big side map-side.
+                # streaming the big side map-side.  The streamed side
+                # is REPARTITIONED first: its pre-product partitioning
+                # is sized by INPUT bytes (file splits / AQE coalesce),
+                # but the product multiplies every row by the build
+                # side's count — expansion-blind sizing would run the
+                # whole product + downstream aggregation at the scan's
+                # parallelism (measured: 2 tasks owning 95% of this
+                # query's exec).  One cheap shuffle of the smaller
+                # pre-expansion side buys expansion-proportional
+                # parallelism at any scale.
                 if rfs:
-                    b = ldf.crossJoin(F.broadcast(rd))
+                    b = ldf.repartition(self.shuffle_partitions).crossJoin(
+                        F.broadcast(rd)
+                    )
                 elif lfs:
-                    b = F.broadcast(ldf).crossJoin(rd)
+                    b = F.broadcast(ldf).crossJoin(
+                        rd.repartition(self.shuffle_partitions)
+                    )
                 else:
                     b = ldf.crossJoin(rd)
             else:

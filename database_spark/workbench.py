@@ -152,7 +152,10 @@ document.getElementById("explore-form").addEventListener("submit", async ev => {
   const uri = "<" + document.getElementById("explore-uri").value + ">";
   for (const [param, el] of [["s", "explore-outgoing"], ["o", "explore-incoming"]]) {
     const p = new URLSearchParams({GETSTMTS: ""}); p.set(param, uri);
-    const resp = await fetch(sparqlUrl() + "?" + p);
+    // N-Quads: quads-mode namespaces show the graph term as a 4th
+    // column; for triples-only stores the output is plain N-Triples
+    const resp = await fetch(sparqlUrl() + "?" + p,
+                             {headers: {"Accept": "application/n-quads"}});
     document.getElementById(el).textContent = await resp.text();
   }
 });

@@ -1,0 +1,62 @@
+"""Gating tests for the round-7 ADVICE.md items.
+
+1. journal.py:101 — a busy commit lock raises a CommitConflict-FAMILY
+   error (CommitLockTimeout), not a bare TimeoutError, so callers
+   handling writer contention see one failure type.
+2. journal.py:151 — the remote stale-lock probe tolerates the lock
+   file vanishing between exists() and getFileStatus() (TOCTOU):
+   exercised via the code path contract (the probe is wrapped so a
+   missing file retries the acquire loop instead of propagating).
+3. workbench.py:106 — result VARIABLE NAMES are DOM-escaped like cell
+   values (no "<th>" string concatenation of untrusted names).
+"""
+
+import fcntl
+import os
+
+import pytest
+
+from database_spark.journal import CommitConflict, CommitLockTimeout, Journal
+from database_spark.workbench import WORKBENCH_HTML
+
+
+def test_busy_lock_raises_commit_conflict_family(spark, tmp_path):
+    j = Journal(spark, str(tmp_path))
+    fd = os.open(str(tmp_path / "_commit.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(CommitConflict) as ei:
+            with j._commit_lock(timeout=0.3):
+                pass
+        assert isinstance(ei.value, CommitLockTimeout)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # released: acquire succeeds
+    with j._commit_lock(timeout=0.3):
+        pass
+
+
+def test_remote_stale_probe_wrapped_against_vanishing_lock():
+    """The remote acquire loop's exists/getFileStatus probe must be
+    inside a try/except that retries on a vanished file — source-level
+    contract check (the remote path needs a real HDFS to race)."""
+    import inspect
+
+    src = inspect.getsource(Journal._commit_lock)
+    probe = src.split("while not fs.createNewFile", 1)[1]
+    # the probe is guarded and the handler continues the loop
+    assert "try:" in probe.split("getFileStatus")[0]
+    handler = probe.split("except", 1)[1]
+    first_stmt = next(
+        l.strip() for l in handler.splitlines()[1:] if l.strip()
+    )
+    assert first_stmt == "continue"
+
+
+def test_workbench_escapes_result_variable_names():
+    # header cells are built via createElement/textContent like the
+    # data cells — no raw concatenation of the variable name
+    assert '"<th>" + v + "</th>"' not in WORKBENCH_HTML
+    assert 'createElement("th")' in WORKBENCH_HTML
+    assert "th.textContent = v" in WORKBENCH_HTML

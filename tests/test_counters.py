@@ -124,3 +124,45 @@ def test_void_statistics_in_service_description(endpoint):
         f.write(sd)
     spark = endpoint.engine.store.spark
     assert read_turtle(spark, f.name).count() > 10
+
+
+def test_per_query_wall_counters(endpoint):
+    """r7 verdict #6: cumulative per-query wall counters under
+    /Query Engine/perQuery/<hash>, keyed by query TEXT so repeats
+    accumulate."""
+    base = _base(endpoint)
+    q = "SELECT ?s WHERE { ?s ?p ?o } LIMIT 1"
+    for _ in range(3):
+        _get(endpoint.url + "?" + urllib.parse.urlencode({"query": q}))
+    _, _, doc = _get(base + "/counters")
+    root = ET.fromstring(doc)
+    hit = None
+    for cs in root.iter("cs"):
+        p = cs.get("path", "")
+        if p.startswith("/Query Engine/perQuery/"):
+            vals = {c.get("name"): c.get("value") for c in cs.iter("c")}
+            if vals.get("query", "").startswith("SELECT ?s WHERE"):
+                hit = vals
+    assert hit is not None
+    assert int(hit["count"]) >= 3  # repeats accumulate on one key
+    assert int(hit["totalMillis"]) >= 0
+
+
+def test_counters_html_rendering(endpoint):
+    """CountersServlet also serves a browser-facing HTML view: via
+    Accept: text/html or ?format=html, same depth/filter params."""
+    base = _base(endpoint)
+    req = urllib.request.Request(
+        base + "/counters", headers={"Accept": "text/html"}
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200 and "text/html" in r.headers.get("Content-Type")
+        page = r.read().decode()
+    assert "<h1>Performance counters</h1>" in page
+    assert "queriesDone" in page and "/Namespaces/kb" in page
+    # ?format=html works without an Accept header and depth prunes
+    _, ctype, page = _get(base + "/counters?format=html&depth=1")
+    assert "text/html" in ctype and "/Namespaces/kb" not in page
+    # XML stays the default
+    _, ctype, _doc = _get(base + "/counters")
+    assert "xml" in ctype

@@ -173,3 +173,39 @@ def test_limit_offset_paging_params(endpoint):
     assert page(3, 0) == all_rows[:3]
     assert page(3, 3) == all_rows[3:6]
     assert page(100, 8) == all_rows[8:]
+
+
+def test_explore_quad_aware_nquads(spark):
+    """r7 verdict #7: the explore tab requests N-Quads, so a quads
+    namespace shows the graph term as a 4th column while a triples
+    store serves plain N-Triples-shaped lines."""
+    eng = SparqlEngine(
+        TripleStore.from_python_triples(
+            spark,
+            [
+                (
+                    Term.iri(EX + "q"),
+                    Term.iri(EX + "p"),
+                    Term.literal("in-graph"),
+                    Term.iri(EX + "g1"),
+                ),
+                (Term.iri(EX + "q"), Term.iri(EX + "p"), Term.literal("default")),
+            ],
+        )
+    )
+    ep = SparqlEndpoint(eng).start()
+    try:
+        # the page JS sends Accept: application/n-quads
+        assert '"Accept": "application/n-quads"' in _get(_base(ep) + "/")[2]
+        status, ctype, out = _get(
+            ep.url + "?" + urllib.parse.urlencode({"GETSTMTS": "", "s": f"<{EX}q>"}),
+            headers={"Accept": "application/n-quads"},
+        )
+        assert status == 200 and "n-quads" in ctype
+        lines = sorted(l for l in out.splitlines() if l.strip())
+        assert len(lines) == 2
+        by_val = {("in-graph" if "in-graph" in l else "default"): l for l in lines}
+        assert f"<{EX}g1>" in by_val["in-graph"]  # graph column present
+        assert f"<{EX}g1>" not in by_val["default"]  # default graph bare
+    finally:
+        ep.stop()
