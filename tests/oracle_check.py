@@ -32,8 +32,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH: also write an ORACLE_LOCAL-style machine record
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    record: dict = {}
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -49,10 +57,17 @@ def main() -> int:
             got = fn(spark, sf_dir).toPandas()
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
+            record[name] = {"status": "fail", "err": f"{type(ex).__name__}: {ex}"}
             print(f"FAIL {name}: spark raised {type(ex).__name__}: {ex}")
             continue
         sql = E.oracle_sql().get(name)
         if sql is None:
+            record[name] = {
+                "status": "pass",
+                "rows": len(got),
+                "sec": round(time.time() - t0, 1),
+                "rows_only": True,
+            }
             print(f"ok   {name}: rows={len(got)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -78,10 +93,35 @@ def main() -> int:
                     print("  duck :", w.loc[i].to_dict())
         if status:
             failures.append(name)
+            record[name] = {"status": "fail", "err": "; ".join(status)}
             print(f"FAIL {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
         else:
+            record[name] = {
+                "status": "pass",
+                "rows": len(g),
+                "sec": round(time.time() - t0, 1),
+                "rows_only": False,
+            }
             print(f"ok   {name}: rows={len(g)} [{time.time()-t0:.1f}s]")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json as _json
+
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+        with open(json_out, "w") as f:
+            _json.dump(
+                {
+                    "sf": sf,
+                    "generated_by": "tests/oracle_check.py (full local run)",
+                    "total": len(record),
+                    "pass": sum(1 for r in record.values() if r["status"] == "pass"),
+                    "fail": len(failures),
+                    "results": record,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
     return 1 if failures else 0
 
 

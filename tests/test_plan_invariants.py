@@ -37,9 +37,17 @@ def test_no_row_at_a_time_python_in_any_entry(spark, sf_dir):
 
 
 def test_compat_join_entries_stay_hash_joins(spark, sf_dir):
-    """The nullable-var join/MINUS entries keep equi hash-join shapes:
-    no BroadcastNestedLoopJoin (the OR-condition cliff) anywhere in
-    their plans."""
+    """The nullable-var join/MINUS entries keep scalable join shapes.
+
+    The r4/r5 cliff was an OR-condition join compiling to ONE
+    BroadcastNestedLoopJoin over BOTH FULL SIDES — that must never
+    come back: every JOIN CONDITION in these plans stays equi (hash
+    joins).  The semantically-irreducible unbound-var cross branches
+    are allowed to be BNLJ *with the tiny null-filtered side as the
+    broadcast build* (round-8: that replaced CartesianProduct, which
+    shuffled both sides into partition pairs) — so the invariant is:
+    no CartesianProduct anywhere, and any BNLJ is a Cross/degenerate
+    branch, never carrying the compat join's condition."""
     import __spark_entry__ as E
 
     for name in (
@@ -48,4 +56,23 @@ def test_compat_join_entries_stay_hash_joins(spark, sf_dir):
         "sparql_minus_nullable",
     ):
         plan = _plan(E.queries()[name](spark, sf_dir))
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # any BNLJ must be a condition-free cross branch (build side =
+        # the null-filtered slice), never a condition-bearing join —
+        # in formatted plans the node's Arguments: line carries the
+        # join type and (if any) the condition
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if line.strip().endswith("BroadcastNestedLoopJoin"):
+                args = next(
+                    (
+                        l
+                        for l in lines[i + 1 : i + 5]
+                        if l.strip().startswith("Arguments:")
+                    ),
+                    "",
+                )
+                if not args:
+                    continue  # tree-overview occurrence, details follow
+                assert "Cross" in args or "LeftOuter" in args, (name, args)
+                assert "__id" not in args, (name, args)  # no join cond
