@@ -220,7 +220,15 @@ class SparqlEndpoint:
                 # dispatch can always read them
                 timed_out: list = []
                 deadline_ms = None
+                # read_pin: the WHOLE request — compile, probes, and
+                # the streamed reply (chunked responses execute Spark
+                # jobs while sending) — pins the engine's compaction
+                # snapshot so a concurrent writer's compaction defers
+                # freeing the blocks this request's jobs read (the
+                # soak-test CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND race)
+                _pin = contextlib.ExitStack()
                 try:
+                    _pin.enter_context(engine.read_pin())
                     # ---- REST probes (QueryServlet.java:122-265):
                     # ESTCARD (fast range count), HASSTMT (limit-1
                     # existence), CONTEXTS (distinct graphs).  All
@@ -272,12 +280,11 @@ class SparqlEndpoint:
                         if not params:
                             # GET with no parameters → SPARQL 1.1
                             # Service Description (QueryServlet
-                            # doServiceDescription)
-                            self._reply(
-                                200,
-                                endpoint.service_description(),
-                                "text/turtle",
-                            )
+                            # doServiceDescription); pinned: the VoID
+                            # statistics run jobs over the store frame
+                            with endpoint.engine.read_pin():
+                                sd = endpoint.service_description()
+                            self._reply(200, sd, "text/turtle")
                             return
                         self._reply(
                             400, "missing query parameter", "text/plain"
@@ -361,6 +368,8 @@ class SparqlEndpoint:
                         )
                         return
                     self._reply(400, f"{type(e).__name__}: {e}", "text/plain")
+                finally:
+                    _pin.close()
 
             def _tx_route(self, parts):
                 """``/tx[/<txid>]`` (optionally ``/namespace/<ns>/…``):
@@ -446,11 +455,16 @@ class SparqlEndpoint:
                         and "text/html" in (self.headers.get("Accept") or "")
                     )
                     try:
-                        body = (
-                            endpoint.counters_html(flat)
-                            if want_html
-                            else endpoint.counters_xml(flat)
-                        )
+                        # per-namespace triple counts run jobs over
+                        # every engine's store frame — pin them all
+                        with contextlib.ExitStack() as stack:
+                            for eng in list(endpoint.engines.values()):
+                                stack.enter_context(eng.read_pin())
+                            body = (
+                                endpoint.counters_html(flat)
+                                if want_html
+                                else endpoint.counters_xml(flat)
+                            )
                     except Exception as e:  # noqa: BLE001 — bad regex/depth
                         self._reply(400, str(e), "text/plain")
                         return
@@ -528,9 +542,13 @@ class SparqlEndpoint:
                         self._reply(404, "no such namespace", "text/plain")
                         return
                     try:
-                        body = endpoint.backup(
-                            eng, multi.get("file", ["backup.parquet"])[0]
-                        )
+                        # pin: the snapshot write executes Spark jobs
+                        # over the store frame; a concurrent writer's
+                        # compaction must not free its blocks mid-write
+                        with eng.read_pin():
+                            body = endpoint.backup(
+                                eng, multi.get("file", ["backup.parquet"])[0]
+                            )
                     except FileExistsError as e:
                         self._reply(409, str(e), "text/plain")
                         return
@@ -1377,8 +1395,9 @@ class SparqlEndpoint:
         is immutable, so the written snapshot is transactionally
         consistent even while concurrent updates land (they swap the
         engine's store pointer; they cannot mutate the frame being
-        written).  Refuses to overwrite (the reference requires the
-        target not exist)."""
+        written) — callers hold ``engine.read_pin()`` so compaction
+        cannot free the frame's checkpoint blocks mid-write.  Refuses
+        to overwrite (the reference requires the target not exist)."""
         import os
         import time as _t
 

@@ -10,6 +10,7 @@ Catalyst.  Query forms SELECT/ASK/CONSTRUCT/DESCRIBE
 
 from __future__ import annotations
 
+import contextlib
 import threading
 import time
 from collections import OrderedDict
@@ -171,6 +172,14 @@ class SparqlEngine:
         #: a transaction still reads on them (id(snap) → snap); freed
         #: when the last pinning tx ends.
         self._deferred_snaps: dict = {}
+        #: read pins: id(snap) → [snap, refcount] for reads currently
+        #: executing against a compaction snapshot (see read_pin) —
+        #: compaction defers freeing a read-pinned snapshot exactly
+        #: like a tx-pinned one
+        self._read_pins: dict = {}
+        #: set on tx views: (owner engine, pinned snap) so read_pin on
+        #: a view protects the tx's snapshot in the OWNER's registry
+        self._read_pin_target: "tuple | None" = None
         #: monotonic commit counter — the readsOnCommitTime analog
         self._commit_count = 0
         #: set on tx view engines; all mutation entry points refuse
@@ -794,10 +803,13 @@ class SparqlEngine:
             self.store.spark, snap, has_named=self.store.has_named
         )
         self._compact_snapshot = snap
-        if prev is not None and self._snap_pinned(prev):
-            # a read-only tx still reads on this snapshot: freeing it
-            # would orphan the tx's (lineage-truncated) store.  Defer
-            # until the last pinning tx ends (end_tx frees it).
+        if prev is not None and (
+            self._snap_pinned(prev) or id(prev) in self._read_pins
+        ):
+            # a read-only tx — or an in-flight read (read_pin) — still
+            # reads on this snapshot: freeing it would kill their jobs
+            # with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.  Defer until the
+            # last pin drops (end_tx / read_pin exit frees it).
             self._deferred_snaps[id(prev)] = prev
         else:
             L.unprotect_and_free(prev)
@@ -829,6 +841,55 @@ class SparqlEngine:
             self._recompute_entailments()
         self._fire_changeset()
         self._maybe_compact()
+
+    # ------------------------------------------------ read pinning
+    @contextlib.contextmanager
+    def read_pin(self):
+        """Pin the snapshot this engine's reads start from, so a
+        concurrent writer's compaction cannot free its checkpoint
+        blocks mid-read.
+
+        The reference holds the journal's read lock for the duration
+        of every read; this is the Spark-lifecycle analog.  Without
+        it, a query (or a chunked response streaming for minutes)
+        whose plan references compaction snapshot S dies with
+        CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND the moment 8 more commits
+        land and compaction frees S — found mechanically by the
+        concurrency soak test.  Wrap the WHOLE read (compile through
+        last-row materialization).  No-op when there is no snapshot
+        yet; on a tx view it pins the tx's snapshot in the owner
+        engine's registry (a COMMIT/ABORT ending the tx mid-stream
+        defers the free instead of orphaning the reader)."""
+        owner, snap = self._read_pin_target or (self, self._compact_snapshot)
+        if snap is None:
+            yield
+            return
+        with owner._write_lock:
+            ent = owner._read_pins.setdefault(id(snap), [snap, 0])
+            ent[1] += 1
+        try:
+            yield
+        finally:
+            with owner._write_lock:
+                ent = owner._read_pins.get(id(snap))
+                if ent is not None:
+                    ent[1] -= 1
+                    if ent[1] <= 0:
+                        owner._read_pins.pop(id(snap), None)
+                        owner._free_if_unpinned(snap)
+
+    def _free_if_unpinned(self, snap) -> None:
+        """Free a DEFERRED compaction snapshot once nothing pins it
+        (no tx reads on it, no in-flight read_pin)."""
+        from ..operators import lifecycle as L
+
+        if (
+            snap is not None
+            and id(snap) in self._deferred_snaps
+            and not self._snap_pinned(snap)
+            and id(snap) not in self._read_pins
+        ):
+            L.unprotect_and_free(self._deferred_snaps.pop(id(snap)))
 
     # ------------------------------------------------ transactions
     def _snap_pinned(self, snap) -> bool:
@@ -879,6 +940,7 @@ class SparqlEngine:
                 t["store"], services=self.services, backchain=self.backchain
             )
             view._read_only = True
+            view._read_pin_target = (self, t["snap"])
             t["view"] = view
         return t["view"]
 
@@ -908,6 +970,7 @@ class SparqlEngine:
         view = SparqlEngine(
             t["store"], services=self.services, backchain=self.backchain
         )
+        view._read_pin_target = (self, t["snap"])
         t["view"], t["writable"], t["staged"] = view, True, []
 
         def _capture(cs, staged=t["staged"]):
@@ -964,13 +1027,7 @@ class SparqlEngine:
         t = self._tx.pop(txid)
         for a, r in t.get("staged") or []:
             L.free(a, r)
-        snap = t["snap"]
-        if (
-            snap is not None
-            and id(snap) in self._deferred_snaps
-            and not self._snap_pinned(snap)
-        ):
-            L.unprotect_and_free(self._deferred_snaps.pop(id(snap)))
+        self._free_if_unpinned(t["snap"])
 
     def _fire_changeset(self) -> None:
         """Deliver the accumulated commit delta to subscribers
