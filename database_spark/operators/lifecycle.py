@@ -30,10 +30,20 @@ Catalyst's own resource management.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _ATTR = "_dbspark_ckpt_ids"
 _PROTECTED: set[int] = set()
+#: serializes the before→after persistent-RDD-id diff in
+#: :func:`checkpoint`.  Without it, two threads checkpointing
+#: concurrently (a writer's compaction + a tx view's changeset
+#: capture, as in the server soak) can each swallow the OTHER's new
+#: ids into their ownership set — a later free() of one then
+#: unpersists the other's blocks, killing every reader of that
+#: snapshot with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND.
+_CKPT_LOCK = threading.Lock()
 
 
 def _jmap(sc):
@@ -45,16 +55,30 @@ def _ids(sc) -> set[int]:
 
 
 def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
-    """localCheckpoint + remember the persistent RDD ids it created."""
+    """localCheckpoint + remember the persistent RDD ids it created.
+
+    The id attribution is a before→after diff of the session's
+    persistent-RDD map, serialized under ``_CKPT_LOCK`` so concurrent
+    checkpoints from other threads cannot leak their ids into this
+    ownership set (see the lock's comment).  A concurrent plain
+    ``persist()`` from another thread can still be swallowed — that
+    mis-frees a RECOMPUTABLE cache (a perf hiccup), never a
+    lineage-truncated checkpoint."""
     sc = df.sparkSession.sparkContext
-    before = _ids(sc)
-    out = df.localCheckpoint(eager=eager)
-    setattr(out, _ATTR, _ids(sc) - before)
+    with _CKPT_LOCK:
+        before = _ids(sc)
+        out = df.localCheckpoint(eager=eager)
+        setattr(out, _ATTR, _ids(sc) - before)
     return out
 
 
 def free(*dfs) -> None:
-    """Release the checkpoint blocks owned by each DataFrame (if any)."""
+    """Release the checkpoint blocks owned by each DataFrame (if any).
+
+    PROTECTED ids are skipped as a second line of defense: even if an
+    ownership set was polluted, a session-lifetime artifact (a store
+    compaction snapshot) can only be freed via
+    :func:`unprotect_and_free`, which de-protects first."""
     for df in dfs:
         if df is None:
             continue
@@ -64,6 +88,8 @@ def free(*dfs) -> None:
         sc = df.sparkSession.sparkContext
         jmap = _jmap(sc)
         for i in ids:
+            if i in _PROTECTED:
+                continue
             jrdd = jmap.get(i)
             if jrdd is not None:
                 jrdd.unpersist(False)

@@ -69,3 +69,61 @@ def test_nested_and_concurrent_pins_refcount(spark):
         _commit_n(eng, eng._COMPACT_EVERY, "mid")
         assert id(snap) in eng._deferred_snaps
     assert id(snap) not in eng._deferred_snaps
+
+
+def test_concurrent_checkpoint_ownership_disjoint(spark):
+    """lifecycle.checkpoint attributes created RDD ids by a
+    before/after diff; under concurrency that window must be
+    serialized or one thread's free() unpersists another thread's
+    (even protected) snapshot — the root cause behind the soak's
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND cascade."""
+    import threading
+
+    from database_spark.operators import lifecycle as L
+
+    owned: dict = {}
+    errs: list = []
+
+    def worker(tag):
+        try:
+            dfs = []
+            for i in range(6):
+                df = L.checkpoint(
+                    spark.range(200).selectExpr(f"id + {i} as v")
+                )
+                dfs.append(df)
+            owned[tag] = set().union(
+                *[getattr(d, "_dbspark_ckpt_ids") for d in dfs]
+            )
+            for d in dfs:
+                assert d.count() == 200  # own blocks are alive
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    tags = list(owned)
+    for a in range(len(tags)):
+        for b in range(a + 1, len(tags)):
+            assert not (owned[tags[a]] & owned[tags[b]]), (
+                "ownership sets overlap: a free() would kill a "
+                "sibling's checkpoint"
+            )
+
+
+def test_free_never_touches_protected_ids(spark):
+    from database_spark.operators import lifecycle as L
+
+    snap = L.protected_checkpoint(spark.range(100).selectExpr("id as v"))
+    # pollute another frame's ownership set with the protected id
+    victim = L.checkpoint(spark.range(50).selectExpr("id as w"))
+    getattr(victim, "_dbspark_ckpt_ids").update(
+        getattr(snap, "_dbspark_ckpt_ids")
+    )
+    L.free(victim)
+    assert snap.count() == 100  # protected blocks survived the bad free
+    L.unprotect_and_free(snap)  # proper rotation still frees them
