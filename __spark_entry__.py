@@ -1427,6 +1427,37 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+#: per-language keep rates for the stratified-sampling entry (mixture
+#: weights; quantized to 1/65536 — see pipeline/sample.py)
+SAMPLE_RATES = {"en": 0.8, "de": 0.3, "zh": 0.5}
+SAMPLE_DEFAULT_RATE = 0.1
+SAMPLE_SEED = "s0"
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sampling of the documents table
+    (pipeline/sample.py): membership is a pure function of
+    md5(seed||doc_id), so the oracle reproduces the exact sample with
+    one SQL predicate.  Map-side only — no shuffle at any scale."""
+    from database_spark.pipeline import sample
+
+    d = _read(spark, sf_dir, "documents")
+    return sample.sample_stratified(
+        d, "doc_id", "lang", SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT_RATE, seed=SAMPLE_SEED,
+    ).select("doc_id", "lang")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-50 by total occurrences (count desc,
+    token asc tiebreak — deterministic in both engines so the LIMIT
+    cuts the same set)."""
+    from database_spark.pipeline import text as TX
+
+    d = _read(spark, sf_dir, "documents")
+    return TX.vocab_topk(d, "text", k=50)
+
+
 # ------------------------------------------------- relational / pipeline
 
 
@@ -1709,6 +1740,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_cosine_pairs": q_lsh_cosine_pairs,
     "embedding_dedup": q_embedding_dedup,
     "ivf_topk": q_ivf_topk,
+    "sample_stratified": q_sample_stratified,
+    "vocab_topk": q_vocab_topk,
 }
 
 
@@ -1888,6 +1921,23 @@ def _embedding_dedup_oracle() -> str:
                coalesce(c.component, e.vec_id) AS cluster,
                (coalesce(c.component, e.vec_id) = e.vec_id) AS keep
         FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    """
+
+
+def _sample_stratified_oracle() -> str:
+    """The exact sample membership predicate, rebuilt from the same
+    rate constants: 4-hex-char md5 prefix vs per-stratum threshold
+    (lexicographic compare == numeric for same-length lowercase hex)."""
+    from database_spark.pipeline.sample import rate_to_hex
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{rate_to_hex(r)}'"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5('{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < CASE lang {cases} ELSE '{rate_to_hex(SAMPLE_DEFAULT_RATE)}' END
     """
 
 
@@ -2435,6 +2485,15 @@ ORACLES: dict[str, str] = {
     "lsh_cosine_pairs": _lsh_pairs_oracle(),
     "embedding_dedup": _embedding_dedup_oracle(),
     "ivf_topk": _ivf_topk_oracle(),
+    "sample_stratified": _sample_stratified_oracle(),
+    "vocab_topk": """
+        SELECT token, occurrences FROM (
+          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS occurrences
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+                FROM documents)
+          GROUP BY 1
+        ) ORDER BY occurrences DESC, token ASC LIMIT 50
+    """,
     "ngram_jaccard": r"""
         WITH sh AS (
           SELECT doc_id,

@@ -1,0 +1,66 @@
+"""Deterministic (hash-based) corpus sampling.
+
+Training-data pipelines don't use random sampling: a rerun must pick
+the SAME documents (reproducible mixtures, resumable jobs, leakage
+audits), and the decision must be a pure function of the document id
+so it needs no state, no shuffle, and no coordination — at 100 TB the
+sampler must stream map-side.
+
+The keep decision compares the first 4 hex chars of ``md5(seed||id)``
+lexicographically against a threshold (same-length lowercase hex
+compares identically to its numeric value): md5 is available
+bit-identically in Spark and DuckDB (and virtually everywhere else),
+so downstream systems — and this repo's correctness oracle — can
+reproduce exact sample membership with one SQL predicate.
+
+Rates are quantized to 1/65536 steps (4 hex digits): a documented
+contract, not a limitation — mixture weights in practice are coarse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rate_to_hex(rate: float) -> str:
+    """Threshold hex prefix for a keep-rate in [0, 1].
+
+    rate >= 1 returns ``"g"`` — one char past the hex alphabet, so
+    every 4-char hex prefix compares below it (a 5-char ``"10000"``
+    would lexicographically sort BEFORE almost all 4-char prefixes
+    and silently drop ~15/16 of a keep-everything stratum)."""
+    n = max(0, min(65536, int(rate * 65536)))
+    return "g" if n >= 65536 else format(n, "04x")
+
+
+def _hash_prefix(id_col: Column, seed: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 4
+    )
+
+
+def sample_rate(df: DataFrame, id_col: str, rate: float, seed: str = "s0") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash.
+    Pure map-side filter: no shuffle, no state, rerun-stable."""
+    return df.where(_hash_prefix(F.col(id_col), seed) < rate_to_hex(rate))
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the mixture-weights step of
+    a pretraining pipeline: e.g. keep 80% of en, 30% of de, 10% of the
+    rest).  One CASE over the stratum column picks the threshold; the
+    keep decision stays a map-side filter with NO shuffle and no
+    per-stratum pass — the single-scan analog of running one sampler
+    per corpus slice."""
+    thr = F.lit(rate_to_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, rate_to_hex(rate)).otherwise(thr)
+    return df.where(_hash_prefix(F.col(id_col), seed) < thr)

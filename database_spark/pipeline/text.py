@@ -104,3 +104,21 @@ def fingerprint(text: Column) -> Column:
     bit-for-bit)."""
     norm = F.array_join(tokens(text), " ")
     return F.md5(norm.cast("binary"))
+
+
+def vocab_topk(df, text_col: str, k: int = 100):
+    """Corpus vocabulary top-k: token → document frequency + total
+    occurrences, the highest-`k` by occurrence count (count desc,
+    token asc tiebreak so the result is deterministic).
+
+    Scale shape: explode → ONE hash aggregate (map-side combined: the
+    shuffle carries per-partition partial counts, ~|vocab| rows per
+    partition, never the token stream) → global top-k via
+    TakeOrdered (per-partition heads, no full sort of the vocabulary).
+    At 100 TB this is the standard corpus-stats pass.
+    """
+    from pyspark.sql import functions as F
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("occurrences"))
+    return counts.orderBy(F.col("occurrences").desc(), F.col("token").asc()).limit(k)

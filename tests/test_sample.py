@@ -1,0 +1,50 @@
+"""Deterministic sampling (pipeline/sample.py) + corpus vocab top-k."""
+
+from pyspark.sql import functions as F
+
+from database_spark.pipeline import sample
+from database_spark.pipeline.text import vocab_topk
+
+
+def test_sample_rate_deterministic_and_nested(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a1 = {r[0] for r in sample.sample_rate(d, "doc_id", 0.3).select("doc_id").collect()}
+    a2 = {r[0] for r in sample.sample_rate(d, "doc_id", 0.3).select("doc_id").collect()}
+    assert a1 == a2  # rerun-stable
+    big = {r[0] for r in sample.sample_rate(d, "doc_id", 0.6).select("doc_id").collect()}
+    assert a1 <= big  # raising the rate only ADDS documents
+    n = d.count()
+    assert 0.15 * n < len(a1) < 0.45 * n  # roughly the asked rate
+    # different seed = different membership
+    b = {r[0] for r in sample.sample_rate(d, "doc_id", 0.3, seed="s1").select("doc_id").collect()}
+    assert b != a1
+
+
+def test_sample_stratified_rates_and_no_shuffle(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sample.sample_stratified(
+        d, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    totals = {r[0]: r[1] for r in d.groupBy("lang").count().collect()}
+    assert got.get("en") == totals["en"]  # rate 1.0 keeps everything
+    assert "de" not in got  # rate 0.0 drops the stratum
+    for lang, n in totals.items():
+        if lang in ("en", "de"):
+            continue
+        assert 0.2 * n < got.get(lang, 0) < 0.8 * n  # ~default rate
+    # map-side only: the filter plan has no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_vocab_topk_order_and_tiebreak(spark):
+    d = spark.createDataFrame(
+        [("b b b a a c",), ("a c d",)], "text string"
+    )
+    rows = vocab_topk(d, "text", k=3).collect()
+    assert [(r["token"], r["occurrences"]) for r in rows] == [
+        ("a", 3),
+        ("b", 3),
+        ("c", 2),
+    ]  # count desc, token asc on the a/b tie
