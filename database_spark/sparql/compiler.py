@@ -1973,7 +1973,13 @@ class Compiler:
             agg_cols += agg_cols_for
             repl.append((agg, F.col(name)))
 
-        gb_cols = [c for k in keys for c in (k, k + "__id")]
+        # __id FIRST: grouping can fall back to SortAggregate (struct
+        # agg buffers, e.g. min_by's), and SortExec radix-sorts on a
+        # leading LONG prefix — the id determines the term, so nearly
+        # every comparison resolves on the prefix instead of an
+        # interpreted struct comparator (measured 3x on a 19.5M-row
+        # product aggregate at sf1); group-key SETS are order-free
+        gb_cols = [c for k in keys for c in (k + "__id", k)]
         if keys:
             grouped = df.groupBy(*gb_cols).agg(*agg_cols) if agg_cols else df.select(*gb_cols).dropDuplicates([k + "__id" for k in keys])
         else:
