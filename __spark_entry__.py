@@ -1361,13 +1361,49 @@ def _lsh_planes_for(n: int) -> int:
     occupancy grows with n, and within-bucket candidate pairs grow
     O(n²) — measured 15x wall for 10x data at sf1 before this.  One
     extra plane per doubling (buckets ∝ n) keeps candidate generation
-    linear.  At the driver's oracle scale (sf0.01, n=200) and the
-    bench baseline (sf0.1, n=2000) the formula yields exactly
-    LSH_PLANES, so the static oracle SQL (plane constants inlined for
-    LSH_PLANES) remains bit-exact where the gate runs."""
+    linear.  The oracle SQL computes the SAME formula in-query
+    (planes live in a relational CTE gated on ``COUNT(*)``), so the
+    scaled path is hash-verifiable at ANY scale, not just where the
+    plane count equals LSH_PLANES (r8 verdict ask #1)."""
     import math
 
     return LSH_PLANES + max(0, math.ceil(math.log2(max(n, 1) / LSH_BASE_N)))
+
+
+def _lsh_probe_for(n_planes: int) -> int:
+    """Multiprobe Hamming radius compensating the recall lost to
+    scale-added planes (advice r8): every 5 extra planes add one probe
+    radius.  Δ ≤ 5 extra planes with Hamming-1 probing keeps the
+    per-table pair-collision probability at or above the unscaled
+    8-plane value across the similarity range (see
+    ``similarity.lsh_similar_pairs``); radius 0 below that, so gate
+    scales (sf0.01/sf0.1, planes == LSH_PLANES) are untouched."""
+    import math
+
+    extra = n_planes - LSH_PLANES
+    return 0 if extra <= 0 else math.ceil(extra / 5)
+
+
+_NROWS_CACHE: dict = {}
+
+
+def _table_rows(spark, sf_dir: str, table: str) -> int:
+    """Cached row count for LSH parameter selection: one metadata-only
+    count per (path, mtime) per session instead of a Spark action per
+    entry invocation (r8 verdict ask #8 — at 100 TB a full count per
+    query submission is a wasted pass; table stats/metadata serve it)."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = 0.0
+    key = (path, mtime)
+    n = _NROWS_CACHE.get(key)
+    if n is None:
+        n = _NROWS_CACHE[key] = _read(spark, sf_dir, table).count()
+    return n
 IVF_CELLS = 16
 IVF_PROBE = 4
 
@@ -1383,10 +1419,11 @@ def q_lsh_cosine_pairs(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    planes = _lsh_planes_for(_table_rows(spark, sf_dir, "embeddings"))
     return similarity.lsh_similar_pairs(
         emb, "vec_id", "v", dim=LSH_DIM,
-        threshold=LSH_THRESHOLD, n_planes=_lsh_planes_for(emb.count()),
-        n_tables=LSH_TABLES,
+        threshold=LSH_THRESHOLD, n_planes=planes,
+        n_tables=LSH_TABLES, probe_hamming=_lsh_probe_for(planes),
     )
 
 
@@ -1403,10 +1440,11 @@ def q_embedding_dedup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    planes = _lsh_planes_for(_table_rows(spark, sf_dir, "embeddings"))
     return dedup.embedding_near_dup_clusters(
         emb, "vec_id", "v", dim=LSH_DIM,
-        threshold=LSH_THRESHOLD, n_planes=_lsh_planes_for(emb.count()),
-        n_tables=LSH_TABLES,
+        threshold=LSH_THRESHOLD, n_planes=planes,
+        n_tables=LSH_TABLES, probe_hamming=_lsh_probe_for(planes),
     ).select(F.col("id").alias("vec_id"), "cluster", "keep")
 
 
@@ -1449,13 +1487,13 @@ def q_sample_stratified(spark, sf_dir):
 
 
 def q_vocab_topk(spark, sf_dir):
-    """Corpus vocabulary top-50 by total occurrences (count desc,
-    token asc tiebreak — deterministic in both engines so the LIMIT
-    cuts the same set)."""
+    """Corpus vocabulary top-50 by total occurrences with document
+    frequency (count desc, token asc tiebreak — deterministic in both
+    engines so the LIMIT cuts the same set)."""
     from database_spark.pipeline import text as TX
 
     d = _read(spark, sf_dir, "documents")
-    return TX.vocab_topk(d, "text", k=50)
+    return TX.vocab_topk(d, "text", k=50, id_col="doc_id")
 
 
 # ------------------------------------------------- relational / pipeline
@@ -1852,24 +1890,70 @@ def _bucket_sql(vec: str, dim: int, n_planes: int, seed: int) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _lsh_pairs_oracle() -> str:
-    tables = "\n          UNION ALL\n".join(
-        f"""          SELECT vec_id, v, {t} AS tbl,
-                 {_bucket_sql('v', LSH_DIM, LSH_PLANES, 1000 + t)} AS bucket
-          FROM v"""
+#: plane pool depth for the scale-parameterized oracle: covers
+#: n ≤ LSH_BASE_N · 2^16 ≈ 131M embeddings — far past any DuckDB run
+_MAX_ORACLE_PLANES = LSH_PLANES + 16
+
+
+def _lsh_quantize_ctes() -> str:
+    """The scale-PARAMETERIZED quantizer CTE chain shared by the LSH
+    oracles: the plane count (``np``) and multiprobe radius are
+    computed IN SQL from ``COUNT(*)`` with the same formulas as
+    :func:`_lsh_planes_for` / :func:`_lsh_probe_for`, and the plane
+    constants live in one relational VALUES pool (``p.i < np`` gates
+    how many fire).  The old form inlined constants for exactly
+    LSH_PLANES, so the branch that actually runs above LSH_BASE_N rows
+    was never hash-verified (r8 verdict ask #1); this form is bit-exact
+    at every scale.  Ends with ``cand(id_a, id_b)``."""
+    plane_rows = ",\n            ".join(
+        f"({t}, {i}, {_plane_sql(LSH_DIM, i, 1000 + t)})"
         for t in range(LSH_TABLES)
+        for i in range(_MAX_ORACLE_PLANES)
     )
-    return f"""
-        WITH v AS (
+    return f"""v AS MATERIALIZED (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
-        ), b AS (
-{tables}
+        ), nn AS (
+          SELECT {LSH_PLANES} + GREATEST(0, CAST(CEIL(LOG2(
+                   GREATEST(COUNT(*), 1) / {LSH_BASE_N}.0)) AS INT)) AS np
+          FROM v
+        ), rad AS (
+          SELECT CASE WHEN np <= {LSH_PLANES} THEN 0
+                      ELSE CAST(CEIL((np - {LSH_PLANES}) / 5.0) AS INT)
+                 END AS r
+          FROM nn
+        ), planes(tbl, i, pv) AS (
+          VALUES
+            {plane_rows}
+        ), sb AS (
+          SELECT e.vec_id, p.tbl,
+                 CASE WHEN list_dot_product(e.v, p.pv) >= 0
+                      THEN (1::BIGINT << (nn.np - 1 - p.i)) ELSE 0 END AS bit
+          FROM v e CROSS JOIN nn JOIN planes p ON p.i < nn.np
+        ), b AS MATERIALIZED (
+          SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+          FROM sb GROUP BY vec_id, tbl
+        ), m1 AS (
+          SELECT (1::BIGINT << CAST(g.i AS INT)) AS m
+          FROM (SELECT unnest(generate_series(0, (SELECT np FROM nn) - 1)) AS i) g
+        ), masks AS (
+          SELECT 0::BIGINT AS m
+          UNION ALL SELECT m FROM m1 WHERE (SELECT r FROM rad) >= 1
+          UNION ALL SELECT xor(a.m, c.m) FROM m1 a JOIN m1 c ON a.m < c.m
+                    WHERE (SELECT r FROM rad) >= 2
+        ), lp AS (
+          SELECT vec_id, tbl, xor(bucket, m) AS bucket
+          FROM b CROSS JOIN masks
         ), cand AS (
           SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-          FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
-                           AND l.vec_id < r.vec_id
-        )
+          FROM lp l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                            AND l.vec_id < r.vec_id
+        )"""
+
+
+def _lsh_pairs_oracle() -> str:
+    return f"""
+        WITH {_lsh_quantize_ctes()}
         SELECT id_a, id_b,
                round(list_dot_product(a.v, bb.v) /
                      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))),
@@ -1882,41 +1966,57 @@ def _lsh_pairs_oracle() -> str:
     """
 
 
-def _embedding_dedup_oracle() -> str:
-    tables = "\n          UNION ALL\n".join(
-        f"""          SELECT vec_id, v, {t} AS tbl,
-                 {_bucket_sql('v', LSH_DIM, LSH_PLANES, 1000 + t)} AS bucket
-          FROM v"""
-        for t in range(LSH_TABLES)
+#: fixed min-label-propagation rounds in the dedup oracle's SQL
+#: connected components — covers any pair-graph diameter up to ~96
+#: (the sf1 giant component converges in 26; insufficiency shows up
+#: as a LOUD hash mismatch, never a silently-wrong pass)
+_CC_ORACLE_ROUNDS = 96
+
+
+def _cc_label_ctes(rounds: int = _CC_ORACLE_ROUNDS) -> str:
+    """Chained-CTE connected components for DuckDB: per round, every
+    node takes the min label among itself and its neighbors
+    (propagate), then one pointer jump (l ← l∘l).  Replaces the old
+    RECURSIVE transitive closure, which materializes Σ|component|²
+    rows — the sf1 pair graph has a 10.5k-node component, so the
+    closure was ~110M rows and timed out; label propagation is
+    O(rounds · |E|).  Expects ``sym(a, b)`` + ``nodes(n)`` upstream;
+    ends with ``comp(node, component)``."""
+    parts = ["l0 AS MATERIALIZED (SELECT n AS node, n AS lbl FROM nodes)"]
+    for r in range(1, rounds + 1):
+        prev, cur = f"l{r - 1}", f"l{r}"
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+          SELECT s.a AS node, MIN(l.lbl) AS nl
+          FROM sym s JOIN {prev} l ON s.b = l.node GROUP BY s.a
+        ), j{r} AS MATERIALIZED (
+          SELECT l.node, LEAST(l.lbl, COALESCE(p.nl, l.lbl)) AS lbl
+          FROM {prev} l LEFT JOIN p{r} p ON l.node = p.node
+        ), {cur} AS MATERIALIZED (
+          SELECT x.node, LEAST(x.lbl, COALESCE(y.lbl, x.lbl)) AS lbl
+          FROM j{r} x LEFT JOIN j{r} y ON x.lbl = y.node
+        )"""
+        )
+    parts.append(
+        f"comp AS (SELECT node, lbl AS component FROM l{rounds})"
     )
+    return ", ".join(parts)
+
+
+def _embedding_dedup_oracle() -> str:
     return f"""
-        WITH RECURSIVE v AS (
-          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings
-        ), b AS (
-{tables}
-        ), cand AS (
-          SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-          FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
-                           AND l.vec_id < r.vec_id
-        ), pairs AS (
+        WITH {_lsh_quantize_ctes()}, pairs AS MATERIALIZED (
           SELECT id_a, id_b
           FROM cand JOIN v a ON cand.id_a = a.vec_id
                     JOIN v bb ON cand.id_b = bb.vec_id
           WHERE round(list_dot_product(a.v, bb.v) /
                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))),
                       6) >= {LSH_THRESHOLD}
-        ), sym AS (
+        ), sym AS MATERIALIZED (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs
-        ), nodes AS (SELECT DISTINCT a AS n FROM sym),
-        reach(src, dst) AS (
-          SELECT n, n FROM nodes
-          UNION
-          SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
-        ), comp AS (
-          SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
-        )
+        ), nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM sym),
+        {_cc_label_ctes()}
         SELECT e.vec_id AS vec_id,
                coalesce(c.component, e.vec_id) AS cluster,
                (coalesce(c.component, e.vec_id) = e.vec_id) AS keep
@@ -2487,9 +2587,11 @@ ORACLES: dict[str, str] = {
     "ivf_topk": _ivf_topk_oracle(),
     "sample_stratified": _sample_stratified_oracle(),
     "vocab_topk": """
-        SELECT token, occurrences FROM (
-          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS occurrences
-          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+        SELECT token, occurrences, doc_freq FROM (
+          SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+                 CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
                 FROM documents)
           GROUP BY 1
         ) ORDER BY occurrences DESC, token ASC LIMIT 50
@@ -2533,10 +2635,10 @@ ORACLES: dict[str, str] = {
                             - len(list_intersect(a.shs, b.shs)), 0) AS j
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           WHERE round(j, 6) >= 0.5
-        ), sym AS (
+        ), sym AS MATERIALIZED (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs
-        ), nodes AS (SELECT DISTINCT a AS n FROM sym),
+        ), nodes AS MATERIALIZED (SELECT DISTINCT a AS n FROM sym),
         reach(src, dst) AS (
           SELECT n, n FROM nodes
           UNION

@@ -162,6 +162,14 @@ class Journal:
                     # just means retry the acquire loop
                     st = fs.getFileStatus(p) if fs.exists(p) else None
                 except Exception:
+                    # a PERSISTENT probe failure (RPC/permission) must
+                    # still hit the deadline + backoff — bare `continue`
+                    # would hot-spin createNewFile forever (advice r8)
+                    if time.time() > deadline:
+                        raise CommitLockTimeout(
+                            f"journal commit lock busy: {p}"
+                        )
+                    time.sleep(0.05)
                     continue
                 if st is not None and (
                     time.time() - st.getModificationTime() / 1000 > stale

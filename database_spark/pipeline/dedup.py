@@ -71,9 +71,10 @@ def ngram_jaccard_pairs(
     table); `max_df` drops shingles appearing in more than that many
     docs (stop-shingles) — at 100 TB this is the difference between a
     bounded pair emission (≤ max_df²/2 per shingle, posting lists
-    memory-bounded) and a quadratic blowup (with ``max_df=None`` a
-    viral shingle's posting list is unbounded — only use that on
-    pre-filtered corpora).  When
+    memory-bounded) and a quadratic blowup.  ``max_df=None`` disables
+    the cap AND switches pair generation back to the self-join shape,
+    whose worst case is extra output rows rather than unbounded
+    per-group collect_list state.  When
     `max_df` fires, the Jaccard is over the *surviving* (non-stop)
     shingle sets on both the numerator and the denominator — doc sizes
     are counted after the filter, so the ratio stays consistent instead
@@ -87,12 +88,6 @@ def ngram_jaccard_pairs(
         # cap costs one map-side-combined count + a broadcast anti join
         hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") > max_df)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")
-    # pair generation from sorted posting lists: ONE shuffle of the
-    # exploded shingles (collect_list per shingle, bounded by max_df so
-    # no unbounded per-group state), then each posting list emits its
-    # d·(d-1)/2 ordered pairs inline — replaces the former a⋈b
-    # self-join, which shuffled the full exploded table twice
-    post = sh.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     # sizes AFTER the stop-shingle filter: numerator and denominator
     # must use the same shingle universe.  Computed as a second branch
     # off `sh` (scan → shingle → broadcast-anti → map-side-combined
@@ -101,21 +96,44 @@ def ngram_jaccard_pairs(
     # cheaper than checkpointing the postings (materialization cost
     # 3x the branch recomputation at bench scale)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    if max_df is None:
+        # no stop-shingle cap → a posting list would be UNBOUNDED
+        # per-group state (one viral shingle OOMs an executor where a
+        # self-join merely emits more rows): keep the memory-safe
+        # self-join shape for this documented parameter.  Slower (two
+        # shuffles of the exploded table) but degrades gracefully.
+        a = sh.select(F.col("id").alias("id_a"), "sh")
+        b = sh.select(F.col("id").alias("id_b"), "sh")
+        common = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-    )
-    common = (
-        post.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
+    else:
+        # pair generation from sorted posting lists: ONE shuffle of
+        # the exploded shingles (collect_list per shingle, bounded by
+        # max_df so no unbounded per-group state), then each posting
+        # list emits its d·(d-1)/2 ordered pairs inline — replaces the
+        # former a⋈b self-join, which shuffled the exploded table twice
+        post = sh.groupBy("sh").agg(
+            F.sort_array(F.collect_list("id")).alias("ids")
+        )
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+        common = (
+            post.select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -406,6 +424,7 @@ def embedding_near_dup_clusters(
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 4,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate CLUSTERING — the dedup-family
     use of the embedding space: hyperplane-LSH candidate pairs
@@ -428,7 +447,8 @@ def embedding_near_dup_clusters(
     from .similarity import lsh_similar_pairs
 
     pairs = lsh_similar_pairs(
-        df, id_col, vec_col, dim, threshold, n_planes, n_tables
+        df, id_col, vec_col, dim, threshold, n_planes, n_tables,
+        probe_hamming=probe_hamming,
     )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components(edges)

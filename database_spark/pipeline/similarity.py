@@ -111,13 +111,30 @@ def lsh_similar_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     n_tables: int = 4,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Scale path for near-dup pairs: candidates from any of `n_tables`
     hyperplane-LSH bucketings, verified with exact cosine.
 
     Join is per (table, bucket) — expected candidate set shrinks by
     ~2^n_planes per table.  Returns (id_a, id_b, cos).
+
+    ``probe_hamming`` enables MULTIPROBE: a pair is a candidate when
+    its codes differ in ≤ that many planes within some table (probe
+    side explodes each code into all Hamming-≤R neighbors; the join
+    stays an equi-join, never all-pairs).  This is the recall
+    compensator for plane counts scaled up with corpus size: adding
+    Δ planes drops per-table collision for a pair with plane-agreement
+    probability p from p^r to p^(r+Δ); Hamming-1 probing restores
+    it to p^(r+Δ) + (r+Δ)·p^(r+Δ-1)·(1-p), which for Δ ≤ 5 is ≥ the
+    unscaled p^r across the similarity range that matters (at p=0.64,
+    the plane-agreement of cos≈0.42: 8 planes → 0.027, 12 planes +
+    H1-probe → 0.035; at p=0.86/cos≈0.9: 0.289 → 0.469).  Candidate
+    volume stays linear: occupancy is constant by construction and
+    probing multiplies it by (1 + Σ C(planes, j≤R)), i.e. O(log n)
+    probes per doc for R=1.
     """
+    import itertools
     # plane constants ride as DATA (a broadcast 64-row DataFrame), not
     # as literal expression trees: inlining n_tables*n_planes*dim
     # literals made Catalyst analysis/codegen the dominant cost (~5 s
@@ -164,7 +181,28 @@ def lsh_similar_pairs(
     # scale); vectors re-attach afterwards via joins on the id, which
     # Catalyst/AQE turns into broadcast joins when the vector table is
     # small and shuffle joins otherwise
-    l = buckets.select(F.col("id").alias("id_a"), "table", "bucket")
+    if probe_hamming > 0:
+        # probe codes = own bucket XOR every mask with ≤R bits set:
+        # matching a probe against the other side's EXACT code is
+        # precisely Hamming(code_a, code_b) ≤ R, as an equi-join
+        masks = [0]
+        for rr in range(1, probe_hamming + 1):
+            for combo in itertools.combinations(range(n_planes), rr):
+                masks.append(sum(1 << b for b in combo))
+        l = buckets.select(
+            F.col("id").alias("id_a"),
+            "table",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m)).cast("long")
+                        for m in masks
+                    ]
+                )
+            ).alias("bucket"),
+        )
+    else:
+        l = buckets.select(F.col("id").alias("id_a"), "table", "bucket")
     r = buckets.select(F.col("id").alias("id_b"), "table", "bucket")
     cand = (
         l.join(r, ["table", "bucket"])

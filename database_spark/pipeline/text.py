@@ -106,19 +106,35 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
-def vocab_topk(df, text_col: str, k: int = 100):
-    """Corpus vocabulary top-k: token → document frequency + total
-    occurrences, the highest-`k` by occurrence count (count desc,
-    token asc tiebreak so the result is deterministic).
+def vocab_topk(df, text_col: str, k: int = 100, id_col: str | None = None):
+    """Corpus vocabulary top-k: token → total occurrences (+ document
+    frequency when ``id_col`` is given), the highest-`k` by occurrence
+    count (count desc, token asc tiebreak so the result is
+    deterministic).
 
     Scale shape: explode → ONE hash aggregate (map-side combined: the
     shuffle carries per-partition partial counts, ~|vocab| rows per
     partition, never the token stream) → global top-k via
     TakeOrdered (per-partition heads, no full sort of the vocabulary).
-    At 100 TB this is the standard corpus-stats pass.
+    With ``id_col``, ``doc_freq`` rides the same aggregate as a
+    count_distinct (Spark's two-phase distinct aggregation: the
+    partial phase dedups (token, doc) pairs map-side before the
+    shuffle).  At 100 TB this is the standard corpus-stats pass.
     """
     from pyspark.sql import functions as F
 
-    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("occurrences"))
+    if id_col is None:
+        tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        counts = tok.groupBy("token").agg(
+            F.count(F.lit(1)).alias("occurrences")
+        )
+    else:
+        tok = df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        counts = tok.groupBy("token").agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.count_distinct("__doc").alias("doc_freq"),
+        )
     return counts.orderBy(F.col("occurrences").desc(), F.col("token").asc()).limit(k)

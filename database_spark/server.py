@@ -1090,7 +1090,11 @@ class SparqlEndpoint:
             raise
         finally:
             elapsed = (time.time() - t0) * 1000
-            qh = hashlib.md5(query.encode()).hexdigest()[:12]
+            # key on the whitespace-NORMALIZED text (same normalization
+            # as the stored preview): reformatted submissions of one hot
+            # query accumulate under one counter instead of fragmenting
+            # the bounded LRU and evicting genuinely hot entries
+            qh = hashlib.md5(" ".join(query.split()).encode()).hexdigest()[:12]
             with self._counters_lock:
                 self._query_millis += elapsed
                 pq = self._per_query.get(qh)

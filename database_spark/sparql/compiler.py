@@ -594,35 +594,59 @@ class Compiler:
             elif how == "inner":
                 # unbound side matches everything: the cross product is
                 # the semantics, confined to the (small) null partition.
-                # Broadcast the null-filtered side: it is small by
-                # construction (rows where a shared var is UNBOUND are
-                # the rare case in real solution sets), turning the
-                # CartesianProduct — which shuffles BOTH sides into
-                # partition pairs — into a BroadcastNestedLoopJoin
-                # streaming the big side map-side.  The streamed side
-                # is REPARTITIONED first: its pre-product partitioning
-                # is sized by INPUT bytes (file splits / AQE coalesce),
-                # but the product multiplies every row by the build
-                # side's count — expansion-blind sizing would run the
-                # whole product + downstream aggregation at the scan's
-                # parallelism (measured: 2 tasks owning 95% of this
-                # query's exec).  One cheap shuffle of the smaller
-                # pre-expansion side buys expansion-proportional
-                # parallelism at any scale.
                 if rfs:
-                    b = ldf.repartition(self.shuffle_partitions).crossJoin(
-                        F.broadcast(rd)
-                    )
+                    b = self._null_slice_cross(ldf, rd)
                 elif lfs:
-                    b = F.broadcast(ldf).crossJoin(
-                        rd.repartition(self.shuffle_partitions)
-                    )
+                    b = self._null_slice_cross(rd, ldf, build_left=True)
                 else:
                     b = ldf.crossJoin(rd)
             else:
                 b = ldf.join(rd, F.lit(True), how)
             out = b if out is None else out.unionByName(b)
         return out
+
+    #: broadcast the null-filtered compat-join slice only below this
+    #: many rows (probed with an early-exit limit+count): term-struct
+    #: solution rows run ~100-300 B, so 1M rows stays well under
+    #: Spark's 8 GB broadcast hard limit with margin for wide
+    #: projections.  Above it the product falls back to a
+    #: repartitioned CartesianProduct — slower, but it DEGRADES on
+    #: adversarial unbound-heavy data where the unconditional
+    #: broadcast simply died (r8 verdict #3).
+    _COMPAT_BCAST_MAX_ROWS = 1_000_000
+
+    def _null_slice_cross(
+        self, stream_df: DataFrame, build_df: DataFrame, build_left: bool = False
+    ) -> DataFrame:
+        """Cross product of a (normally tiny) null-filtered slice with
+        the full other side.
+
+        Small build side (the common case — rows where a shared var is
+        UNBOUND are rare in real solution sets): broadcast it, turning
+        the CartesianProduct — which shuffles BOTH sides into partition
+        pairs — into a BroadcastNestedLoopJoin streaming the big side
+        map-side.  The streamed side is REPARTITIONED first: its
+        pre-product partitioning is sized by INPUT bytes (file splits /
+        AQE coalesce), but the product multiplies every row by the
+        build side's count — expansion-blind sizing would run the whole
+        product + downstream aggregation at the scan's parallelism
+        (measured: 2 tasks owning 95% of this query's exec).  One cheap
+        shuffle of the smaller pre-expansion side buys
+        expansion-proportional parallelism at any scale.
+
+        The build side's size is PROBED (limit(max+1).count() — an
+        early-exit partial job, not a full count) because it is
+        data-dependent: it grows O(n) on unbound-heavy data, and an
+        unguarded broadcast fails outright at the 8 GB limit instead of
+        degrading.  Above the bound, both sides repartition into a
+        plain CartesianProduct."""
+        stream = stream_df.repartition(self.shuffle_partitions)
+        probe = build_df.limit(self._COMPAT_BCAST_MAX_ROWS + 1).count()
+        if probe <= self._COMPAT_BCAST_MAX_ROWS:
+            build = F.broadcast(build_df)
+            return build.crossJoin(stream) if build_left else stream.crossJoin(build)
+        build = build_df.repartition(self.shuffle_partitions)
+        return build.crossJoin(stream) if build_left else stream.crossJoin(build)
 
     def _compat_inner(
         self,

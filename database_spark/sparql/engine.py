@@ -180,6 +180,14 @@ class SparqlEngine:
         #: set on tx views: (owner engine, pinned snap) so read_pin on
         #: a view protects the tx's snapshot in the OWNER's registry
         self._read_pin_target: "tuple | None" = None
+        #: count of in-flight unisolated reads (read_pin on the engine
+        #: itself, not a tx view).  While > 0, NO compaction snapshot is
+        #: freed: a long read (chunked response streaming for minutes)
+        #: may start later queries whose plans root at snapshots created
+        #: AFTER its pin, so only the specific pinned snapshot being
+        #: protected is not enough (advice r8) — the reference's journal
+        #: read lock blocks recycling of every commit point the same way
+        self._active_reads = 0
         #: monotonic commit counter — the readsOnCommitTime analog
         self._commit_count = 0
         #: set on tx view engines; all mutation entry points refuse
@@ -804,7 +812,9 @@ class SparqlEngine:
         )
         self._compact_snapshot = snap
         if prev is not None and (
-            self._snap_pinned(prev) or id(prev) in self._read_pins
+            self._snap_pinned(prev)
+            or id(prev) in self._read_pins
+            or self._active_reads > 0
         ):
             # a read-only tx — or an in-flight read (read_pin) — still
             # reads on this snapshot: freeing it would kill their jobs
@@ -860,36 +870,70 @@ class SparqlEngine:
         yet; on a tx view it pins the tx's snapshot in the owner
         engine's registry (a COMMIT/ABORT ending the tx mid-stream
         defers the free instead of orphaning the reader)."""
-        owner, snap = self._read_pin_target or (self, self._compact_snapshot)
-        if snap is None:
-            yield
-            return
+        is_tx_view = self._read_pin_target is not None
+        owner = self._read_pin_target[0] if is_tx_view else self
+        # Resolve the snapshot INSIDE the owner's write lock: compaction
+        # runs under the same lock, so it cannot swap _compact_snapshot
+        # and free the one we captured between capture and registration
+        # (advice r8 — the old outside-the-lock read left a narrow
+        # window where the reader pinned an already-freed snapshot).
         with owner._write_lock:
-            ent = owner._read_pins.setdefault(id(snap), [snap, 0])
-            ent[1] += 1
+            snap = (
+                self._read_pin_target[1]
+                if is_tx_view
+                else owner._compact_snapshot
+            )
+            if not is_tx_view:
+                # unisolated read: later queries inside the pin read
+                # owner.store LIVE, so they may root at snapshots newer
+                # than `snap` — block ALL frees while we're in flight
+                owner._active_reads += 1
+            if snap is not None:
+                ent = owner._read_pins.setdefault(id(snap), [snap, 0])
+                ent[1] += 1
         try:
             yield
         finally:
             with owner._write_lock:
-                ent = owner._read_pins.get(id(snap))
-                if ent is not None:
-                    ent[1] -= 1
-                    if ent[1] <= 0:
-                        owner._read_pins.pop(id(snap), None)
-                        owner._free_if_unpinned(snap)
+                if not is_tx_view:
+                    owner._active_reads -= 1
+                if snap is not None:
+                    ent = owner._read_pins.get(id(snap))
+                    if ent is not None:
+                        ent[1] -= 1
+                        if ent[1] <= 0:
+                            owner._read_pins.pop(id(snap), None)
+                if owner._active_reads <= 0:
+                    owner._sweep_deferred()
+                elif snap is not None:
+                    owner._free_if_unpinned(snap)
 
     def _free_if_unpinned(self, snap) -> None:
         """Free a DEFERRED compaction snapshot once nothing pins it
-        (no tx reads on it, no in-flight read_pin)."""
+        (no tx reads on it, no in-flight read_pin) AND no unisolated
+        read is in flight — an active reader's next query may root at
+        any snapshot created since its pin, so frees wait for quiesce
+        (swept by the last read_pin exit)."""
         from ..operators import lifecycle as L
 
         if (
             snap is not None
             and id(snap) in self._deferred_snaps
+            and self._active_reads <= 0
             and not self._snap_pinned(snap)
             and id(snap) not in self._read_pins
         ):
             L.unprotect_and_free(self._deferred_snaps.pop(id(snap)))
+
+    def _sweep_deferred(self) -> None:
+        """Free every deferred snapshot nothing pins (called under the
+        write lock when the last in-flight read exits)."""
+        from ..operators import lifecycle as L
+
+        for sid in list(self._deferred_snaps):
+            snap = self._deferred_snaps[sid]
+            if not self._snap_pinned(snap) and sid not in self._read_pins:
+                L.unprotect_and_free(self._deferred_snaps.pop(sid))
 
     # ------------------------------------------------ transactions
     def _snap_pinned(self, snap) -> bool:

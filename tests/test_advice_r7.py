@@ -48,10 +48,23 @@ def test_remote_stale_probe_wrapped_against_vanishing_lock():
     # the probe is guarded and the handler continues the loop
     assert "try:" in probe.split("getFileStatus")[0]
     handler = probe.split("except", 1)[1]
-    first_stmt = next(
-        l.strip() for l in handler.splitlines()[1:] if l.strip()
-    )
-    assert first_stmt == "continue"
+    # the handler retries the loop, but not as a bare `continue`: a
+    # PERSISTENT probe failure must still hit the deadline (raising
+    # CommitLockTimeout) and back off instead of hot-spinning (r8
+    # advice tightened the r7 fix).  Collect the handler's CODE
+    # statements up to its loop-continuing `continue`.
+    stmts = []
+    for line in handler.splitlines()[1:]:
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        stmts.append(s)
+        if s == "continue":
+            break
+    assert stmts[-1] == "continue"
+    assert any("deadline" in s for s in stmts)
+    assert any("CommitLockTimeout" in s for s in stmts)
+    assert any(s.startswith("time.sleep") for s in stmts)
 
 
 def test_workbench_escapes_result_variable_names():

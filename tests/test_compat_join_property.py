@@ -301,3 +301,42 @@ def test_minus_nullable_plan_is_hash_antijoin(compiler, spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
+
+
+def test_oversized_null_slice_degrades_to_cartesian(compiler, spark):
+    """r8 verdict #3: the compat-join null-slice broadcast is
+    DATA-DEPENDENT — on unbound-heavy data it grows O(n) and an
+    unguarded F.broadcast dies at Spark's 8 GB hard limit.  With the
+    size probe, an oversized slice must fall back to a repartitioned
+    CartesianProduct (degrade, not die) and still produce the exact
+    OR-join bag; a small slice must keep the BNLJ broadcast shape."""
+    rng = random.Random(42)
+    lvars, rvars = {"a", "x"}, {"a", "y"}
+    # unbound-heavy left: most rows have a NULL shared var
+    lrows = [{"a": None, "x": rng.randrange(3)} for _ in range(10)] + [
+        {"a": rng.randrange(3), "x": rng.randrange(3)} for _ in range(4)
+    ]
+    rrows = _random_rows(rng, rvars, set(), 8)
+    left = _mk_sol(spark, lrows, lvars, {"a"})
+    right = _mk_sol(spark, rrows, rvars, set())
+    # reference bag via the naive OR-condition join
+    try:
+        compiler._force_or_join = True
+        want = _bag(compiler.join(left, right))
+    finally:
+        compiler._force_or_join = False
+    # small threshold → the 10-row null slice is "oversized"
+    old = compiler._COMPAT_BCAST_MAX_ROWS
+    try:
+        compiler._COMPAT_BCAST_MAX_ROWS = 5
+        big = compiler.join(left, right)
+        plan = _plan(big.df)
+        assert "CartesianProduct" in plan  # fallback fired
+        assert _bag(big) == want  # same bag — degraded, not wrong
+    finally:
+        compiler._COMPAT_BCAST_MAX_ROWS = old
+    small = compiler.join(left, right)
+    plan = _plan(small.df)
+    assert "CartesianProduct" not in plan  # broadcast path kept
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _bag(small) == want

@@ -72,6 +72,28 @@ def test_ngram_jaccard_max_df_consistent(spark):
     assert got[(1, 2)] == pytest.approx(3 / 5, abs=1e-6)
 
 
+def test_ngram_jaccard_no_cap_uses_self_join(spark):
+    """max_df=None must fall back to the self-join pair shape: the
+    posting-list path's collect_list would be UNBOUNDED per-group
+    state without the cap (one viral shingle OOMs an executor; the
+    self-join just emits more rows) — advice r8.  Same results."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3)
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "id", "text", n=3, threshold=0.3, max_df=None
+    )
+    want = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    assert got == want
+    plan = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
 def test_minhash_lsh_recall(docs):
     """LSH candidates (verified) must find the high-similarity pairs
     that exact all-pairs Jaccard finds."""

@@ -58,6 +58,30 @@ def test_tx_view_pin_defers_snapshot_after_commit_ends_tx(spark):
     assert not eng._read_pins
 
 
+def test_active_read_protects_later_snapshots(spark):
+    """A pinned reader's LATER queries root at whatever snapshot is
+    current when they compile — so while any unisolated read is in
+    flight, NO snapshot may be freed, not just the one captured at pin
+    time (r8 advice: the pin must not leave a window where a snapshot
+    the reader's plan references is freed mid-stream)."""
+    eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
+    _commit_n(eng, eng._COMPACT_EVERY, "seed")
+    with eng.read_pin():
+        # a compaction lands mid-read; the NEXT query roots at snap2
+        _commit_n(eng, eng._COMPACT_EVERY, "mid1")
+        snap2 = eng._compact_snapshot
+        df = eng.select("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }").df
+        # another cycle retires snap2 — it is NOT pinned by this
+        # reader, but the active read must defer its free anyway
+        _commit_n(eng, eng._COMPACT_EVERY, "mid2")
+        assert eng._compact_snapshot is not snap2
+        assert id(snap2) in eng._deferred_snaps
+        rows = df.collect()  # would die if snap2's blocks were freed
+        assert rows[0][0]["lex"] == str(2 * eng._COMPACT_EVERY)
+    # last pin exit sweeps every deferred snapshot
+    assert not eng._deferred_snaps and eng._active_reads == 0
+
+
 def test_nested_and_concurrent_pins_refcount(spark):
     eng = SparqlEngine(TripleStore.from_python_triples(spark, []))
     _commit_n(eng, eng._COMPACT_EVERY, "seed")

@@ -48,3 +48,12 @@ def test_vocab_topk_order_and_tiebreak(spark):
         ("b", 3),
         ("c", 2),
     ]  # count desc, token asc on the a/b tie
+
+
+def test_vocab_topk_doc_freq(spark):
+    d = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id int, text string"
+    )
+    rows = vocab_topk(d, "text", k=4, id_col="doc_id").collect()
+    got = {r["token"]: (r["occurrences"], r["doc_freq"]) for r in rows}
+    assert got == {"a": (3, 2), "b": (3, 1), "c": (2, 2), "d": (1, 1)}
