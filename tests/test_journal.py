@@ -206,3 +206,45 @@ def test_delta_replay_equivalence_randomized(journal):
             .df.collect()
         }
         assert got == live, f"divergence after commit {commit_i + 1}"
+
+
+def test_dump_journal_offline_introspection(journal, tmp_path):
+    """tools/dump_journal.py (reference DumpJournal.java): version
+    chain, delta insert/tombstone splits, head reconstruction depth,
+    and dangling-dir detection — all offline (json + parquet footers,
+    no SparkSession)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dump_journal import dump_journal
+
+    eng = journal.durable_engine()
+    eng.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:a ex:name "Alice" }}')
+    eng.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:b ex:name "Bob" }}')
+    eng.update(f'PREFIX ex: <{EX}> DELETE DATA {{ ex:a ex:name "Alice" }}')
+    rep = dump_journal(journal.path)
+    assert rep["head"] == 3
+    kinds = [e["kind"] for e in rep["versions"]]
+    assert kinds == ["delta", "delta", "delta"]
+    assert [e["inserts"] for e in rep["versions"]] == [1, 1, 0]
+    assert [e["tombstones"] for e in rep["versions"]] == [0, 0, 1]
+    assert rep["head_reconstruction_depth"] == 3  # no full base yet
+    assert rep["total_bytes"] > 0 and not rep["dangling"]
+
+    # push past a full materialization: depth resets, cadence recorded
+    for i in range(journal.COMPACT_EVERY):
+        eng.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:c{i} ex:name "N{i}" }}')
+    rep = dump_journal(journal.path)
+    assert rep["head"] == 3 + journal.COMPACT_EVERY
+    fulls = [e["version"] for e in rep["versions"] if e["kind"] == "full"]
+    assert fulls == [journal.COMPACT_EVERY]
+    assert rep["head_reconstruction_depth"] == 3
+    # net statements at v8: Bob + c0..c4 (Alice inserted then deleted)
+    full_rows = next(e for e in rep["versions"] if e["kind"] == "full")["rows"]
+    assert full_rows == 6
+
+    # a version dir past the head pointer = crash residue → dangling
+    os.makedirs(os.path.join(journal.path, "versions", "v99999999"))
+    rep = dump_journal(journal.path)
+    assert rep["dangling"] == [os.path.join("versions", "v99999999")]
