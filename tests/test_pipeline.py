@@ -281,3 +281,56 @@ def test_near_dup_clusters(spark):
     assert out[3] == (1, True)
     # 4 is a singleton and keeps itself
     assert out[4] == (4, True)
+
+
+def test_lsh_multiprobe_recall_compensates_extra_planes(spark):
+    """Advice r8: scaling plane count with corpus size silently drops
+    LSH recall unless compensated.  Validate against EXACT ground
+    truth: on a deterministic clustered corpus, the scaled config
+    (extra planes + Hamming-1 multiprobe — what `_lsh_probe_for`
+    selects) must recover at least the recall of the unscaled 8-plane
+    baseline, and ≥ 90% of all truly-similar pairs."""
+    import math
+
+    dim, n_clusters, per = 64, 60, 4
+
+    def vec(c, j):
+        # cluster center + small deterministic perturbation → members
+        # of a cluster are pairwise-similar, cross-cluster ~orthogonal
+        out = []
+        for d in range(dim):
+            x = math.sin(0.7 * c + 1.3 * d) + 0.15 * math.sin(
+                2.1 * j + 0.9 * d + 5 * c
+            )
+            out.append(x)
+        return out
+
+    rows = [
+        (c * per + j, vec(c, j)) for c in range(n_clusters) for j in range(per)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    threshold = 0.9
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_similar_pairs(df, "id", "v", threshold).collect()
+    }
+    assert len(exact) >= n_clusters  # the planted pairs exist
+
+    def recall(n_planes, probe):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.lsh_similar_pairs(
+                df, "id", "v", dim=dim, threshold=threshold,
+                n_planes=n_planes, n_tables=8, probe_hamming=probe,
+            ).collect()
+        }
+        assert got <= exact  # exact-verified: no false positives
+        return len(got) / len(exact)
+
+    base = recall(8, 0)          # the unscaled gate-scale config
+    scaled_bare = recall(12, 0)  # extra planes, no compensation
+    scaled = recall(12, 1)       # what _lsh_probe_for(12) selects
+    assert scaled >= base  # compensation claim, measured
+    assert scaled >= 0.9
+    # and the probe is genuinely doing the compensating work
+    assert scaled >= scaled_bare
