@@ -1711,6 +1711,113 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join: each purchase event joined to the same user's
+    latest click at-or-before the purchase timestamp.
+
+    Spark-first shape: union + window (one shuffle, no row
+    multiplication) — see operators/temporal.py.  The oracle is
+    DuckDB's native ``ASOF LEFT JOIN``.
+    """
+    from database_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    # as-of right sides must be unique per (key, ts)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_value"],
+        suffix="_click",
+    )
+    # nullable timestamps surface as epoch micros: pandas 2.x cannot
+    # compare NaT across ns/us datetime units, so the gate would flag
+    # equal values as different (non-null ts stays a real timestamp)
+    return out.withColumn("ts_click_us", F.unix_micros("ts_click")).drop(
+        "ts_click"
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Interval/range join: for each purchase, the count and value sum
+    of the same user's clicks in the hour strictly before it.
+
+    Spark-first shape: quantize to 1h buckets, equi-join on
+    (user, bucket) with a 2-bucket left expansion, exact filter —
+    never an inequality nested loop (operators/temporal.py).
+    """
+    from database_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        purch,
+        clicks,
+        on="user_id",
+        lower_s=0.0,
+        upper_s=3600.0,
+        how="left",
+    )
+    return pairs.groupBy(
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_user_id").alias("user_id"),
+    ).agg(
+        F.count("r_event_id").alias("n_clicks_1h"),
+        # decimal partial sums: cross-row addition order-independent,
+        # so the oracle's SUM agrees exactly (stream_sessions precedent)
+        F.sum(
+            F.coalesce(F.col("r_value"), F.lit(0.0)).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("sum_click_value"),
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (top-bigram fraction, duplicate
+    trigram fraction) — zero-shuffle per-row array folds
+    (pipeline/text.py repetition_stats)."""
+    from database_spark.pipeline.text import repetition_stats
+
+    d = _read(spark, sf_dir, "documents")
+    return repetition_stats(d, "text", "doc_id")
+
+
+def q_kmeans_cells(spark, sf_dir):
+    """Trained IVF: deterministic Lloyd k-means (k=8, 3 iterations,
+    fixed-point centroid sums) over the embeddings table; returns the
+    final (vec_id, cell) assignment (pipeline/kmeans.py)."""
+    from database_spark.pipeline.kmeans import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, "vec_id", "embedding",
+        k=KMEANS_K, iters=KMEANS_ITERS, scale=KMEANS_SCALE,
+    )
+
+
+#: k-means entry hyperparameters — the oracle SQL is GENERATED from
+#: these same constants (_kmeans_oracle), so they cannot drift
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 1_000_000
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_bgp_join": q_sparql_bgp_join,
     "sparql_filter": q_sparql_filter,
@@ -1780,6 +1887,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "sample_stratified": q_sample_stratified,
     "vocab_topk": q_vocab_topk,
+    "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
+    "repetition_stats": q_repetition_stats,
+    "kmeans_cells": q_kmeans_cells,
 }
 
 
@@ -1839,6 +1950,63 @@ def _text_quality_oracle() -> str:
 
 
 _TEXT_QUALITY_ORACLE = _text_quality_oracle()
+
+
+def _kmeans_oracle(k: int, iters: int, scale: int) -> str:
+    """Chained-CTE DuckDB replica of pipeline/kmeans.py: one CTE pair
+    (assign, recompute) per Lloyd iteration, generated from the SAME
+    (k, iters, scale) constants the Spark entry uses — no drift
+    possible.  Centroid sums run in exact BIGINT fixed-point, so the
+    cross-row aggregation is order-independent on both engines;
+    distances round to 1e-9 before the argmin."""
+    sql = f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS vi
+          FROM embeddings
+        ), vd0 AS (
+          SELECT vec_id, vi,
+                 list_transform(vi, x -> CAST(x AS DOUBLE) / {scale}.0) AS vd
+          FROM v
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j,
+                 vd AS c
+          FROM (SELECT vec_id, vd FROM vd0 ORDER BY vec_id LIMIT {k})
+        )"""
+    for t in range(1, iters + 2):
+        sql += f""", a{t} AS (
+          SELECT vec_id, vi, vd, j AS cell FROM (
+            SELECT p.vec_id, p.vi, p.vd, c.j,
+                   row_number() OVER (
+                     PARTITION BY p.vec_id
+                     ORDER BY round(list_sum(list_transform(
+                                range(1, len(p.vd) + 1),
+                                i -> (p.vd[i] - c.c[i]) * (p.vd[i] - c.c[i])
+                              )), 9) ASC,
+                              c.j ASC) AS rn
+            FROM vd0 p CROSS JOIN c{t - 1} c
+          ) WHERE rn = 1
+        )"""
+        if t <= iters:
+            sql += f""", s{t} AS (
+          SELECT cell, d, sum(x) AS s, count(*) AS n FROM (
+            SELECT cell, unnest(vi) AS x,
+                   unnest(range(1, len(vi) + 1)) AS d
+            FROM a{t}
+          ) GROUP BY 1, 2
+        ), c{t} AS (
+          SELECT j, c FROM (
+            SELECT cell AS j,
+                   list(CAST(s AS DOUBLE) / n / {scale}.0 ORDER BY d) AS c
+            FROM s{t} GROUP BY cell
+            UNION ALL
+            SELECT j, c FROM c{t - 1}
+            WHERE j NOT IN (SELECT DISTINCT cell FROM a{t})
+          )
+        )"""
+    sql += f"\n        SELECT vec_id, cell FROM a{iters + 1}"
+    return sql
 
 
 def _simhash_oracle() -> str:
@@ -2729,6 +2897,70 @@ ORACLES: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM g GROUP BY user_id, sid
     """,
+    # backward-inclusive as-of: DuckDB's native ASOF LEFT JOIN is the
+    # semantic spec the union+window Spark plan must reproduce
+    "events_asof": """
+        WITH purch AS (
+          SELECT event_id, user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts, max_by(value, event_id) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+               c.click_value, epoch_us(c.ts) AS ts_click_us
+        FROM purch p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "events_range_join": """
+        WITH purch AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               count(c.event_id) AS n_clicks_1h,
+               CAST(SUM(CAST(coalesce(c.value, 0) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS sum_click_value
+        FROM purch p LEFT JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+        GROUP BY 1, 2
+    """,
+    "repetition_stats": """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS bgs,
+                 list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+                   AS tgs
+          FROM t
+        ), e AS (
+          SELECT doc_id, unnest(bgs) AS bg FROM g
+        ), md AS (
+          SELECT doc_id, max(c) AS top_bg FROM (
+            SELECT doc_id, bg, count(*) AS c FROM e GROUP BY 1, 2
+          ) GROUP BY 1
+        )
+        SELECT g.doc_id, g.n_tokens,
+               CASE WHEN len(bgs) > 0
+                    THEN round(top_bg / len(bgs), 6) ELSE 0.0
+               END AS top_bigram_frac,
+               CASE WHEN len(tgs) > 0
+                    THEN round(1.0 - len(list_distinct(tgs)) / len(tgs), 6)
+                    ELSE 0.0
+               END AS dup_trigram_frac
+        FROM g LEFT JOIN md USING (doc_id)
+    """,
+    "kmeans_cells": _kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE),
 }
 
 

@@ -1,0 +1,128 @@
+"""Deterministic Lloyd k-means over embedding columns.
+
+The trained counterpart to the trainless IVF cells in
+``pipeline/similarity.py``: a fixed number of Lloyd iterations with a
+deterministic seed (the ``k`` lowest ids), producing cluster
+assignments usable as IVF cells for ANN probing at 100 TB.
+
+Why it can be hash-verified against a SQL oracle at all — three
+determinism devices:
+
+1. **Fixed-point centroid sums.** Cross-row double summation is
+   order-dependent under Spark's partial aggregation, so centroids
+   would drift run-to-run at the ULP level.  Instead every component
+   is quantized once to an integer (``round(x * scale)`` as BIGINT)
+   and the per-cell/per-dimension sums run in exact integer
+   arithmetic — order-independent, overflow-safe to ~9e9 rows per
+   cell at scale=1e6 (documented limit; raise ``scale`` down or shard
+   cells past that).
+2. **Per-row folds only for distances.** Squared-L2 runs as a
+   sequential ``F.aggregate`` fold over the dimension axis (fixed
+   order, bit-reproducible), then rounds to 1e-9 before the argmin so
+   a DuckDB ``list_sum`` oracle agrees even if its fold tree differs.
+3. **Total-order tie-breaks.** Seed cells are ranked by id; argmin
+   ties break toward the lowest cell index.
+
+Scale shape per iteration: one map-only assignment pass (centroids are
+literal expressions — a broadcast-free broadcast) + one hash aggregate
+of (cell, dim) partial sums.  Driver state is the k×dim centroid
+matrix only — model state, never data.
+
+Reference parity: no blazegraph analog (nearest is the GAS analytics
+family); this is a training-data-pipeline extension like MinHash-LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int):
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("__vi"),
+    )
+
+
+def _assign(base: DataFrame, cents: list[list[float]], scale: int):
+    """Attach ``__cell`` = argmin_j round(||v - c_j||², 1e-9), ties to
+    the lowest j.  Centroids are literals → map-only stage."""
+    vd = F.transform(F.col("__vi"), lambda x: x.cast("double") / float(scale))
+    withv = base.withColumn("__vd", vd)
+
+    def d2(cj: list[float]):
+        carr = F.array(*[F.lit(float(c)) for c in cj])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("__vd"), carr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+
+    cand = F.array(
+        *[
+            F.struct(d2(cj).alias("d"), F.lit(j).alias("j"))
+            for j, cj in enumerate(cents)
+        ]
+    )
+    return withv.withColumn("__cell", F.array_min(cand)["j"])
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cluster ``vec_col`` into ``k`` cells with ``iters`` Lloyd
+    iterations; returns (id_col, cell) with ``cell`` in [0, k).
+
+    Deterministic end-to-end (see module docstring): same data → same
+    assignment, regardless of partitioning, so a chained-CTE SQL
+    oracle reproduces it bit-for-bit.
+    """
+    base = _quantized(df, id_col, vec_col, scale).persist()
+    seeds = sorted(
+        base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
+    )
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell int"
+        )
+    dim = len(seeds[0]["__vi"])
+    cents = [[v / float(scale) for v in r["__vi"]] for r in seeds]
+    k = len(cents)  # fewer rows than k: every row is its own seed
+    for _ in range(iters):
+        assigned = _assign(base, cents, scale)
+        stats = (
+            assigned.select(
+                "__cell", F.posexplode("__vi").alias("__d", "__x")
+            )
+            .groupBy("__cell", "__d")
+            .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums: dict[tuple[int, int], tuple[int, int]] = {
+            (r["__cell"], r["__d"]): (r["s"], r["n"]) for r in stats
+        }
+        cents = [
+            [
+                (float(sums[(j, d)][0]) / sums[(j, d)][1]) / float(scale)
+                for d in range(dim)
+            ]
+            if (j, 0) in sums
+            else cents[j]  # empty cell keeps its previous centroid
+            for j in range(k)
+        ]
+    out = _assign(base, cents, scale).select(
+        F.col("__id").alias(id_col), F.col("__cell").alias("cell")
+    )
+    return out

@@ -106,6 +106,94 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm.cast("binary"))
 
 
+def repetition_stats(df, text_col: str, id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document: the fraction of
+    bigram mass held by the single most frequent bigram
+    (``top_bigram_frac``) and the fraction of trigrams that are
+    repeats of an earlier trigram in the same document
+    (``dup_trigram_frac``).  High values flag boilerplate / degenerate
+    generations for corpus filtering (Rae et al. 2021, "Scaling
+    Language Models" §A1.2 repetition filters).
+
+    Scale shape: ZERO shuffles — every signal is a per-row Column
+    expression.  The bigram mode is computed without exploding the
+    token stream: sort the bigram array, then a single ``F.aggregate``
+    fold finds the longest equal-run (JVM codegen, O(len) per row).
+    At 100 TB this keeps repetition scoring embarrassingly parallel —
+    a map-only stage fused into whatever scan feeds it.
+
+    Returns (id, n_tokens, top_bigram_frac, dup_trigram_frac).
+    """
+    t = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    tk = F.col("__toks")
+    n = F.size(tk)
+    empty = F.array().cast("array<string>")
+    bgs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(empty)
+    tgs = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat(
+                F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1),
+                F.lit(" "), F.element_at(tk, i + 2),
+            ),
+        ),
+    ).otherwise(empty)
+    g = t.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        bgs.alias("__bgs"),
+        tgs.alias("__tgs"),
+    )
+    # longest equal-run over the sorted bigrams == max bigram count;
+    # tokens are non-empty so the "" seed can't match a real bigram
+    top_bg = F.aggregate(
+        F.array_sort(F.col("__bgs")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    nb = F.size(F.col("__bgs"))
+    nt = F.size(F.col("__tgs"))
+    return g.select(
+        F.col(id_col),
+        "n_tokens",
+        F.when(nb > 0, F.round(top_bg / nb, 6)).otherwise(F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+        F.when(
+            nt > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(F.col("__tgs"))) / nt, 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )
+
+
 def vocab_topk(df, text_col: str, k: int = 100, id_col: str | None = None):
     """Corpus vocabulary top-k: token → total occurrences (+ document
     frequency when ``id_col`` is given), the highest-`k` by occurrence

@@ -29,11 +29,17 @@ def main() -> int:
     )
     j = Journal(spark, jdir)
     deadline = time.time() + seconds
+    # a loaded box can starve one JVM out of every OCC race inside the
+    # window (each attempt is a multi-second Spark job under
+    # contention) — grant a grace period until the worker has landed
+    # at least one commit, so the parent's "every worker committed"
+    # serialization arithmetic tests the lock, not the scheduler
+    hard_cap = deadline + 120
     committed: dict = {}  # version -> subject IRI
     conflicts = 0
     reads = 0
     i = 0
-    while time.time() < deadline:
+    while time.time() < (deadline if committed else hard_cap):
         subj = f"urn:soak:{tag}:{i}"
         tx = j.begin()
         tx.update(f'INSERT DATA {{ <{subj}> <urn:p> "{tag}" }}')
@@ -42,6 +48,9 @@ def main() -> int:
         except CommitConflict:
             conflicts += 1
             tx.rollback()
+            # jittered backoff: without it a consistently-slow loser
+            # re-collides with the same winner forever (livelock)
+            time.sleep(0.02 * (1 + (hash(tag) + conflicts) % 5))
             continue  # retry the SAME statement in a fresh tx
         committed[v] = subj
         i += 1

@@ -1,0 +1,91 @@
+"""pipeline/kmeans.py + text.repetition_stats unit semantics.
+
+The sf-scale DuckDB oracle (`__spark_entry__`) checks these at corpus
+scale; here we pin hand-computable cases and the determinism contract
+(same data, different partitioning → identical output)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_spark.pipeline.kmeans import kmeans_assign
+from database_spark.pipeline.text import repetition_stats
+
+
+def test_repetition_stats_hand_cases(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),           # bigrams 3x"a a"; trigrams 2x"a a a"
+            (2, "one"),               # too short for any n-gram
+            (3, "w x y z"),           # all bigrams distinct
+            (4, "p q p q p q"),       # alternating boilerplate
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, "text").collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[1]["dup_trigram_frac"] == 0.5      # 2 trigrams, 1 distinct
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[3]["dup_trigram_frac"] == 0.0
+    # "p q p q p q": bigrams [pq,qp,pq,qp,pq] → top 3/5; trigrams
+    # [pqp,qpq,pqp,qpq] → 2 distinct of 4
+    assert got[4]["top_bigram_frac"] == pytest.approx(0.6, abs=1e-6)
+    assert got[4]["dup_trigram_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    plan = (
+        repetition_stats(docs, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def _blobs(spark, n_per=20, sep=10.0):
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [0.0 + i * 0.01, 0.0, 1.0]))
+        rows.append((100 + i, [sep + i * 0.01, sep, 1.0]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_kmeans_separates_blobs(spark):
+    df = _blobs(spark)
+    got = {r["vec_id"]: r["cell"] for r in
+           kmeans_assign(df, "vec_id", "embedding", k=2, iters=3).collect()}
+    lo = {got[i] for i in range(20)}
+    hi = {got[100 + i] for i in range(20)}
+    assert len(lo) == 1 and len(hi) == 1 and lo != hi
+    assert lo | hi == {0, 1}
+
+
+def test_kmeans_deterministic_across_partitioning(spark):
+    df = _blobs(spark)
+    a = kmeans_assign(df, "vec_id", "embedding", k=3, iters=2)
+    b = kmeans_assign(
+        df.repartition(7, "vec_id"), "vec_id", "embedding", k=3, iters=2
+    )
+    ra = sorted((r["vec_id"], r["cell"]) for r in a.collect())
+    rb = sorted((r["vec_id"], r["cell"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = kmeans_assign(df, "vec_id", "embedding", k=8, iters=2).collect()
+    assert {r["vec_id"] for r in got} == {1, 2}
+    assert {r["cell"] for r in got} == {0, 1}

@@ -1,0 +1,129 @@
+"""As-of join and range join (operators/temporal.py).
+
+Semantics pinned against hand-computed fixtures (DuckDB ASOF JOIN is
+the oracle in the sf-scale gate; here we nail the edge cases: exact-ts
+inclusivity, no-match nulls, tolerance cutoff, window boundaries that
+cross bucket lines, and the plan shapes — no nested-loop joins)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from database_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(50), "p1"),
+         (2, 100, _ts(10), "p2"),
+         (3, 200, _ts(30), "p3"),
+         (4, 300, _ts(5), "p4")],
+        "id long, k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(10), 1.0),   # exactly at p2.ts — inclusive match
+         (100, _ts(40), 2.0),
+         (100, _ts(60), 3.0),   # after p1 — never matches p1
+         (200, _ts(29), 4.0)],
+        "k long, ts timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    got = {
+        r["id"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert got[1] == (2.0, _ts(40))      # latest at-or-before 50
+    assert got[2] == (1.0, _ts(10))      # exact tie is inclusive
+    assert got[3] == (4.0, _ts(29))
+    assert got[4] == (None, None)        # key with no right rows
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(left, right, on="k", tolerance_s=5).collect()
+    }
+    assert got[2] == 1.0                 # gap 0 <= 5
+    assert got[3] == 4.0                 # gap 1 <= 5
+    assert got[1] is None                # gap 10 > 5 nulled out
+
+
+def test_asof_keeps_left_columns_and_is_join_free(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k")
+    assert set(out.columns) == {"id", "k", "ts", "tag", "ts_right", "v"}
+    assert out.count() == left.count()   # never multiplies rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan            # union + window, no join at all
+
+
+def test_range_join_window_boundaries(spark):
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    left = spark.createDataFrame(
+        [(1, 7, _ts(7200))], "id long, k long, ts timestamp"
+    )
+    # window for lower=0, upper=3600 is [3600, 7200): both endpoints
+    # sit exactly on bucket lines
+    right = spark.createDataFrame(
+        [(10, 7, _ts(3599)),   # below — out
+         (11, 7, _ts(3600)),   # lower bound — in (inclusive)
+         (12, 7, _ts(5400)),   # mid, adjacent bucket — in
+         (13, 7, _ts(7199)),   # just before left — in
+         (14, 7, _ts(7200)),   # equal — out (strict upper)
+         (15, 8, _ts(5400))],  # wrong key — out
+        "id long, k long, ts timestamp",
+    )
+    got = sorted(
+        r["r_id"]
+        for r in range_join(left, right, on="k", lower_s=0, upper_s=3600)
+        .collect()
+    )
+    assert got == [11, 12, 13]
+
+
+def test_range_join_left_outer_and_plan(spark):
+    left = spark.createDataFrame(
+        [(1, 7, _ts(100)), (2, 9, _ts(100))], "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, 7, _ts(50))], "id long, k long, ts timestamp"
+    )
+    out = range_join(left, right, on="k", lower_s=0, upper_s=3600, how="left")
+    rows = {r["l_id"]: r["r_id"] for r in out.collect()}
+    assert rows == {1: 10, 2: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_nonoverlapping_lower(spark):
+    # lower=60: the minute straight before the left row is EXCLUDED
+    left = spark.createDataFrame(
+        [(1, 7, _ts(1000))], "id long, k long, ts timestamp"
+    )
+    # window is [1000-300, 1000-60) = [700, 940)
+    right = spark.createDataFrame(
+        [(10, 7, _ts(950)),    # within the excluded last minute — out
+         (11, 7, _ts(940)),    # exactly at the strict edge — out
+         (12, 7, _ts(700)),    # exactly at the inclusive edge — in
+         (13, 7, _ts(699))],   # below — out
+        "id long, k long, ts timestamp",
+    )
+    got = sorted(
+        r["r_id"]
+        for r in range_join(
+            left, right, on="k", lower_s=60, upper_s=300
+        ).collect()
+    )
+    assert got == [12]
