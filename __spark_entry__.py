@@ -1765,26 +1765,28 @@ def q_events_range_join(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value"
     )
+    # inner range join once, aggregate, then left-join the (small)
+    # per-purchase aggregate back — how='left' on raw pairs would run
+    # the bucket join twice (matched + anti branches)
     pairs = range_join(
-        purch,
-        clicks,
-        on="user_id",
-        lower_s=0.0,
-        upper_s=3600.0,
-        how="left",
+        purch, clicks, on="user_id", lower_s=0.0, upper_s=3600.0
     )
-    return pairs.groupBy(
-        F.col("l_event_id").alias("event_id"),
-        F.col("l_user_id").alias("user_id"),
-    ).agg(
-        F.count("r_event_id").alias("n_clicks_1h"),
+    agg = pairs.groupBy("l_event_id").agg(
+        F.count(F.lit(1)).alias("__n"),
         # decimal partial sums: cross-row addition order-independent,
         # so the oracle's SUM agrees exactly (stream_sessions precedent)
-        F.sum(
-            F.coalesce(F.col("r_value"), F.lit(0.0)).cast("decimal(18,6)")
+        F.sum(F.col("r_value").cast("decimal(18,6)")).alias("__s"),
+    )
+    return (
+        purch.join(agg, purch.event_id == agg.l_event_id, "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("n_clicks_1h"),
+            F.coalesce(F.col("__s").cast("double"), F.lit(0.0)).alias(
+                "sum_click_value"
+            ),
         )
-        .cast("double")
-        .alias("sum_click_value"),
     )
 
 
@@ -1796,6 +1798,18 @@ def q_repetition_stats(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return repetition_stats(d, "text", "doc_id")
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2021): merged token
+    ranges whose 8-token shingle occurs >= 2 times corpus-wide — the
+    suffix-array dedup pass re-expressed as shingle-hash aggregate +
+    join-back + per-doc interval merge (pipeline/dedup.py
+    duplicate_spans)."""
+    from database_spark.pipeline.dedup import duplicate_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", width=8, min_count=2)
 
 
 def q_kmeans_cells(spark, sf_dir):
@@ -1891,6 +1905,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join": q_events_range_join,
     "repetition_stats": q_repetition_stats,
     "kmeans_cells": q_kmeans_cells,
+    "dup_spans": q_dup_spans,
 }
 
 
@@ -2961,6 +2976,41 @@ ORACLES: dict[str, str] = {
         FROM g LEFT JOIN md USING (doc_id)
     """,
     "kmeans_cells": _kmeans_oracle(KMEANS_K, KMEANS_ITERS, KMEANS_SCALE),
+    # exact-substring duplicate spans: width-8 shingle md5, corpus-wide
+    # count >= 2, per-doc interval merge (adjacent windows coalesce)
+    "dup_spans": """
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+          FROM documents
+        ), occ AS (
+          SELECT doc_id,
+                 unnest(range(1, len(toks) - 8 + 2)) AS pos,
+                 unnest(list_transform(range(1, len(toks) - 8 + 2),
+                        i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+          FROM t
+        ), hot AS (
+          SELECT h FROM occ GROUP BY h HAVING count(*) >= 2
+        ), dup AS (
+          SELECT doc_id, pos FROM occ JOIN hot USING (h)
+        ), grouped AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS new_grp
+          FROM dup
+        ), g2 AS (
+          SELECT doc_id, pos,
+                 SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+          FROM grouped
+        )
+        SELECT doc_id, min(pos) - 1 AS span_start,
+               max(pos) - 1 + 8 AS span_end
+        FROM g2 GROUP BY doc_id, grp
+    """,
 }
 
 

@@ -89,3 +89,41 @@ def test_kmeans_fewer_rows_than_k(spark):
     got = kmeans_assign(df, "vec_id", "embedding", k=8, iters=2).collect()
     assert {r["vec_id"] for r in got} == {1, 2}
     assert {r["cell"] for r in got} == {0, 1}
+
+
+def test_duplicate_spans_hand_case(spark):
+    from database_spark.pipeline.dedup import duplicate_spans
+
+    shared = "q w e r t y u i o p"          # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} d e f"),    # shared at tokens 3..13
+            (2, f"x y {shared} z"),          # shared at tokens 2..12
+            (3, "m n o completely unique words here today folks ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, width=8).collect()
+    }
+    # width-8 windows inside the 10-token shared run: 3 per doc,
+    # overlapping -> ONE merged span covering exactly the shared run
+    assert got == {(1, 3, 13), (2, 2, 12)}
+
+
+def test_duplicate_spans_merges_adjacent_and_within_doc(spark):
+    from database_spark.pipeline.dedup import duplicate_spans
+
+    run = "a1 a2 a3 a4 a5 a6 a7 a8"
+    docs = spark.createDataFrame(
+        # the same 8-gram twice INSIDE one document (back to back):
+        # both occurrences are duplicated spans and merge into one
+        [(7, f"s t {run} {run} u v")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, width=8).collect()
+    }
+    assert got == {(7, 2, 18)}
