@@ -1812,6 +1812,61 @@ def q_dup_spans(spark, sf_dir):
     return duplicate_spans(d, "doc_id", "text", width=8, min_count=2)
 
 
+def q_corpus_funnel(spark, sf_dir):
+    """Corpus curation funnel: survivors after each cumulative filter
+    stage — language (en), quality (>= 0.75), repetition (top-bigram
+    <= 0.06), and exact-substring dedup (no duplicated 8-gram span) —
+    the composition every training-data pipeline runs.  All per-doc
+    flags come from the same operators the individual entries gate
+    (pipeline/text.py, pipeline/dedup.py); one scan computes the row
+    flags, one tiny join attaches the repetition columns, one anti-set
+    flags span-duplicated docs, one aggregate folds the funnel."""
+    from pyspark.sql.window import Window as _W  # noqa: F401
+
+    from database_spark.pipeline import text as TX
+    from database_spark.pipeline.dedup import duplicate_spans
+
+    d = _read(spark, sf_dir, "documents")
+    rep = TX.repetition_stats(d, "text", "doc_id").select(
+        "doc_id", "top_bigram_frac"
+    )
+    dup_docs = (
+        duplicate_spans(d, "doc_id", "text", width=8, min_count=2)
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    flags = (
+        d.select(
+            "doc_id",
+            (TX.lang_id(F.col("text")) == "en").cast("int").alias("f1"),
+            (TX.quality_score(F.col("text")) >= 0.75)
+            .cast("int")
+            .alias("f2"),
+        )
+        .join(rep, "doc_id")
+        .withColumn("f3", (F.col("top_bigram_frac") <= 0.06).cast("int"))
+        .join(dup_docs, "doc_id", "left")
+        .withColumn("f4", F.col("__dup").isNull().cast("int"))
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("n2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("n3"),
+        F.sum(
+            F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, 0, 'all', n0, 1, 'lang_en', n1, 2, 'quality', n2,"
+            " 3, 'repetition', n3, 4, 'substring_dedup', n4)"
+            " as (stage, stage_name, n_docs)"
+        )
+    )
+
+
 def q_kmeans_cells(spark, sf_dir):
     """Trained IVF: deterministic Lloyd k-means (k=8, 3 iterations,
     fixed-point centroid sums) over the embeddings table; returns the
@@ -1906,6 +1961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "kmeans_cells": q_kmeans_cells,
     "dup_spans": q_dup_spans,
+    "corpus_funnel": q_corpus_funnel,
 }
 
 
@@ -3012,6 +3068,41 @@ ORACLES: dict[str, str] = {
         FROM g2 GROUP BY doc_id, grp
     """,
 }
+
+
+def _corpus_funnel_oracle() -> str:
+    """Funnel oracle COMPOSED from the same oracle fragments the
+    individual entries use (text_quality, repetition_stats, dup_spans
+    as nested CTE subqueries) — the SQL composes exactly like the
+    Spark operators do."""
+    return f"""
+        WITH tq AS ({_TEXT_QUALITY_ORACLE}),
+        rep AS ({ORACLES["repetition_stats"]}),
+        ds AS ({ORACLES["dup_spans"]}),
+        f AS (
+          SELECT tq.doc_id,
+                 CASE WHEN tq.lang_guess = 'en' THEN 1 ELSE 0 END AS f1,
+                 CASE WHEN tq.quality >= 0.75 THEN 1 ELSE 0 END AS f2,
+                 CASE WHEN rep.top_bigram_frac <= 0.06
+                      THEN 1 ELSE 0 END AS f3,
+                 CASE WHEN dd.doc_id IS NULL THEN 1 ELSE 0 END AS f4
+          FROM tq
+          JOIN rep ON tq.doc_id = rep.doc_id
+          LEFT JOIN (SELECT DISTINCT doc_id FROM ds) dd
+            ON tq.doc_id = dd.doc_id
+        )
+        SELECT 0 AS stage, 'all' AS stage_name,
+               CAST(count(*) AS BIGINT) AS n_docs FROM f
+        UNION ALL SELECT 1, 'lang_en', CAST(sum(f1) AS BIGINT) FROM f
+        UNION ALL SELECT 2, 'quality', CAST(sum(f1 * f2) AS BIGINT) FROM f
+        UNION ALL SELECT 3, 'repetition',
+                  CAST(sum(f1 * f2 * f3) AS BIGINT) FROM f
+        UNION ALL SELECT 4, 'substring_dedup',
+                  CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) FROM f
+    """
+
+
+ORACLES["corpus_funnel"] = _corpus_funnel_oracle()
 
 
 # ------------------------------------------------------------- driver API

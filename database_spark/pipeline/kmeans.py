@@ -125,4 +125,8 @@ def kmeans_assign(
     out = _assign(base, cents, scale).select(
         F.col("__id").alias(id_col), F.col("__cell").alias("cell")
     )
+    # the cache only served the training collects; release it so
+    # repeated calls don't accumulate executor storage (the final
+    # assignment re-derives from the scan — one extra map-only pass)
+    base.unpersist(blocking=False)
     return out

@@ -127,3 +127,16 @@ def test_duplicate_spans_merges_adjacent_and_within_doc(spark):
         for r in duplicate_spans(docs, width=8).collect()
     }
     assert got == {(7, 2, 18)}
+
+
+def test_corpus_funnel_monotone(spark, sf_dir):
+    import __spark_entry__ as E
+
+    rows = sorted(
+        (r["stage"], r["n_docs"])
+        for r in E.queries()["corpus_funnel"](spark, sf_dir).collect()
+    )
+    assert [s for s, _ in rows] == [0, 1, 2, 3, 4]
+    ns = [n for _, n in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))  # cumulative filters
+    assert ns[0] > 0
