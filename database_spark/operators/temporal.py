@@ -57,26 +57,32 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance_s: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` and the same ``on`` key (backward as-of,
-    inclusive — DuckDB ``ASOF LEFT JOIN`` semantics).  Left rows with
-    no prior right row keep nulls.
+    """For each left row, attach the nearest right row with the same
+    ``on`` key: the latest with ``right.ts <= left.ts`` (backward,
+    inclusive — DuckDB ``ASOF LEFT JOIN`` semantics, the default) or
+    the earliest with ``right.ts >= left.ts`` (``direction='forward'``,
+    pandas ``merge_asof`` parity).  Left rows with no match keep nulls.
 
     ``right`` MUST be unique per (on, right_ts); pre-aggregate it
     otherwise (ties would make any as-of join non-deterministic).
-    ``tolerance_s`` drops matches older than that many seconds.
+    ``tolerance_s`` drops matches more than that many seconds away.
 
     Implementation: union + window, one shuffle, no row explosion.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    back = direction == "backward"
     rcols = right_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
     payload = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c) for c in rcols]
     )
-    # side sorts right (0) before left (1) at equal timestamps so an
-    # exact-tie right row is visible to the left row (inclusive <=)
+    # side sorts right (0) before left (1) in scan order at equal
+    # timestamps, so an exact-tie right row is visible to the left row
+    # (inclusive match in both directions)
     r = right.select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
@@ -91,9 +97,15 @@ def asof_join(
         F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
+    # backward scans the timeline ascending (carry the latest earlier
+    # right forward); forward scans descending (carry the earliest
+    # later right backward) — same window machinery either way
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__t").asc() if back else F.col("__t").desc(),
+            F.col("__side").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = l.unionByName(r, allowMissingColumns=True).withColumn(
@@ -105,10 +117,11 @@ def asof_join(
         rt_us = _as_micros(
             F.col("__m")[right_ts], right.schema[right_ts].dataType
         )
+        gap = (lt_us - rt_us) if back else (rt_us - lt_us)
         out = out.withColumn(
             "__m",
             F.when(
-                lt_us - rt_us <= int(round(float(tolerance_s) * 1_000_000)),
+                gap <= int(round(float(tolerance_s) * 1_000_000)),
                 F.col("__m"),
             ),
         )

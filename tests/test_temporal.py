@@ -127,3 +127,28 @@ def test_range_join_nonoverlapping_lower(spark):
         ).collect()
     )
     assert got == [12]
+
+
+def test_asof_forward_direction(spark):
+    left, right = _frames(spark)
+    got = {
+        r["id"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, on="k", direction="forward")
+        .collect()
+    }
+    assert got[1] == (3.0, _ts(60))      # earliest at-or-after 50
+    assert got[2] == (1.0, _ts(10))      # exact tie still inclusive
+    assert got[3] == (None, None)        # nothing at-or-after 30 for k=200
+    assert got[4] == (None, None)
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_s=5
+        ).collect()
+    }
+    assert got[2] == 1.0                 # gap 0
+    assert got[1] is None                # gap 10 > 5

@@ -89,3 +89,34 @@ def test_range_join_matches_brute_force(spark):
             ).collect()
         }
         assert got == _brute_range(left, right, lo, hi), (trial, lo, hi)
+
+
+def _brute_asof_fwd(left, right, tol=None):
+    out = {}
+    for lid, lk, lt in left:
+        best = None
+        for rid, rk, rt, rv in right:
+            if rk == lk and rt >= lt and (best is None or rt < best[0]):
+                best = (rt, rv)
+        if best is not None and tol is not None and best[0] - lt > tol:
+            best = None
+        out[lid] = best
+    return out
+
+
+def test_asof_forward_matches_brute_force(spark):
+    rng = random.Random(9012)
+    for trial in range(3):
+        tol = rng.choice([None, 7.0])
+        left, right = _tables(rng)
+        l = spark.createDataFrame(left, "id long, k long, ts double")  # noqa: E741
+        r = spark.createDataFrame(right, "rid long, k long, ts double, v double")
+        got = {
+            row["id"]: (row["ts_right"], row["v"])
+            for row in asof_join(
+                l, r, on="k", right_cols=["v"], tolerance_s=tol,
+                direction="forward",
+            ).collect()
+        }
+        for lid, best in _brute_asof_fwd(left, right, tol).items():
+            assert got[lid] == (best if best else (None, None)), (trial, lid)
