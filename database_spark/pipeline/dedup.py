@@ -498,6 +498,15 @@ def duplicate_spans(
     feature is the full-text index; this operator is corpus-dedup
     specific (no blazegraph analog).
     """
+    # a small single-file scan would run tokenization + per-window
+    # hashing on 1-2 cores AND recompute it for both consumers of the
+    # occurrence stream (count aggregate and join-back).  Spread the
+    # pre-explosion side when the scan is narrower than the cluster;
+    # already-wide inputs (the 100 TB case) skip the extra shuffle.
+    # (Same expansion-blind-parallelism fix as lsh_similar_pairs.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     t = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
