@@ -1762,6 +1762,37 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_asof_fwd(spark, sf_dir):
+    """Forward as-of join: each purchase joined to the same user's
+    EARLIEST click at-or-after it (direction='forward', pandas
+    merge_asof parity).  Oracle: DuckDB ASOF with the inequality
+    flipped."""
+    from database_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = asof_join(
+        purch,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_value"],
+        suffix="_click",
+        direction="forward",
+    )
+    return out.withColumn("ts_click_us", F.unix_micros("ts_click")).drop(
+        "ts_click"
+    )
+
+
 def q_events_range_join(spark, sf_dir):
     """Interval/range join: for each purchase, the count and value sum
     of the same user's clicks in the hour strictly before it.
@@ -1971,6 +2002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "vocab_topk": q_vocab_topk,
     "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
     "events_range_join": q_events_range_join,
     "repetition_stats": q_repetition_stats,
     "kmeans_cells": q_kmeans_cells,
@@ -2996,6 +3028,20 @@ ORACLES: dict[str, str] = {
                c.click_value, epoch_us(c.ts) AS ts_click_us
         FROM purch p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    # forward as-of: earliest right at-or-after — inequality flipped
+    "events_asof_fwd": """
+        WITH purch AS (
+          SELECT event_id, user_id, ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts, max_by(value, event_id) AS click_value
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.purchase_value,
+               c.click_value, epoch_us(c.ts) AS ts_click_us
+        FROM purch p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
     """,
     "events_range_join": """
         WITH purch AS (
