@@ -111,6 +111,14 @@ def main() -> None:
             # manager pressure can't accumulate across the session (the r2
             # GAS-family 4-5x regression); cached stores are protected
             L.sweep(spark)
+        # Broadcast relations (incl. AQE auto-broadcasts from the
+        # dedup/funnel entries) are only reaped when a JVM GC runs the
+        # ContextCleaner's reference queue; without a nudge they linger
+        # stochastically and the memory pressure lands on whichever big
+        # shuffle runs next (measured: sparql_optional_rejoin sf1
+        # samples 18-59 s same-code bimodality).  One explicit GC per
+        # rep bounds that carryover at negligible cost.
+        spark.sparkContext._jvm.System.gc()
 
     timings = {k: round(_median(v), 3) for k, v in samples.items()}
     compile_sec = {k: round(_median(v), 3) for k, v in compile_samples.items()}
