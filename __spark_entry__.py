@@ -117,7 +117,7 @@ _MAPPINGS = {
 }
 
 
-_STORE_LAYOUT_VERSION = 1  # bump when term encoding / bucketing changes
+_STORE_LAYOUT_VERSION = 2  # bump when term encoding / bucketing changes (v2: + _s_index subject layout)
 
 
 def _tpch_fingerprint(sf_dir: str) -> str:

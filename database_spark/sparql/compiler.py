@@ -54,6 +54,15 @@ class Sol:
     df: DataFrame
     vars: set = field(default_factory=set)
     maybe_unbound: set = field(default_factory=set)
+    #: var → bucket count for vars whose df ALSO carries the layout's
+    #: partition column as ``{var}__sb`` (subject-keyed scans only).
+    #: ``join`` turns it into a redundant equi condition on the raw
+    #: partition column — the shape Catalyst's dynamic partition
+    #: pruning recognizes, so a join against a small bound side prunes
+    #: s_bucket directories at runtime (the as-bound PipelineJoin
+    #: access-path analog).  Dropped by every operator that re-selects
+    #: columns; consumers guard on column presence.
+    buckets: dict = field(default_factory=dict)
 
     def tcol(self, v: str) -> Column:
         return F.col(v)
@@ -76,6 +85,8 @@ class Compiler:
         triples: DataFrame,
         services: dict | None = None,
         p_buckets: int | None = None,
+        s_triples: DataFrame | None = None,
+        s_buckets: int | None = None,
         named_sets: dict | None = None,
         default_triples: DataFrame | None = None,
         named_graph_ids: list | None = None,
@@ -121,6 +132,15 @@ class Compiler:
         # when the store isn't partitioned) — enables partition pruning
         # for bound-predicate scans
         self.p_buckets = p_buckets if "p_bucket" in triples.columns else None
+        # subject-keyed companion layout (TripleStore.save _s_index):
+        # chosen by scan_pattern/_pairs_scan for unbound-predicate
+        # patterns so bound/join-bound subjects prune s_bucket dirs
+        # (static filter or DPP) — the SPO-permutation analog
+        # (SPOKeyOrder.java:90-128)
+        if s_triples is not None and "s_bucket" in s_triples.columns and s_buckets:
+            self.s_triples, self.s_buckets = s_triples, s_buckets
+        else:
+            self.s_triples, self.s_buckets = None, None
         self._fresh = itertools.count()
 
     # ------------------------------------------------------------- utils
@@ -228,7 +248,22 @@ class Compiler:
         # mode: union of all contexts, distinct SPO — StripContextFilter
         # semantics); GRAPH scans read the full quads
         df = self.default_triples if graph is None else self.triples
-        bucketed = self.p_buckets and "p_bucket" in df.columns
+        # index choice (SPOKeyOrder.getKeyOrder analog): an unbound
+        # predicate defeats the p_bucket layout, so read the
+        # subject-keyed copy instead — a Const subject prunes its
+        # s_bucket statically; a var subject exports the partition
+        # column for join-time dynamic partition pruning.  Only valid
+        # when the scan target is the raw quad relation: GRAPH scans
+        # always are; default-graph scans only for triples-only stores
+        # (where the default view IS the raw df, checked by identity).
+        use_s = (
+            self.s_triples is not None
+            and isinstance(tp.p, A.Var)
+            and (graph is not None or self.default_triples is self.triples)
+        )
+        if use_s:
+            df = self.s_triples
+        bucketed = (not use_s) and self.p_buckets and "p_bucket" in df.columns
         binds: dict[str, str] = {}  # var name -> first position bound
         conds: list[Column] = []
         def backchain_ids(pos, node) -> list | None:
@@ -281,6 +316,13 @@ class Compiler:
                         F.col("p_bucket")
                         == F.pmod(term_id, F.lit(self.p_buckets))
                     )
+                elif pos == "s" and use_s:
+                    # subject-keyed layout: bound-s/unbound-p prunes to
+                    # one s_bucket directory (the SPO-index probe)
+                    conds.append(
+                        F.col("s_bucket")
+                        == F.pmod(term_id, F.lit(self.s_buckets))
+                    )
             else:
                 raise SparqlCompileError(f"path node in scan: {node!r}")
         # graph context
@@ -304,7 +346,17 @@ class Compiler:
         for var, pos in binds.items():
             sel.append(F.col(pos + "t").alias(var))
             sel.append(F.col(pos).alias(var + "__id"))
-        return Sol(df.select(*sel), set(binds.keys()), set())
+        sb_meta: dict = {}
+        if (
+            use_s
+            and isinstance(tp.s, A.Var)
+            and binds.get(tp.s.name) == "s"
+        ):
+            # export the partition column so `join` can add the
+            # DPP-eligible bucket condition when this var is joined
+            sel.append(F.col("s_bucket").alias(tp.s.name + "__sb"))
+            sb_meta[tp.s.name] = self.s_buckets
+        return Sol(df.select(*sel), set(binds.keys()), set(), buckets=sb_meta)
 
     #: service namespaces whose magic predicates may appear as bare
     #: statement patterns — the reference's ASTSearchOptimizer lifts
@@ -417,6 +469,17 @@ class Compiler:
                 rhs = self.compile_pattern_or_path(tp, graph)
             sol = self.join(sol, rhs)
             seen |= tp_vars(tp)
+        return self._strip_aux(sol)
+
+    @staticmethod
+    def _strip_aux(sol: Sol) -> Sol:
+        """Drop scan-layout helper columns (``{var}__sb``) once the
+        solution leaves the join pipeline — consumers outside ``join``
+        expect exactly the var/var__id column pairs."""
+        if any(c.endswith("__sb") for c in sol.df.columns):
+            return Sol(
+                sol.df.select(*_cols_for(sol.vars)), sol.vars, sol.maybe_unbound
+            )
         return sol
 
     def compile_pattern_or_path(self, tp: A.TriplePattern, graph) -> Sol:
@@ -472,6 +535,26 @@ class Compiler:
             if v in mu_vars:
                 continue
             conds.append(F.col(v + "__id") == F.col(RPFX + v + "__id"))
+            # subject-layout join hook: when one side is a subject-
+            # bucketed scan that exported its partition column, add the
+            # (redundant, implied-by-id-equality) equi condition on the
+            # RAW partition column vs pmod(other side's id).  That is
+            # the exact shape Catalyst's dynamic partition pruning
+            # recognizes, so the big scan prunes s_bucket directories
+            # from the small side's values at runtime — the as-bound
+            # PipelineJoin access-path probe, Spark-style.
+            n = right.buckets.get(v)
+            if n and (RPFX + v + "__sb") in rdf.columns:
+                conds.append(
+                    F.col(RPFX + v + "__sb")
+                    == F.pmod(F.col(v + "__id"), F.lit(n))
+                )
+            n = left.buckets.get(v)
+            if n and (v + "__sb") in left.df.columns:
+                conds.append(
+                    F.col(v + "__sb")
+                    == F.pmod(F.col(RPFX + v + "__id"), F.lit(n))
+                )
         if extra is not None:
             conds.append(extra)
         # left_outer decomposes too.  When every nullable shared var is
@@ -1411,9 +1494,21 @@ class Compiler:
 
     def _pairs_scan(self, s, o, graph, extra: Column) -> Sol:
         """Scan all triples matching an (s, o) shape under a predicate
-        condition (negated property sets)."""
-        # unscoped scans read the union default graph, same as BGP scans
-        df = (self.default_triples if graph is None else self.triples).where(extra)
+        condition (negated property sets).
+
+        The predicate is by construction UNBOUND here (only `!=`
+        residuals), so the p_bucket layout cannot prune: read the
+        subject-keyed copy when available (SPOKeyOrder SPO-permutation
+        analog) — a Const subject prunes its s_bucket statically, a var
+        subject exports the partition column for join-time DPP."""
+        use_s = self.s_triples is not None and (
+            graph is not None or self.default_triples is self.triples
+        )
+        if use_s:
+            df = self.s_triples.where(extra)
+        else:
+            # unscoped scans read the union default graph, same as BGP
+            df = (self.default_triples if graph is None else self.triples).where(extra)
         binds: dict[str, str] = {}
         conds: list[Column] = []
         for pos, node in (("s", s), ("o", o)):
@@ -1424,6 +1519,14 @@ class Compiler:
                     binds[node.name] = pos
             else:
                 conds.append(F.col(pos) == T.term_id(T.lit_term(node.term)))
+                if pos == "s" and use_s:
+                    conds.append(
+                        F.col("s_bucket")
+                        == F.pmod(
+                            T.term_id(T.lit_term(node.term)),
+                            F.lit(self.s_buckets),
+                        )
+                    )
         if graph is None:
             conds.append(F.col("g").isNull())
         elif isinstance(graph, A.Var):
@@ -1438,7 +1541,11 @@ class Compiler:
         for var, pos in binds.items():
             sel.append(F.col(pos + "t").alias(var))
             sel.append(F.col(pos).alias(var + "__id"))
-        return Sol(df.select(*sel), set(binds), set())
+        sb_meta: dict = {}
+        if use_s and isinstance(s, A.Var) and binds.get(s.name) == "s":
+            sel.append(F.col("s_bucket").alias(s.name + "__sb"))
+            sb_meta[s.name] = self.s_buckets
+        return Sol(df.select(*sel), set(binds), set(), buckets=sb_meta)
 
     @staticmethod
     def _merge_corr(prev, sol):
@@ -1489,7 +1596,7 @@ class Compiler:
 
     def _path_mod(self, s, path: A.PathMod, o, graph) -> Sol:
         av, bv = A.Var(self.fresh()), A.Var(self.fresh())
-        step = self.compile_path(av, path.path, bv, graph)
+        step = self._strip_aux(self.compile_path(av, path.path, bv, graph))
         # under GRAPH ?var the step relation carries the graph var and
         # the fixpoint runs per graph partition — closure keyed on
         # (g, a, b), one job for all graphs (ArbitraryLengthPathOp

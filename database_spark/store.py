@@ -63,6 +63,15 @@ class TripleStore:
     #: loaded from (None = unpartitioned); lets the compiler add the
     #: p_bucket partition filter for bound-predicate scans
     p_buckets: int | None = None
+    #: subject-keyed companion layout (the OSP/SPO-permutation analog,
+    #: ``SPOKeyOrder.java:90-128``): the same statements partitioned by
+    #: ``s_bucket = pmod(s, s_buckets)`` and sorted (s,p,o), written by
+    #: ``save`` beside the p-bucketed copy.  The compiler reads it for
+    #: bound-subject / unbound-predicate patterns (negated property
+    #: sets, star expansion around a known subject) so those prune to
+    #: one bucket instead of full-scanning every predicate bucket.
+    s_df: DataFrame | None = None
+    s_buckets: int | None = None
     #: whether the store contains named-graph statements; tri-state:
     #: False = triples-only (default_graph() is the identity, no scan),
     #: True = quads present, None = unknown (probe lazily on demand).
@@ -152,6 +161,15 @@ class TripleStore:
         100 TB, also sort within partitions by (p, s, o) so row-group
         min/max stats prune subject-bound scans.
 
+        A partitioned save also writes a SECOND, subject-keyed copy of
+        the statements under ``path/_s_index`` (s_bucket partition +
+        (s,p,o) sort) — the Spark analog of the reference keeping
+        multiple index permutations so every triple-pattern shape is a
+        prefix scan (``SPOKeyOrder.java:90-128``: SPO beside POS/OSP).
+        Storage doubles, exactly as the reference's extra permutations
+        do; in exchange bound-s/unbound-p patterns prune to one bucket
+        directory instead of scanning all predicate buckets.
+
         ``extra_meta`` keys (e.g. a source-data fingerprint) are merged
         into the sidecar so callers can validate a cached layout.
         """
@@ -167,6 +185,16 @@ class TripleStore:
                 .parquet(path)
             )
             meta["p_buckets"] = buckets
+            (
+                self._flat()
+                .withColumn("s_bucket", F.pmod(F.col("s"), F.lit(buckets)))
+                .repartition("s_bucket")
+                .sortWithinPartitions("s", "p", "o")
+                .write.mode("overwrite")
+                .partitionBy("s_bucket")
+                .parquet(path + "/_s_index")
+            )
+            meta["s_buckets"] = buckets
         else:
             df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
         if self.has_named is None:
@@ -249,11 +277,29 @@ class TripleStore:
                     tdf._dbspark_text_index = tidx
         except Exception:  # noqa: BLE001 — index is an optimization only
             pass
+        s_df = None
+        s_buckets = meta.get("s_buckets")
+        if s_buckets:
+            try:
+                jvm = spark._jvm
+                sp = jvm.org.apache.hadoop.fs.Path(path + "/_s_index")
+                if sp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(sp):
+                    sdf = spark.read.parquet(path + "/_s_index")
+                    s_df = sdf.select(
+                        "s", "p", "o", "g", "st", "pt", "ot", "gt",
+                        "inferred", "s_bucket",
+                    )
+                else:
+                    s_buckets = None
+            except Exception:  # noqa: BLE001 — layout is an optimization only
+                s_df, s_buckets = None, None
         return TripleStore(
             spark,
             tdf,
             p_buckets=meta.get("p_buckets"),
             has_named=meta.get("has_named"),
+            s_df=s_df,
+            s_buckets=s_buckets,
         )
 
     # ------------------------------------------------------------- views
@@ -301,11 +347,24 @@ class TripleStore:
         u = u.where(F.col("term").isNotNull()).dropDuplicates(["term"])
         return u.select(T.term_id(F.col("term")).alias("id"), "term")
 
+    def _probe_df(self, s, p) -> DataFrame:
+        """Pick the layout whose partition column matches the bound
+        positions (the probe-side analog of SPOKeyOrder.getKeyOrder):
+        bound-s/unbound-p probes read the subject-keyed copy and prune
+        to one s_bucket; everything else reads the primary layout
+        (whose p_bucket prunes when p is bound)."""
+        if p is None and s is not None and self.s_df is not None:
+            return self.s_df.where(
+                F.col("s_bucket")
+                == F.pmod(T.term_id(T.lit_term(s)), F.lit(self.s_buckets))
+            )
+        return self.df
+
     def count_pattern(self, s=None, p=None, o=None, g=None) -> int:
         """Cardinality of a triple pattern (FastRangeCountOp analog —
         parquet row-group stats + pushdown make this a metadata-mostly
         count; no full scan of non-matching row groups)."""
-        df = self.df
+        df = self._probe_df(s, p)
         for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
             if val is not None:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
@@ -314,7 +373,7 @@ class TripleStore:
     def has_statement(self, s=None, p=None, o=None, g=None) -> bool:
         """Limit-1 existence probe (HASSTMT servlet): the scan stops at
         the first matching row-group hit, no full count."""
-        df = self.df
+        df = self._probe_df(s, p)
         for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
             if val is not None:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))

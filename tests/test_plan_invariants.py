@@ -76,3 +76,17 @@ def test_compat_join_entries_stay_hash_joins(spark, sf_dir):
                     continue  # tree-overview occurrence, details follow
                 assert "Cross" in args or "LeftOuter" in args, (name, args)
                 assert "__id" not in args, (name, args)  # no join cond
+
+
+def test_nps_entry_scans_subject_layout(spark, sf_dir):
+    """The negated-property-set entry must read the subject-keyed
+    layout with join-time dynamic partition pruning — never a full
+    scan of every predicate bucket for its constant-size answer
+    (r9 verdict: the one weak plan)."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["sparql_nps"](spark, sf_dir))
+    assert any(
+        "PartitionFilters" in l and "s_bucket" in l for l in plan.splitlines()
+    ), plan
+    assert "dynamicpruning" in plan, plan

@@ -77,3 +77,79 @@ def test_mutation_drops_layout_column(spark, saved_store):
     bigger = saved_store.add(extra)
     assert "p_bucket" not in bigger.df.columns
     assert bigger.df.count() == 201
+
+
+# ------------------------------------------------- subject-keyed layout
+# The OSP/SPO-permutation analog (SPOKeyOrder.java:90-128): save()
+# writes a second, s_bucket-partitioned copy; the compiler reads it for
+# unbound-predicate patterns so bound/join-bound subjects prune.
+
+
+def test_s_index_meta_roundtrip(saved_store):
+    assert saved_store.s_buckets == 16
+    assert saved_store.s_df is not None
+    assert "s_bucket" in saved_store.s_df.columns
+
+
+def test_bound_subject_unbound_predicate_prunes(spark, saved_store):
+    eng = SparqlEngine(saved_store)
+    res = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?p ?o WHERE {{ ex:s5 ?p ?o }}'
+    )
+    plan = _formatted_plan(res.df)
+    # the s_bucket equality must be a PARTITION filter on the s-layout
+    assert any(
+        "PartitionFilters" in l and "s_bucket" in l for l in plan.splitlines()
+    ), plan
+    rows = res.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["o"]["lex"] == "5"
+
+
+def test_join_bound_subject_nps_gets_dynamic_pruning(spark, saved_store):
+    """`?s ex:p3 ?o . ?s !(ex:p0|ex:p1) ?x` — the negated-property-set
+    scan must read the subject layout and carry a dynamic-partition-
+    pruning filter fed by the bound-p sibling pattern (the as-bound
+    PipelineJoin access-path probe)."""
+    eng = SparqlEngine(saved_store)
+    res = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?s ?o ?x WHERE {{ '
+        f'?s ex:p3 ?o . ?s !(ex:p0|ex:p1) ?x }}'
+    )
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "s_bucket" in l for l in plan.splitlines()
+    ), plan
+    assert "dynamicpruning" in plan, plan
+    rows = res.df.collect()
+    # each p3 subject has exactly one edge (its own p3), so x == o
+    expected = [i for i in range(200) if i % 7 == 3]
+    assert len(rows) == len(expected)
+    assert all(r["o"]["lex"] == r["x"]["lex"] for r in rows)
+
+
+def test_s_layout_results_match_unpartitioned(spark, saved_store):
+    """Layout choice must never change results: the same queries on an
+    in-memory (unsaved, single-layout) copy of the store."""
+    mem = TripleStore(spark, saved_store._flat(), has_named=False)
+    for q in (
+        f'PREFIX ex: <{EX}> SELECT ?p ?o WHERE {{ ex:s7 ?p ?o }}',
+        f'PREFIX ex: <{EX}> SELECT ?s ?x WHERE {{ '
+        f'?s ex:p2 ?o . ?s !(ex:p0) ?x }}',
+    ):
+        got = sorted(
+            tuple((v["lex"] if v else None) for v in r)
+            for r in SparqlEngine(saved_store).select(q).df.collect()
+        )
+        want = sorted(
+            tuple((v["lex"] if v else None) for v in r)
+            for r in SparqlEngine(mem).select(q).df.collect()
+        )
+        assert got == want
+
+
+def test_probe_methods_use_s_layout(saved_store):
+    s5 = Term.iri(EX + "s5")
+    assert saved_store.count_pattern(s=s5) == 1
+    assert saved_store.has_statement(s=s5)
+    assert not saved_store.has_statement(s=Term.iri(EX + "nope"))
