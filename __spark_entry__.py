@@ -50,16 +50,11 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def _spread(df: DataFrame) -> DataFrame:
     """Use the whole cluster for per-row-heavy map work when the scan
-    is NARROWER than it: a small single-file parquet arrives as 1-2
-    splits, starving map-only stages of parallelism (measured:
-    dup_spans 16.2 → 5.4 s and corpus_funnel 23.2 → 12.8 s at sf1
-    from this guard alone).  At 100 TB every scan is wider than the
-    cluster, the guard is false, and the zero-shuffle claims in the
-    per-entry docstrings hold unchanged."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    is NARROWER than it (shared guard — one definition so the
+    condition can't drift between call sites)."""
+    from database_spark.pipeline import spread_narrow
+
+    return spread_narrow(df)
 
 
 _MAPPINGS = {
@@ -1736,13 +1731,19 @@ def q_events_asof(spark, sf_dir):
     from database_spark.operators.temporal import asof_join
 
     ev = _read(spark, sf_dir, "events")
+    # NULL keys injected on BOTH sides (user_id % 89 == 0): SQL
+    # equality never matches NULL = NULL, and DuckDB's native ASOF
+    # JOIN agrees — this gates the null-key semantics of asof_join
+    # (null-keyed left rows null-extend, null-keyed right rows are
+    # inert), not just the happy path
+    nk = F.when(F.col("user_id") % 89 != 0, F.col("user_id"))
     purch = ev.where(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+        "event_id", nk.alias("user_id"), "ts", F.col("value").alias("purchase_value")
     )
     # as-of right sides must be unique per (key, ts)
     clicks = (
         ev.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
+        .groupBy(nk.alias("user_id"), "ts")
         .agg(F.max_by("value", "event_id").alias("click_value"))
     )
     out = asof_join(
@@ -3018,10 +3019,13 @@ ORACLES: dict[str, str] = {
     # semantic spec the union+window Spark plan must reproduce
     "events_asof": """
         WITH purch AS (
-          SELECT event_id, user_id, ts, value AS purchase_value
+          SELECT event_id,
+                 CASE WHEN user_id % 89 <> 0 THEN user_id END AS user_id,
+                 ts, value AS purchase_value
           FROM events WHERE event_type = 'purchase'
         ), clicks AS (
-          SELECT user_id, ts, max_by(value, event_id) AS click_value
+          SELECT CASE WHEN user_id % 89 <> 0 THEN user_id END AS user_id,
+                 ts, max_by(value, event_id) AS click_value
           FROM events WHERE event_type = 'click' GROUP BY 1, 2
         )
         SELECT p.event_id, p.user_id, p.ts, p.purchase_value,

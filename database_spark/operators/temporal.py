@@ -45,7 +45,10 @@ def _as_micros(c: Column, dtype: T.DataType) -> Column:
         return F.unix_micros(c.cast("timestamp"))
     if isinstance(dtype, T.TimestampType):
         return F.unix_micros(c)
-    return (c.cast("double") * 1_000_000).cast("long")
+    # round, don't truncate: double representation error on fractional
+    # seconds (3.9 * 1e6 = 3899999.999…) would otherwise flip inclusive
+    # boundary comparisons; rounding is also symmetric for negatives
+    return F.round(c.cast("double") * 1_000_000).cast("long")
 
 
 def asof_join(
@@ -82,8 +85,15 @@ def asof_join(
     )
     # side sorts right (0) before left (1) in scan order at equal
     # timestamps, so an exact-tie right row is visible to the left row
-    # (inclusive match in both directions)
-    r = right.select(
+    # (inclusive match in both directions).  NULL equi-keys never match
+    # (SQL equality semantics, matching DuckDB ASOF JOIN): null-keyed
+    # right rows are dropped here — the window's partitionBy would
+    # otherwise group them WITH null-keyed left rows and hand those a
+    # match SQL equality forbids.  Null-keyed left rows stay and simply
+    # null-extend (no right rows survive in their partition).
+    r = right.where(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
@@ -112,6 +122,11 @@ def asof_join(
         "__m", F.last("__r", ignorenulls=True).over(w)
     )
     out = matched.where(F.col("__side") == 1)
+    # a null-ts left row satisfies neither <= nor >= in SQL: null the
+    # carried match (its window position is an ordering artifact)
+    out = out.withColumn(
+        "__m", F.when(F.col("__t").isNotNull(), F.col("__m"))
+    )
     if tolerance_s is not None:
         lt_us = _as_micros(F.col("__t"), left.schema[left_ts].dataType)
         rt_us = _as_micros(
@@ -144,8 +159,12 @@ def range_join(
     """Pairs (left, right) with the same key and
     ``left.ts - upper_s <= right.ts < left.ts - lower_s`` — i.e. the
     right row happened within the (lower_s, upper_s] seconds BEFORE
-    the left row.  ``how='left'`` keeps unmatched left rows (requires
-    left rows to be unique — give them a key column).
+    the left row.  ``how='left'`` keeps unmatched left rows with exact
+    bag semantics — duplicate left rows each survive independently (a
+    per-row ``monotonically_increasing_id`` tracks identity through
+    the bucket explode, so no dedup over value-equal rows; the id is
+    deterministic for deterministic sources like file scans, which is
+    what makes the matched/unmatched branches consistent).
 
     Implementation: quantize to ``upper_s - lower_s``-wide buckets;
     a left row's window can only overlap 2 consecutive buckets, so the
@@ -162,19 +181,23 @@ def range_join(
         # comparisons must not round); numeric columns mean seconds
         return _as_micros(F.col(col), df.schema[col].dataType)
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
     width_us = int(round(width * 1_000_000))
     upper_us = int(round(float(upper_s) * 1_000_000))
     lower_us = int(round(float(lower_s) * 1_000_000))
-    lb = F.floor((_us(left, left_ts) - upper_us) / width_us)
     rb = F.floor(_us(right, right_ts) / width_us)
     lcols = [F.col(c).alias(f"l_{c}") for c in left.columns]
     rcols = [F.col(c).alias(f"r_{c}") for c in right.columns]
-    l = left.select(  # noqa: E741
+    # row identity BEFORE the bucket explode: how='left' needs to know
+    # which individual left rows matched, independent of value equality
+    base = left.select(
         F.col(on).alias("__k"),
         _us(left, left_ts).alias("__lt"),
-        F.explode(F.array(lb, lb + 1)).alias("__b"),
         *lcols,
-    )
+    ).withColumn("__lid", F.monotonically_increasing_id())
+    lb = F.floor((F.col("__lt") - upper_us) / width_us)
+    l = base.withColumn("__b", F.explode(F.array(lb, lb + 1)))  # noqa: E741
     r = right.select(
         F.col(on).alias("__k"),
         _us(right, right_ts).alias("__rt"),
@@ -185,18 +208,20 @@ def range_join(
         F.col("__rt") < F.col("__lt") - lower_us
     )
     joined = l.join(r, ["__k", "__b"], "inner").where(exact)
-    if how == "inner":
-        return joined.select(*[f"l_{c}" for c in left.columns],
-                             *[f"r_{c}" for c in right.columns])
-    if how != "left":
-        raise ValueError(f"unsupported how={how!r}")
-    # left: re-attach unmatched left rows (anti on the matched ids)
-    matched = joined
     keep = [f"l_{c}" for c in left.columns]
     rnames = [f"r_{c}" for c in right.columns]
-    lonly = (
-        l.dropDuplicates(keep)
-        .join(matched.select(*keep).dropDuplicates(keep), keep, "left_anti")
-        .select(*keep, *[F.lit(None).alias(c) for c in rnames])
+    if how == "inner":
+        return joined.select(*keep, *rnames)
+    # left: re-attach unmatched left rows (anti on the matched row ids;
+    # duplicate left rows keep exact bag semantics — each id survives
+    # or matches on its own)
+    lonly = base.join(
+        joined.select("__lid").dropDuplicates(["__lid"]), ["__lid"], "left_anti"
+    ).select(
+        *keep,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"r_{c}")
+            for c in right.columns
+        ],
     )
-    return matched.select(*keep, *rnames).unionByName(lonly)
+    return joined.select(*keep, *rnames).unionByName(lonly)

@@ -504,9 +504,9 @@ def duplicate_spans(
     # pre-explosion side when the scan is narrower than the cluster;
     # already-wide inputs (the 100 TB case) skip the extra shuffle.
     # (Same expansion-blind-parallelism fix as lsh_similar_pairs.)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    from . import spread_narrow
+
+    df = spread_narrow(df)
     t = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )

@@ -24,9 +24,10 @@ determinism devices:
    ties break toward the lowest cell index.
 
 Scale shape per iteration: one map-only assignment pass (centroids are
-literal expressions — a broadcast-free broadcast) + one hash aggregate
-of (cell, dim) partial sums.  Driver state is the k×dim centroid
-matrix only — model state, never data.
+DATA in a one-row broadcast relation — generic in k and dim, so large
+k never breaks codegen) + one hash aggregate of (cell, dim) partial
+sums.  Driver state is the k×dim centroid matrix only — model state,
+never data.
 
 Reference parity: no blazegraph analog (nearest is the GAS analytics
 family); this is a training-data-pipeline extension like MinHash-LSH.
@@ -50,28 +51,46 @@ def _quantized(df: DataFrame, id_col: str, vec_col: str, scale: int):
 
 def _assign(base: DataFrame, cents: list[list[float]], scale: int):
     """Attach ``__cell`` = argmin_j round(||v - c_j||², 1e-9), ties to
-    the lowest j.  Centroids are literals → map-only stage."""
-    vd = F.transform(F.col("__vi"), lambda x: x.cast("double") / float(scale))
-    withv = base.withColumn("__vd", vd)
+    the lowest j.
 
-    def d2(cj: list[float]):
-        carr = F.array(*[F.lit(float(c)) for c in cj])
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col("__vd"), carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        )
+    Centroids travel as DATA — one broadcast row holding the k×dim
+    matrix (``array<array<double>>``) — never as literal expression
+    trees: a k·dim literal tree breaks whole-stage codegen's 64 KB
+    method limit around a few thousand terms (measured for the LSH
+    plane constants, which use the same relational-pool fix), capping
+    k at toy sizes.  The higher-order-function argmin below is
+    constant-size in both k and dim, so k=256 IVF-cell training
+    compiles to the same plan as k=8.  The broadcast nested-loop join
+    has a single build row: map-only in practice (no shuffle, no row
+    multiplication — each row scans the matrix column in place)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    cand = F.array(
-        *[
-            F.struct(d2(cj).alias("d"), F.lit(j).alias("j"))
-            for j, cj in enumerate(cents)
-        ]
+    spark = base.sparkSession
+    mat = spark.createDataFrame(
+        [([[float(c) for c in cj] for cj in cents],)],
+        StructType(
+            [StructField("__mat", ArrayType(ArrayType(DoubleType())), False)]
+        ),
     )
-    return withv.withColumn("__cell", F.array_min(cand)["j"])
+    vd = F.transform(F.col("__vi"), lambda x: x.cast("double") / float(scale))
+    withv = base.join(F.broadcast(mat), F.lit(True), "inner").withColumn(
+        "__vd", vd
+    )
+    cand = F.transform(
+        F.col("__mat"),
+        lambda cj, j: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("__vd"), cj, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                9,
+            ).alias("d"),
+            j.cast("int").alias("j"),
+        ),
+    )
+    return withv.withColumn("__cell", F.array_min(cand)["j"]).drop("__mat")
 
 
 def kmeans_assign(
@@ -94,8 +113,10 @@ def kmeans_assign(
         base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
     )
     if not seeds:
+        base.unpersist(blocking=False)  # nothing trained; don't leak the cache
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
-            [], f"{id_col} long, cell int"
+            [], f"{id_col} {id_type}, cell int"
         )
     dim = len(seeds[0]["__vi"])
     cents = [[v / float(scale) for v in r["__vi"]] for r in seeds]

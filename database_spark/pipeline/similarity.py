@@ -165,9 +165,9 @@ def lsh_similar_pairs(
     # the PRE-EXPANSION side only when the scan has fewer partitions
     # than the cluster; already-wide inputs (the 100 TB case) skip the
     # extra shuffle.
-    par = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    from . import spread_narrow
+
+    base = spread_narrow(base)
     signed = (
         base
         .join(F.broadcast(planes))

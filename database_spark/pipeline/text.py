@@ -204,10 +204,14 @@ def vocab_topk(df, text_col: str, k: int = 100, id_col: str | None = None):
     shuffle carries per-partition partial counts, ~|vocab| rows per
     partition, never the token stream) → global top-k via
     TakeOrdered (per-partition heads, no full sort of the vocabulary).
-    With ``id_col``, ``doc_freq`` rides the same aggregate as a
-    count_distinct (Spark's two-phase distinct aggregation: the
-    partial phase dedups (token, doc) pairs map-side before the
-    shuffle).  At 100 TB this is the standard corpus-stats pass.
+    With ``id_col``, both counts derive from a single (token, doc)
+    pre-aggregation: per-doc term counts shuffle once (map-side
+    combined, so the shuffle carries per-partition (token, doc)
+    partials, never the token stream), then occurrences = sum and
+    doc_freq = count ride one already-tiny second aggregate.  This
+    avoids ``count_distinct``'s Expand plan, which doubles every
+    exploded row before the shuffle.  At 100 TB this is the standard
+    corpus-stats pass.
     """
     from pyspark.sql import functions as F
 
@@ -221,8 +225,11 @@ def vocab_topk(df, text_col: str, k: int = 100, id_col: str | None = None):
             F.col(id_col).alias("__doc"),
             F.explode(tokens(F.col(text_col))).alias("token"),
         )
-        counts = tok.groupBy("token").agg(
-            F.count(F.lit(1)).alias("occurrences"),
-            F.count_distinct("__doc").alias("doc_freq"),
+        pairs = tok.groupBy("token", "__doc").agg(
+            F.count(F.lit(1)).alias("__tf")
+        )
+        counts = pairs.groupBy("token").agg(
+            F.sum("__tf").alias("occurrences"),
+            F.count(F.lit(1)).alias("doc_freq"),
         )
     return counts.orderBy(F.col("occurrences").desc(), F.col("token").asc()).limit(k)

@@ -9,6 +9,7 @@ commits, every version readable, final statement count == head.
 Usage: python journal_soak_worker.py <journal_dir> <tag> <seconds> <out_json>
 """
 
+import hashlib
 import json
 import sys
 import time
@@ -49,8 +50,12 @@ def main() -> int:
             conflicts += 1
             tx.rollback()
             # jittered backoff: without it a consistently-slow loser
-            # re-collides with the same winner forever (livelock)
-            time.sleep(0.02 * (1 + (hash(tag) + conflicts) % 5))
+            # re-collides with the same winner forever (livelock).
+            # Stable per-worker jitter (md5, not hash(): PYTHONHASHSEED
+            # randomizes hash() per process, so workers could land on
+            # similar sequences and failures wouldn't reproduce)
+            jit = int(hashlib.md5(tag.encode()).hexdigest(), 16)
+            time.sleep(0.02 * (1 + (jit + conflicts) % 5))
             continue  # retry the SAME statement in a fresh tx
         committed[v] = subj
         i += 1

@@ -140,3 +140,29 @@ def test_corpus_funnel_monotone(spark, sf_dir):
     ns = [n for _, n in rows]
     assert all(a >= b for a, b in zip(ns, ns[1:]))  # cumulative filters
     assert ns[0] > 0
+
+
+def test_kmeans_large_k_compiles_and_runs(spark):
+    """k=64 over dim=32: the old literal-centroid expression tree was
+    k*dim terms and would trip whole-stage codegen's 64 KB method
+    limit; the data-driven matrix must compile to a constant-size plan
+    and still assign every row."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(0, 10) for _ in range(32)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_assign(df, "vec_id", "embedding", k=64, iters=2).collect()
+    assert len(got) == 400
+    cells = {r["cell"] for r in got}
+    assert cells and all(0 <= c < 64 for c in cells)
+    assert len(cells) > 8  # genuinely using the larger codebook
+
+
+def test_kmeans_empty_input_schema_follows_id_type(spark):
+    df = spark.createDataFrame([], "doc_id string, embedding array<float>")
+    out = kmeans_assign(df, "doc_id", "embedding", k=4, iters=1)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"

@@ -152,3 +152,83 @@ def test_asof_forward_tolerance(spark):
     }
     assert got[2] == 1.0                 # gap 0
     assert got[1] is None                # gap 10 > 5
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL equality semantics (DuckDB ASOF JOIN): NULL = NULL is not a
+    match — null-keyed left rows null-extend even when null-keyed
+    right rows exist, in both directions."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(50)), (2, 100, _ts(50))],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(10), 9.0), (100, _ts(10), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["id"]: r["v"]
+            for r in asof_join(
+                left, right, on="k", direction=direction
+            ).collect()
+        }
+        assert got[1] is None, direction     # null key: no match
+        assert got[2] == (1.0 if direction == "backward" else None), direction
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """A NULL timestamp satisfies neither <= nor >=: null-ts right rows
+    are never carried, null-ts left rows never inherit a carry."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(50)), (2, 100, None)],
+        "id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, None, 9.0), (100, _ts(10), 1.0)],
+        "k long, ts timestamp, v double",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r["id"]: r["v"]
+            for r in asof_join(
+                left, right, on="k", direction=direction
+            ).collect()
+        }
+        assert got[2] is None, direction     # null left ts: no match
+        # the null-ts right row (9.0) must never be the match
+        assert got[1] in (1.0, None) and got[1] != 9.0, direction
+
+
+def test_range_join_left_keeps_duplicate_left_rows(spark):
+    """how='left' bag semantics: value-identical duplicate left rows
+    each survive (matched or null-extended) — they are not collapsed."""
+    left = spark.createDataFrame(
+        [(7, _ts(7200)), (7, _ts(7200)),        # duplicate matched pair
+         (8, _ts(7200)), (8, _ts(7200))],       # duplicate unmatched pair
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(4000), 1.0)], "k long, ts timestamp, v double"
+    )
+    out = range_join(left, right, on="k", lower_s=0, upper_s=3600, how="left")
+    rows = out.collect()
+    assert len(rows) == 4
+    assert sorted(r["r_v"] for r in rows if r["l_k"] == 7) == [1.0, 1.0]
+    assert [r["r_v"] for r in rows if r["l_k"] == 8] == [None, None]
+
+
+def test_as_micros_fractional_double_boundary(spark):
+    """Numeric (double-seconds) time columns must ROUND to micros, not
+    truncate: 3.9 * 1e6 is 3899999.999… in binary — truncation would
+    flip the inclusive tolerance boundary below."""
+    left = spark.createDataFrame([(1, 100, 3.9)], "id long, k long, ts double")
+    right = spark.createDataFrame([(100, 0.0, 1.0)], "k long, ts double, v double")
+    # gap is exactly 3.9 s; tolerance 3.9 s must match (inclusive)
+    got = asof_join(left, right, on="k", tolerance_s=3.9).collect()
+    assert got[0]["v"] == 1.0
+    # negative fractional values round symmetrically (toward nearest)
+    left2 = spark.createDataFrame([(1, 100, -0.5)], "id long, k long, ts double")
+    right2 = spark.createDataFrame([(100, -4.4, 1.0)], "k long, ts double, v double")
+    got2 = asof_join(left2, right2, on="k", tolerance_s=3.9).collect()
+    assert got2[0]["v"] == 1.0
