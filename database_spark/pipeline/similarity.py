@@ -129,10 +129,18 @@ def lsh_similar_pairs(
     it to p^(r+Δ) + (r+Δ)·p^(r+Δ-1)·(1-p), which for Δ ≤ 5 is ≥ the
     unscaled p^r across the similarity range that matters (at p=0.64,
     the plane-agreement of cos≈0.42: 8 planes → 0.027, 12 planes +
-    H1-probe → 0.035; at p=0.86/cos≈0.9: 0.289 → 0.469).  Candidate
-    volume stays linear: occupancy is constant by construction and
-    probing multiplies it by (1 + Σ C(planes, j≤R)), i.e. O(log n)
-    probes per doc for R=1.
+    H1-probe → 0.035; at p=0.86/cos≈0.9: 0.289 → 0.469).
+
+    REGIME SWITCH — keep ``probe_hamming ≤ 1`` at scale: radius R
+    costs Σ C(planes, j≤R) probe masks per doc per table, which is
+    combinatorial in R (Δ≈19 at ~10⁹ docs → R=4 under a naive
+    ceil(Δ/5) rule → ~20k masks/doc/table — the quadratic blowup the
+    plane scaling exists to avoid).  The "O(log n) probes" property
+    holds ONLY for R ≤ 1 (1 + planes masks).  Beyond Δ ≈ 5 extra
+    planes, restore recall by GROWING ``n_tables`` instead (standard
+    b/r banding: ×(1/p) per further plane at the design similarity —
+    see ``__spark_entry__._lsh_tables_for``): per-table cost is linear
+    in tables and each table's probe volume stays O(planes).
     """
     import itertools
     # plane constants ride as DATA (a broadcast 64-row DataFrame), not

@@ -334,3 +334,115 @@ def test_lsh_multiprobe_recall_compensates_extra_planes(spark):
     assert scaled >= 0.9
     # and the probe is genuinely doing the compensating work
     assert scaled >= scaled_bare
+
+
+def test_lsh_probe_radius_capped_and_tables_grow(spark):
+    """r9 verdict wrong #2: the probe radius must stay O(planes) —
+    NEVER C(planes, R) — at any scale; recall past LSH_PROBE_COMP
+    extra planes comes from table growth (b/r banding) instead."""
+    import math
+
+    import __spark_entry__ as E
+
+    # radius is capped at 1 for every plane count
+    for planes in (8, 12, 13, 18, 27, 40):
+        assert E._lsh_probe_for(planes) <= 1
+    # probe masks per doc per table = 1 + planes (linear, by formula)
+    masks = 1 + sum(
+        math.comb(18, j) for j in range(1, E._lsh_probe_for(18) + 1)
+    )
+    assert masks == 19  # O(planes), not C(18,2)=153 of the old radius-2
+    # the table ladder is monotone and kicks in past probe compensation
+    assert E._lsh_tables_for(E.LSH_PLANES + E.LSH_PROBE_COMP) == E.LSH_TABLES
+    lad = [E._lsh_tables_for(p) for p in range(8, 19)]
+    assert lad == sorted(lad) and lad[-1] > E.LSH_TABLES
+
+
+def test_lsh_table_growth_holds_recall_at_delta10(spark):
+    """The Δ=10 operating point (n ≈ 2M under the production base):
+    18 planes, radius-1 probing, and the grown table count must still
+    recover ≥90% of truly-similar pairs — the regime where the old
+    ceil(Δ/5) radius rule would have spent C(18,2)-mask probe volume."""
+    import math
+
+    import __spark_entry__ as E
+
+    dim, n_clusters, per = 64, 60, 4
+
+    def vec(c, j):
+        return [
+            math.sin(0.7 * c + 1.3 * d)
+            + 0.15 * math.sin(2.1 * j + 0.9 * d + 5 * c)
+            for d in range(dim)
+        ]
+
+    rows = [
+        (c * per + j, vec(c, j)) for c in range(n_clusters) for j in range(per)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    threshold = 0.9
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_similar_pairs(df, "id", "v", threshold).collect()
+    }
+
+    def recall(n_planes, n_tables, probe):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.lsh_similar_pairs(
+                df, "id", "v", dim=dim, threshold=threshold,
+                n_planes=n_planes, n_tables=n_tables, probe_hamming=probe,
+            ).collect()
+        }
+        assert got <= exact  # exact-verified: no false positives
+        return len(got) / len(exact)
+
+    base = recall(8, 8, 0)  # the unscaled gate-scale config
+    planes = 18             # Δ = 10
+    scaled = recall(planes, E._lsh_tables_for(planes), E._lsh_probe_for(planes))
+    assert scaled >= 0.9
+    assert scaled >= base
+
+
+def test_lsh_scaled_tables_match_oracle(spark):
+    """Hash-equivalence of the TABLE-GROWTH path against DuckDB: with
+    the corpus-size base scaled down, the sf0.1 embeddings land at
+    Δ=8 extra planes → radius 1 + a grown table count, and the Spark
+    plan must match the oracle SQL bit-for-bit (both sides compute
+    planes/radius/tables in-query from COUNT(*))."""
+    import importlib
+
+    import pandas as pd
+
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.1"
+    old = E.LSH_BASE_N
+    E.LSH_BASE_N = 8  # 2000 rows → np=16, over=3 → tables=13, radius=1
+    try:
+        assert E._lsh_planes_for(2000) == 16
+        assert E._lsh_tables_for(16) > E.LSH_TABLES
+        got = E.queries()["lsh_cosine_pairs"](spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        # regenerate the SQL under the patched base (the oracle_sql()
+        # dict is rendered at import time with the production base —
+        # the formulas under test are identical either way)
+        want = con.execute(E._lsh_pairs_oracle()).df()
+    finally:
+        E.LSH_BASE_N = old
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(by=list(df.columns), ignore_index=True)
+
+    got, want = canon(got), canon(want)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got.astype({c: "float64" for c in ("cos",)}),
+        want.astype({c: "float64" for c in ("cos",)}),
+        check_dtype=False,
+    )
