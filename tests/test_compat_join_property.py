@@ -340,3 +340,76 @@ def test_oversized_null_slice_degrades_to_cartesian(compiler, spark):
     assert "CartesianProduct" not in plan  # broadcast path kept
     assert "BroadcastNestedLoopJoin" in plan
     assert _bag(small) == want
+
+
+def _jobs_during(spark, group, fn):
+    """Run fn under a job group and return how many Spark jobs it
+    submitted (listener-level evidence, not code-path counters)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(group)), out
+
+
+def test_null_slice_probe_is_static_or_memoized(compiler, spark, tmp_path):
+    """r9 verdict wrong #6: the compat-join size probe must not cost a
+    Spark job per query compile.
+
+    * local/bounded slices answer statically from Catalyst's maxRows —
+      ZERO jobs (the _mk_sol shapes in this file);
+    * unbounded (file-backed) slices probe ONCE, then the memoized
+      bound serves every recompile of the same fragment — jobs only on
+      first sight."""
+    import pandas as pd
+
+    rng = random.Random(5)
+    lvars, rvars = {"a", "x"}, {"a", "y"}
+
+    def _arrow_sol(rows, vars_, mu):
+        # pandas+Arrow → a true LocalRelation, whose maxRows Catalyst
+        # knows statically (tuple-list createDataFrame is RDD-backed
+        # and has no static bound)
+        pdf = pd.DataFrame(
+            [{f"{v}_raw": r.get(v) for v in sorted(vars_)} for r in rows]
+        ).astype("object")
+        df = spark.createDataFrame(
+            pdf, ", ".join(f"{v}_raw long" for v in sorted(vars_))
+        )
+        cols = []
+        for v in sorted(vars_):
+            raw = F.col(v + "_raw")
+            term = F.when(
+                raw.isNotNull(),
+                T.term_struct(
+                    F.lit(T.KIND_IRI),
+                    F.concat(F.lit("urn:v:"), raw.cast("string")),
+                    F.lit(None),
+                    F.lit(None),
+                ),
+            )
+            df = df.withColumn(v, term).withColumn(
+                v + "__id", F.when(raw.isNotNull(), T.term_id(term))
+            )
+            cols += [v, v + "__id"]
+        return Sol(df.select(*cols), set(vars_), set(mu))
+
+    left = _arrow_sol(_random_rows(rng, lvars, {"a"}, 12), lvars, {"a"})
+    right = _arrow_sol(_random_rows(rng, rvars, set(), 6), rvars, set())
+    # statically-bounded slice: compiling the compat join runs NO job
+    n, sol = _jobs_during(spark, "probe-static", lambda: compiler.join(left, right))
+    assert n == 0, f"static slice bound should not probe ({n} jobs)"
+    assert sol.df.count() > 0  # the plan still executes fine
+
+    # file-backed (unbounded maxRows) slice: first compile probes once,
+    # the second compile of the SAME fragment serves from the memo
+    p = str(tmp_path / "slice_left")
+    left.df.write.mode("overwrite").parquet(p)
+    fdf = spark.read.parquet(p)
+    fleft = Sol(fdf, set(lvars), {"a"})
+    n1, _ = _jobs_during(spark, "probe-first", lambda: compiler.join(fleft, right))
+    n2, _ = _jobs_during(spark, "probe-second", lambda: compiler.join(fleft, right))
+    assert n1 >= 1, "file-backed slice must probe on first sight"
+    assert n2 == 0, f"recompile must reuse the memoized probe ({n2} jobs)"
