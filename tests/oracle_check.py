@@ -112,7 +112,13 @@ def main() -> int:
             _json.dump(
                 {
                     "sf": sf,
-                    "generated_by": "tests/oracle_check.py (full local run)",
+                    "generated_by": (
+                        "tests/oracle_check.py (full local run)"
+                        if not only
+                        else "tests/oracle_check.py (selected entries: "
+                        + ", ".join(sorted(only))
+                        + ")"
+                    ),
                     "total": len(record),
                     "pass": sum(1 for r in record.values() if r["status"] == "pass"),
                     "fail": len(failures),
