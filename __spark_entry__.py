@@ -112,7 +112,7 @@ _MAPPINGS = {
 }
 
 
-_STORE_LAYOUT_VERSION = 2  # bump when term encoding / bucketing changes (v2: + _s_index subject layout)
+_STORE_LAYOUT_VERSION = 3  # bump when term encoding / bucketing changes (v3: + _o_index object layout)
 
 
 def _tpch_fingerprint(sf_dir: str) -> str:
@@ -481,6 +481,22 @@ def q_sparql_nps(spark, sf_dir):
           ?s !(t:name|<{rdf_type}>) ?o .
         }}""",
         {"s": ("s", "lex"), "o": ("o", "lex")},
+    )
+
+
+def q_sparql_ref_lookup(spark, sf_dir):
+    """Reverse lookup ``?s ?p <const>`` (bound object, unbound
+    predicate AND subject): everything referencing nation urn:n:7.
+    Reads the object-keyed layout (``_o_index``, the OSP-permutation
+    analog — ``SPOKeyOrder.java:90-128`` picks OSP for bound-o
+    patterns): one ``o_bucket`` directory + (o,p,s)-sorted row groups
+    instead of a full scan of all 64 predicate buckets."""
+    e = _graph(spark, sf_dir)
+    return _sel(
+        e,
+        f"""{PREFIX}
+        SELECT ?s ?p WHERE {{ ?s ?p <urn:n:7> }}""",
+        {"s": ("s", "lex"), "p": ("p", "lex")},
     )
 
 
@@ -1972,6 +1988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_exists": q_sparql_exists,
     "sparql_path_zero": q_sparql_path_zero,
     "sparql_nps": q_sparql_nps,
+    "sparql_ref_lookup": q_sparql_ref_lookup,
     "sparql_reduced": q_sparql_reduced,
     "sparql_federation": q_sparql_federation,
     "sparql_path_seq": q_sparql_path_seq,
@@ -2490,6 +2507,15 @@ ORACLES: dict[str, str] = {
         SELECT 'urn:n:' || CAST(n_nationkey AS VARCHAR) AS s,
                'urn:r:' || CAST(n_regionkey AS VARCHAR) AS o
         FROM nation
+    """,
+    "sparql_ref_lookup": """
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
+               'urn:tpch:nation' AS p
+        FROM customer WHERE c_nationkey = 7
+        UNION ALL
+        SELECT 'urn:s:' || CAST(s_suppkey AS VARCHAR) AS s,
+               'urn:tpch:nation' AS p
+        FROM supplier WHERE s_nationkey = 7
     """,
     "sparql_reduced": """
         SELECT DISTINCT c_mktsegment AS seg FROM customer

@@ -87,6 +87,8 @@ class Compiler:
         p_buckets: int | None = None,
         s_triples: DataFrame | None = None,
         s_buckets: int | None = None,
+        o_triples: DataFrame | None = None,
+        o_buckets: int | None = None,
         named_sets: dict | None = None,
         default_triples: DataFrame | None = None,
         named_graph_ids: list | None = None,
@@ -141,6 +143,12 @@ class Compiler:
             self.s_triples, self.s_buckets = s_triples, s_buckets
         else:
             self.s_triples, self.s_buckets = None, None
+        # object-keyed layout (_o_index, the OSP analog): for reverse
+        # lookups — bound o, unbound p AND s
+        if o_triples is not None and "o_bucket" in o_triples.columns and o_buckets:
+            self.o_triples, self.o_buckets = o_triples, o_buckets
+        else:
+            self.o_triples, self.o_buckets = None, None
         self._fresh = itertools.count()
 
     # ------------------------------------------------------------- utils
@@ -256,14 +264,26 @@ class Compiler:
         # when the scan target is the raw quad relation: GRAPH scans
         # always are; default-graph scans only for triples-only stores
         # (where the default view IS the raw df, checked by identity).
-        use_s = (
-            self.s_triples is not None
-            and isinstance(tp.p, A.Var)
-            and (graph is not None or self.default_triples is self.triples)
+        raw_ok = isinstance(tp.p, A.Var) and (
+            graph is not None or self.default_triples is self.triples
         )
-        if use_s:
+        # reverse lookup ``?s ?p <const>``: neither the p- nor the
+        # s-layout can prune — read the object-keyed copy (OSP analog)
+        use_o = (
+            raw_ok
+            and self.o_triples is not None
+            and isinstance(tp.o, A.Const)
+            and isinstance(tp.s, A.Var)
+        )
+        use_s = (not use_o) and raw_ok and self.s_triples is not None
+        if use_o:
+            df = self.o_triples
+        elif use_s:
             df = self.s_triples
-        bucketed = (not use_s) and self.p_buckets and "p_bucket" in df.columns
+        bucketed = (
+            (not use_s) and (not use_o)
+            and self.p_buckets and "p_bucket" in df.columns
+        )
         binds: dict[str, str] = {}  # var name -> first position bound
         conds: list[Column] = []
         def backchain_ids(pos, node) -> list | None:
@@ -322,6 +342,12 @@ class Compiler:
                     conds.append(
                         F.col("s_bucket")
                         == F.pmod(term_id, F.lit(self.s_buckets))
+                    )
+                elif pos == "o" and use_o:
+                    # object-keyed layout: the reverse-lookup probe
+                    conds.append(
+                        F.col("o_bucket")
+                        == F.pmod(term_id, F.lit(self.o_buckets))
                     )
             else:
                 raise SparqlCompileError(f"path node in scan: {node!r}")
@@ -1631,10 +1657,17 @@ class Compiler:
         subject-keyed copy when available (SPOKeyOrder SPO-permutation
         analog) — a Const subject prunes its s_bucket statically, a var
         subject exports the partition column for join-time DPP."""
-        use_s = self.s_triples is not None and (
-            graph is not None or self.default_triples is self.triples
+        raw_ok = graph is not None or self.default_triples is self.triples
+        use_o = (
+            raw_ok
+            and self.o_triples is not None
+            and not isinstance(o, A.Var)
+            and isinstance(s, A.Var)
         )
-        if use_s:
+        use_s = (not use_o) and raw_ok and self.s_triples is not None
+        if use_o:
+            df = self.o_triples.where(extra)
+        elif use_s:
             df = self.s_triples.where(extra)
         else:
             # unscoped scans read the union default graph, same as BGP
@@ -1655,6 +1688,14 @@ class Compiler:
                         == F.pmod(
                             T.term_id(T.lit_term(node.term)),
                             F.lit(self.s_buckets),
+                        )
+                    )
+                elif pos == "o" and use_o:
+                    conds.append(
+                        F.col("o_bucket")
+                        == F.pmod(
+                            T.term_id(T.lit_term(node.term)),
+                            F.lit(self.o_buckets),
                         )
                     )
         if graph is None:

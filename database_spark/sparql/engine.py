@@ -354,6 +354,8 @@ class SparqlEngine:
             p_buckets=getattr(self.store, "p_buckets", None),
             s_triples=getattr(self.store, "s_df", None),
             s_buckets=getattr(self.store, "s_buckets", None),
+            o_triples=getattr(self.store, "o_df", None),
+            o_buckets=getattr(self.store, "o_buckets", None),
             named_sets=named_sets,
             default_triples=(
                 default_df if default_df is not None else self.store.default_graph()

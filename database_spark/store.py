@@ -72,6 +72,13 @@ class TripleStore:
     #: one bucket instead of full-scanning every predicate bucket.
     s_df: DataFrame | None = None
     s_buckets: int | None = None
+    #: object-keyed companion layout (the OSP analog): ``o_bucket``
+    #: partition + (o,p,s) sort, for reverse lookups ``?s ?p <const>``
+    #: (unbound predicate AND subject, bound object) — the third and
+    #: last triple-pattern shape the reference's permutation family
+    #: serves with a prefix scan.
+    o_df: DataFrame | None = None
+    o_buckets: int | None = None
     #: whether the store contains named-graph statements; tri-state:
     #: False = triples-only (default_graph() is the identity, no scan),
     #: True = quads present, None = unknown (probe lazily on demand).
@@ -161,14 +168,15 @@ class TripleStore:
         100 TB, also sort within partitions by (p, s, o) so row-group
         min/max stats prune subject-bound scans.
 
-        A partitioned save also writes a SECOND, subject-keyed copy of
-        the statements under ``path/_s_index`` (s_bucket partition +
-        (s,p,o) sort) — the Spark analog of the reference keeping
-        multiple index permutations so every triple-pattern shape is a
-        prefix scan (``SPOKeyOrder.java:90-128``: SPO beside POS/OSP).
-        Storage doubles, exactly as the reference's extra permutations
-        do; in exchange bound-s/unbound-p patterns prune to one bucket
-        directory instead of scanning all predicate buckets.
+        A partitioned save also writes companion copies under
+        ``path/_s_index`` (s_bucket partition, (s,p,o) sort) and
+        ``path/_o_index`` (o_bucket partition, (o,p,s) sort) — the
+        Spark analog of the reference keeping 3 index permutations so
+        EVERY triple-pattern shape is a prefix scan
+        (``SPOKeyOrder.java:90-128``: SPO/POS/OSP).  Storage triples,
+        exactly as the reference's permutation family does; in exchange
+        bound-s and bound-o patterns with an unbound predicate prune to
+        one bucket directory instead of scanning all predicate buckets.
 
         ``extra_meta`` keys (e.g. a source-data fingerprint) are merged
         into the sidecar so callers can validate a cached layout.
@@ -195,6 +203,16 @@ class TripleStore:
                 .parquet(path + "/_s_index")
             )
             meta["s_buckets"] = buckets
+            (
+                self._flat()
+                .withColumn("o_bucket", F.pmod(F.col("o"), F.lit(buckets)))
+                .repartition("o_bucket")
+                .sortWithinPartitions("o", "p", "s")
+                .write.mode("overwrite")
+                .partitionBy("o_bucket")
+                .parquet(path + "/_o_index")
+            )
+            meta["o_buckets"] = buckets
         else:
             df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
         if self.has_named is None:
@@ -277,22 +295,24 @@ class TripleStore:
                     tdf._dbspark_text_index = tidx
         except Exception:  # noqa: BLE001 — index is an optimization only
             pass
-        s_df = None
-        s_buckets = meta.get("s_buckets")
-        if s_buckets:
+        def _aux_layout(sub: str, n, bucket_col: str):
+            if not n:
+                return None, None
             try:
                 jvm = spark._jvm
-                sp = jvm.org.apache.hadoop.fs.Path(path + "/_s_index")
+                sp = jvm.org.apache.hadoop.fs.Path(path + sub)
                 if sp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(sp):
-                    sdf = spark.read.parquet(path + "/_s_index")
-                    s_df = sdf.select(
+                    adf = spark.read.parquet(path + sub).select(
                         "s", "p", "o", "g", "st", "pt", "ot", "gt",
-                        "inferred", "s_bucket",
+                        "inferred", bucket_col,
                     )
-                else:
-                    s_buckets = None
+                    return adf, n
             except Exception:  # noqa: BLE001 — layout is an optimization only
-                s_df, s_buckets = None, None
+                pass
+            return None, None
+
+        s_df, s_buckets = _aux_layout("/_s_index", meta.get("s_buckets"), "s_bucket")
+        o_df, o_buckets = _aux_layout("/_o_index", meta.get("o_buckets"), "o_bucket")
         return TripleStore(
             spark,
             tdf,
@@ -300,6 +320,8 @@ class TripleStore:
             has_named=meta.get("has_named"),
             s_df=s_df,
             s_buckets=s_buckets,
+            o_df=o_df,
+            o_buckets=o_buckets,
         )
 
     # ------------------------------------------------------------- views
@@ -347,16 +369,22 @@ class TripleStore:
         u = u.where(F.col("term").isNotNull()).dropDuplicates(["term"])
         return u.select(T.term_id(F.col("term")).alias("id"), "term")
 
-    def _probe_df(self, s, p) -> DataFrame:
+    def _probe_df(self, s, p, o=None) -> DataFrame:
         """Pick the layout whose partition column matches the bound
         positions (the probe-side analog of SPOKeyOrder.getKeyOrder):
-        bound-s/unbound-p probes read the subject-keyed copy and prune
-        to one s_bucket; everything else reads the primary layout
-        (whose p_bucket prunes when p is bound)."""
+        bound-s/unbound-p probes read the subject-keyed copy, bound-o/
+        unbound-s/unbound-p probes the object-keyed copy — each prunes
+        to one bucket; everything else reads the primary layout (whose
+        p_bucket prunes when p is bound)."""
         if p is None and s is not None and self.s_df is not None:
             return self.s_df.where(
                 F.col("s_bucket")
                 == F.pmod(T.term_id(T.lit_term(s)), F.lit(self.s_buckets))
+            )
+        if p is None and s is None and o is not None and self.o_df is not None:
+            return self.o_df.where(
+                F.col("o_bucket")
+                == F.pmod(T.term_id(T.lit_term(o)), F.lit(self.o_buckets))
             )
         return self.df
 
@@ -364,7 +392,7 @@ class TripleStore:
         """Cardinality of a triple pattern (FastRangeCountOp analog —
         parquet row-group stats + pushdown make this a metadata-mostly
         count; no full scan of non-matching row groups)."""
-        df = self._probe_df(s, p)
+        df = self._probe_df(s, p, o)
         for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
             if val is not None:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
@@ -373,7 +401,7 @@ class TripleStore:
     def has_statement(self, s=None, p=None, o=None, g=None) -> bool:
         """Limit-1 existence probe (HASSTMT servlet): the scan stops at
         the first matching row-group hit, no full count."""
-        df = self._probe_df(s, p)
+        df = self._probe_df(s, p, o)
         for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
             if val is not None:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))

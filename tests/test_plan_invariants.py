@@ -90,3 +90,15 @@ def test_nps_entry_scans_subject_layout(spark, sf_dir):
         "PartitionFilters" in l and "s_bucket" in l for l in plan.splitlines()
     ), plan
     assert "dynamicpruning" in plan, plan
+
+
+def test_ref_lookup_entry_scans_object_layout(spark, sf_dir):
+    """The reverse-lookup entry (?s ?p <const>) must read the
+    object-keyed layout with a static o_bucket partition filter —
+    the OSP-permutation probe, never a full scan."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["sparql_ref_lookup"](spark, sf_dir))
+    assert any(
+        "PartitionFilters" in l and "o_bucket" in l for l in plan.splitlines()
+    ), plan

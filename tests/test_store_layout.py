@@ -182,3 +182,49 @@ def test_as_bound_probe_pushes_static_inset_and_memoizes(spark, saved_store):
         sc.setJobGroup(None, None)
     jobs = spark.sparkContext.statusTracker().getJobIdsForGroup("asbound-recompile")
     assert len(jobs) == 0, f"recompile ran {len(jobs)} jobs"
+
+
+# ------------------------------------------------- object-keyed layout
+# The OSP analog: bound-o / unbound-p-and-s reverse lookups prune to
+# one o_bucket directory.
+
+
+def test_o_index_meta_roundtrip(saved_store):
+    assert saved_store.o_buckets == 16
+    assert saved_store.o_df is not None
+    assert "o_bucket" in saved_store.o_df.columns
+
+
+def test_reverse_lookup_prunes_o_bucket(spark, saved_store):
+    eng = SparqlEngine(saved_store)
+    # integer literal 5 appears as exactly one object (s5 p5 5)
+    res = eng.select(
+        'SELECT ?s ?p WHERE { ?s ?p 5 }'
+    )
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "o_bucket" in l for l in plan.splitlines()
+    ), plan
+    rows = res.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["s"]["lex"].endswith("s5")
+
+
+def test_o_layout_results_match_unpartitioned(spark, saved_store):
+    mem = TripleStore(spark, saved_store._flat(), has_named=False)
+    q = 'SELECT ?s ?p WHERE { ?s ?p 7 }'
+    got = sorted(
+        tuple((v["lex"] if v else None) for v in r)
+        for r in SparqlEngine(saved_store).select(q).df.collect()
+    )
+    want = sorted(
+        tuple((v["lex"] if v else None) for v in r)
+        for r in SparqlEngine(mem).select(q).df.collect()
+    )
+    assert got == want and len(got) == 1
+
+
+def test_probe_methods_use_o_layout(saved_store):
+    assert saved_store.count_pattern(o=Term.integer(5)) == 1
+    assert saved_store.has_statement(o=Term.integer(5))
+    assert not saved_store.has_statement(o=Term.integer(5000))
