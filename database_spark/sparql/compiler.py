@@ -808,14 +808,22 @@ class Compiler:
     #: (a 1024-long IN compiles to cheap parquet filters; past it the
     #: DPP hook still prunes partitions without driver enumeration)
     _AS_BOUND_MAX_IDS = 1024
+    #: row-count gate before the distinct enumeration: a side with more
+    #: rows than this cannot be worth enumerating, and its distinct
+    #: pre-pass would otherwise be a FULL map-side aggregation pass
+    #: just to learn "too many" — the row limit+count early-exits after
+    #: ~this many rows instead, bounding probe cost on any input size
+    _AS_BOUND_MAX_ROWS = 100_000
     _ID_PROBE_CACHE: "OrderedDict" = None
     _id_probe_jobs = 0  # test observability
 
     def _bounded_ids(self, df: DataFrame, col: str) -> "list | None":
         """Distinct non-null ids of a (hopefully small) join side, or
-        None when the side exceeds ``_AS_BOUND_MAX_IDS``.  One
-        early-exit collect, memoized by the fragment's semantic hash —
-        same immutability argument as ``_probe_slice_rows``."""
+        None when the side exceeds ``_AS_BOUND_MAX_IDS`` distinct ids
+        (or ``_AS_BOUND_MAX_ROWS`` rows — the cheap gate that keeps the
+        probe itself scale-safe).  Early-exit jobs only, memoized by
+        the fragment's semantic hash — same immutability argument as
+        ``_probe_slice_rows``."""
         from collections import OrderedDict
 
         sel = (
@@ -834,15 +842,29 @@ class Compiler:
         if key is not None and key in cache:
             cache.move_to_end(key)
             return cache[key]
+
+        def _memo(result):
+            if key is not None:
+                cache[key] = result
+                while len(cache) > self._SLICE_PROBE_CACHE_MAX:
+                    cache.popitem(last=False)
+            return result
+
         Compiler._id_probe_jobs += 1
+        # row gate first: touches at most ~MAX_ROWS rows of the raw
+        # side (no aggregation), so a billion-row side costs a bounded
+        # partial job, never a full distinct pass
+        try:
+            mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+            big = mr.isDefined() and int(mr.get()) > self._AS_BOUND_MAX_ROWS
+        except Exception:  # noqa: BLE001
+            big = None
+        if big is None or big:
+            if df.limit(self._AS_BOUND_MAX_ROWS + 1).count() > self._AS_BOUND_MAX_ROWS:
+                return _memo(None)
         rows = sel.limit(self._AS_BOUND_MAX_IDS + 1).collect()
         ids = sorted(r["__v"] for r in rows)
-        result = None if len(ids) > self._AS_BOUND_MAX_IDS else ids
-        if key is not None:
-            cache[key] = result
-            while len(cache) > self._SLICE_PROBE_CACHE_MAX:
-                cache.popitem(last=False)
-        return result
+        return _memo(None if len(ids) > self._AS_BOUND_MAX_IDS else ids)
     #: probe jobs actually submitted (test observability)
     _slice_probe_jobs = 0
 
