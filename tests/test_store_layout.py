@@ -228,3 +228,52 @@ def test_probe_methods_use_o_layout(saved_store):
     assert saved_store.count_pattern(o=Term.integer(5)) == 1
     assert saved_store.has_statement(o=Term.integer(5))
     assert not saved_store.has_statement(o=Term.integer(5000))
+
+
+def test_mutation_invalidates_aux_layouts(spark, saved_store):
+    """add/remove produce in-memory stores WITHOUT the saved aux
+    layouts (re-save to re-bucket) — a mutated store must never serve
+    stale s-/o-layout data for unbound-predicate queries."""
+    from database_spark.store import _with_ids
+
+    extra = spark.createDataFrame(
+        [
+            (
+                Term.iri(EX + "s5").as_row(),
+                Term.iri(EX + "brandnew").as_row(),
+                Term.integer(4242).as_row(),
+                None,
+            )
+        ],
+        "st struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "pt struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "ot struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "gt struct<kind:tinyint,lex:string,dt:string,lang:string>",
+    )
+    mutated = saved_store.add(extra)
+    assert mutated.s_df is None and mutated.o_df is None
+    # bound-s unbound-p star expansion sees the NEW edge
+    rows = SparqlEngine(mutated).select(
+        f'PREFIX ex: <{EX}> SELECT ?p ?o WHERE {{ ex:s5 ?p ?o }}'
+    ).df.collect()
+    lex = sorted(r["o"]["lex"] for r in rows)
+    assert "4242" in lex and len(rows) == 2
+    # removal drops the original edge for the reverse lookup too
+    removed = saved_store.remove(
+        spark.createDataFrame(
+            [
+                (
+                    Term.iri(EX + "s5").as_row(),
+                    Term.iri(EX + "p5").as_row(),
+                    Term.integer(5).as_row(),
+                    None,
+                )
+            ],
+            extra.schema,
+        )
+    )
+    assert removed.s_df is None and removed.o_df is None
+    got = SparqlEngine(removed).select(
+        'SELECT ?s WHERE { ?s ?p 5 }'
+    ).df.collect()
+    assert got == []
