@@ -277,3 +277,48 @@ def test_mutation_invalidates_aux_layouts(spark, saved_store):
         'SELECT ?s WHERE { ?s ?p 5 }'
     ).df.collect()
     assert got == []
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_layout_choice_never_changes_results_property(spark, tmp_path, seed):
+    """Property check over random small graphs: for every triple-pattern
+    shape (bound/unbound s, p, o in all combinations, plus an NPS), the
+    three-layout saved store and the single-DataFrame in-memory store
+    return the same bag of solutions.  Guards the scan_pattern index
+    choice (p-/s-/o-layout + as-bound IN pushdown) as a whole."""
+    import random
+
+    rng = random.Random(seed)
+    trips = []
+    for _ in range(120):
+        s = Term.iri(EX + f"n{rng.randrange(12)}")
+        p = Term.iri(EX + f"q{rng.randrange(4)}")
+        o = (
+            Term.iri(EX + f"n{rng.randrange(12)}")
+            if rng.random() < 0.5
+            else Term.integer(rng.randrange(6))
+        )
+        trips.append((s, p, o))
+    path = str(tmp_path / f"prop{seed}")
+    store = TripleStore.from_python_triples(spark, trips)
+    store.save(path, partition_by_predicate=True, buckets=8)
+    saved = TripleStore.load(spark, path)
+    mem = TripleStore(spark, saved._flat(), has_named=False)
+    queries = [
+        'SELECT ?p ?o WHERE { <%sn3> ?p ?o }' % EX,          # bound s
+        'SELECT ?s ?p WHERE { ?s ?p <%sn4> }' % EX,          # bound o
+        'SELECT ?s ?o WHERE { ?s <%sq1> ?o }' % EX,          # bound p
+        'SELECT ?s ?p ?o WHERE { ?s ?p ?o }',                # open scan
+        'SELECT ?s ?p WHERE { ?s ?p 3 }',                    # bound literal o
+        'SELECT ?x WHERE { <%sn3> ?p ?x . ?x ?p2 ?y }' % EX, # chained unbound p
+        'PREFIX ex: <%s> SELECT ?s ?o WHERE { ?s ex:q0 ?m . ?s !(ex:q0) ?o }'
+        % EX,                                                # NPS join
+    ]
+    for q in queries:
+        def bag(eng):
+            return sorted(
+                tuple((v["lex"] if v else None) for v in r)
+                for r in eng.select(q).df.collect()
+            )
+        got, want = bag(SparqlEngine(saved)), bag(SparqlEngine(mem))
+        assert got == want, (q, len(got), len(want))
