@@ -224,6 +224,86 @@ def _ring_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
     return _GRAPH_CACHE[key]
 
 
+_QUADS_LAYOUT_VERSION = 1
+
+
+def _quads_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
+    """Named-graph (quads) store: every customer's statements live in
+    the named graph of its nation — ``GRAPH urn:gn:<nationkey> {
+    urn:c:<custkey> t:name …, t:mktsegment … }`` — the Wikidata-style
+    named-graph-heavy single-namespace shape.  Saved with the full
+    layout family, so a GRAPH-bound scan reads the context-keyed
+    ``_g_index`` copy (the CSPO quad permutation,
+    ``SPOKeyOrder.java:101-105,113-128``) and prunes to one g_bucket
+    directory instead of full-scanning with g as a residual filter."""
+    key = (sf_dir, "__quads__")
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    cache_root = os.environ.get("SPARK_GRAFT_STORE_CACHE", "/tmp/spark_graft_store")
+    slug = sf_dir.strip("/").replace("/", "_") + "__quads"
+    path = os.path.join(cache_root, slug)
+    try:
+        cst = os.stat(os.path.join(sf_dir, "customer.parquet"))
+        fp = f"v{_QUADS_LAYOUT_VERSION};customer:{cst.st_mtime_ns}:{cst.st_size}"
+    except OSError:
+        fp = f"v{_QUADS_LAYOUT_VERSION};customer:missing"
+    try:
+        if os.path.isdir(path):
+            meta = TripleStore._read_meta(spark, path)
+            if meta.get("fingerprint") == fp:
+                _GRAPH_CACHE[key] = SparqlEngine(TripleStore.load(spark, path))
+                return _GRAPH_CACHE[key]
+    except Exception:  # noqa: BLE001 — stale/corrupt cache: rebuild below
+        pass
+    c = _read(spark, sf_dir, "customer")
+    pairs = F.array(
+        F.struct(
+            T.lit_term(T.Term.iri(TPCH + "name")).alias("pt"),
+            T.literal_col(F.col("c_name"), T.XSD_STRING).alias("ot"),
+        ),
+        F.struct(
+            T.lit_term(T.Term.iri(TPCH + "mktsegment")).alias("pt"),
+            T.literal_col(F.col("c_mktsegment"), T.XSD_STRING).alias("ot"),
+        ),
+    )
+    quads = c.select(
+        T.iri_col(
+            F.concat(F.lit("urn:c:"), F.col("c_custkey").cast("string"))
+        ).alias("st"),
+        F.explode(pairs).alias("po"),
+        T.iri_col(
+            F.concat(F.lit("urn:gn:"), F.col("c_nationkey").cast("string"))
+        ).alias("gt"),
+    ).select("st", F.col("po.pt").alias("pt"), F.col("po.ot").alias("ot"), "gt")
+    store = TripleStore.from_term_structs(spark, quads, dedupe=False)
+    store.has_named = True  # every statement is named, by construction
+    try:
+        import shutil
+
+        tmp = path + ".build"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        store.save(
+            tmp,
+            partition_by_predicate=True,
+            buckets=64,
+            extra_meta={"fingerprint": fp},
+        )
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        _GRAPH_CACHE[key] = SparqlEngine(TripleStore.load(spark, path))
+    except Exception:  # noqa: BLE001 — read-only cache root etc.
+        from database_spark.operators import lifecycle as L
+
+        _GRAPH_CACHE[key] = SparqlEngine(
+            TripleStore(
+                spark, L.protected_checkpoint(store.df), has_named=True
+            )
+        )
+    return _GRAPH_CACHE[key]
+
+
 def _sel(engine: SparqlEngine, text: str, casts: dict) -> DataFrame:
     """Run a SELECT and project term structs to plain SQL columns.
 
@@ -497,6 +577,22 @@ def q_sparql_ref_lookup(spark, sf_dir):
         f"""{PREFIX}
         SELECT ?s ?p WHERE {{ ?s ?p <urn:n:7> }}""",
         {"s": ("s", "lex"), "p": ("p", "lex")},
+    )
+
+
+def q_sparql_graph_scan(spark, sf_dir):
+    """GRAPH-bound quad scan ``GRAPH <g> { ?s ?p ?o }`` — only the
+    context is bound, so neither the p- nor the s-/o-layout can prune.
+    Reads the context-keyed layout (``_g_index``, the CSPO
+    quad-permutation analog — ``SPOKeyOrder.java:101-105,113-128``
+    makes context a prefix scan): one ``g_bucket`` directory +
+    (g,s,p,o)-sorted row groups instead of a full scan of all 64
+    predicate buckets with g as a residual filter."""
+    e = _quads_graph(spark, sf_dir)
+    return _sel(
+        e,
+        "SELECT ?s ?p ?o WHERE { GRAPH <urn:gn:7> { ?s ?p ?o } }",
+        {"s": ("s", "lex"), "p": ("p", "lex"), "o": ("o", "lex")},
     )
 
 
@@ -1989,6 +2085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_path_zero": q_sparql_path_zero,
     "sparql_nps": q_sparql_nps,
     "sparql_ref_lookup": q_sparql_ref_lookup,
+    "sparql_graph_scan": q_sparql_graph_scan,
     "sparql_reduced": q_sparql_reduced,
     "sparql_federation": q_sparql_federation,
     "sparql_path_seq": q_sparql_path_seq,
@@ -2516,6 +2613,15 @@ ORACLES: dict[str, str] = {
         SELECT 'urn:s:' || CAST(s_suppkey AS VARCHAR) AS s,
                'urn:tpch:nation' AS p
         FROM supplier WHERE s_nationkey = 7
+    """,
+    "sparql_graph_scan": """
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
+               'urn:tpch:name' AS p, c_name AS o
+        FROM customer WHERE c_nationkey = 7
+        UNION ALL
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
+               'urn:tpch:mktsegment' AS p, c_mktsegment AS o
+        FROM customer WHERE c_nationkey = 7
     """,
     "sparql_reduced": """
         SELECT DISTINCT c_mktsegment AS seg FROM customer

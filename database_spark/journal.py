@@ -319,7 +319,17 @@ class Journal:
                 )
             new = cur + 1
             if store is not None and new % self.COMPACT_EVERY == 0:
-                store.save(self._vdir(new))
+                # a compaction of a layout-carrying store re-buckets all
+                # layouts (p/s/o) into fresh pruned parquet — the
+                # every-8th cadence that keeps the mutation-preserved
+                # layout views (store.add/remove unions) from deepening
+                # forever, the analog of the reference maintaining every
+                # index permutation across commits (SPORelation.java)
+                store.save(
+                    self._vdir(new),
+                    partition_by_predicate=store.p_buckets is not None,
+                    buckets=store.p_buckets or 64,
+                )
                 return self._advance(new, "full", message)
             from pyspark.sql import functions as F
 

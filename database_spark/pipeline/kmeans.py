@@ -63,11 +63,17 @@ def _assign(base: DataFrame, cents: list[list[float]], scale: int):
     compiles to the same plan as k=8.  The broadcast nested-loop join
     has a single build row: map-only in practice (no shuffle, no row
     multiplication — each row scans the matrix column in place)."""
+    import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     spark = base.sparkSession
+    # pandas + Arrow local relation: the list-based createDataFrame
+    # routes every action through the Python-RDD worker path (seconds
+    # of per-iteration driver latency the codebase elsewhere —
+    # similarity.py planes, store.from_python_triples — deliberately
+    # avoids), and Lloyd rebuilds this relation once per iteration
     mat = spark.createDataFrame(
-        [([[float(c) for c in cj] for cj in cents],)],
+        pd.DataFrame({"__mat": [[[float(c) for c in cj] for cj in cents]]}),
         StructType(
             [StructField("__mat", ArrayType(ArrayType(DoubleType())), False)]
         ),

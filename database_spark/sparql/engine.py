@@ -356,12 +356,15 @@ class SparqlEngine:
             s_buckets=getattr(self.store, "s_buckets", None),
             o_triples=getattr(self.store, "o_df", None),
             o_buckets=getattr(self.store, "o_buckets", None),
+            g_triples=getattr(self.store, "g_df", None),
+            g_buckets=getattr(self.store, "g_buckets", None),
             named_sets=named_sets,
             default_triples=(
                 default_df if default_df is not None else self.store.default_graph()
             ),
             named_graph_ids=named_graphs,
             backchain_maps=self._backchain() if self.backchain else None,
+            cache_token=getattr(self.store, "gen", None),
         )
 
     def _backchain(self) -> tuple[dict, dict]:
@@ -810,9 +813,45 @@ class SparqlEngine:
             return
         self._commits_since_compact = 0
         prev = self._compact_snapshot
-        snap = L.protected_checkpoint(self.store.df)
+        st = self.store
+        snap = L.protected_checkpoint(st.df)
+        # keep the layout FAMILY across compaction: the aux layouts are
+        # derived VIEWS of the one snapshot (bucket column recomputed —
+        # no extra storage; a checkpointed store has no parquet
+        # partitions left to prune anyway), so the compiler's
+        # p-/s-/o-layout paths stay live and the next full save()
+        # re-materializes them as pruned parquet.  Checkpointing three
+        # copies would triple block-manager storage for zero pruning.
+        flat = snap.drop("p_bucket") if "p_bucket" in snap.columns else snap
         self.store = TripleStore(
-            self.store.spark, snap, has_named=self.store.has_named
+            st.spark,
+            snap,
+            has_named=st.has_named,
+            p_buckets=st.p_buckets if "p_bucket" in snap.columns else None,
+            s_df=(
+                flat.withColumn(
+                    "s_bucket", F.pmod(F.col("s"), F.lit(st.s_buckets))
+                )
+                if st.s_df is not None and st.s_buckets
+                else None
+            ),
+            s_buckets=st.s_buckets if st.s_df is not None else None,
+            o_df=(
+                flat.withColumn(
+                    "o_bucket", F.pmod(F.col("o"), F.lit(st.o_buckets))
+                )
+                if st.o_df is not None and st.o_buckets
+                else None
+            ),
+            o_buckets=st.o_buckets if st.o_df is not None else None,
+            g_df=(
+                flat.where(F.col("g").isNotNull()).withColumn(
+                    "g_bucket", F.pmod(F.col("g"), F.lit(st.g_buckets))
+                )
+                if st.g_df is not None and st.g_buckets
+                else None
+            ),
+            g_buckets=st.g_buckets if st.g_df is not None else None,
         )
         self._compact_snapshot = snap
         if prev is not None and (

@@ -23,7 +23,8 @@ Spark-native design (NOT a port):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import uuid
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,6 +80,15 @@ class TripleStore:
     #: serves with a prefix scan.
     o_df: DataFrame | None = None
     o_buckets: int | None = None
+    #: context-keyed companion layout (the CSPO analog of the quad
+    #: permutation family, ``SPOKeyOrder.java:101-105,113-128``):
+    #: ``g_bucket`` partition + (g,s,p,o) sort over the NAMED rows only
+    #: (g is never null here), for ``GRAPH <g> { ?s ?p ?o }`` scans
+    #: where only the context is bound — written by ``save`` for quad
+    #: stores so those prune to one bucket directory instead of
+    #: full-scanning every predicate bucket with g as a residual filter.
+    g_df: DataFrame | None = None
+    g_buckets: int | None = None
     #: whether the store contains named-graph statements; tri-state:
     #: False = triples-only (default_graph() is the identity, no scan),
     #: True = quads present, None = unknown (probe lazily on demand).
@@ -86,6 +96,11 @@ class TripleStore:
     #: never pays a discovery scan (r2 verdict: the blind limit-1 probe
     #: was a full-table pass on triples-only stores).
     has_named: bool | None = None
+    #: store-generation token: fresh per construction, merged into the
+    #: compiler's probe-cache keys so overwriting a store path and
+    #: reloading it never serves stale memoized probes (semanticHash of
+    #: a file scan derives from rootPaths, not file contents)
+    gen: str = field(default_factory=lambda: uuid.uuid4().hex)
 
     # ---------------------------------------------------------------- build
     @staticmethod
@@ -180,65 +195,93 @@ class TripleStore:
 
         ``extra_meta`` keys (e.g. a source-data fingerprint) are merged
         into the sidecar so callers can validate a cached layout.
-        """
-        df = self._flat()
-        meta = dict(extra_meta or {})
-        if partition_by_predicate:
-            df = df.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(buckets)))
-            (
-                df.repartition("p_bucket")
-                .sortWithinPartitions("p", "s", "o")
-                .write.mode("overwrite")
-                .partitionBy("p_bucket")
-                .parquet(path)
-            )
-            meta["p_buckets"] = buckets
-            (
-                self._flat()
-                .withColumn("s_bucket", F.pmod(F.col("s"), F.lit(buckets)))
-                .repartition("s_bucket")
-                .sortWithinPartitions("s", "p", "o")
-                .write.mode("overwrite")
-                .partitionBy("s_bucket")
-                .parquet(path + "/_s_index")
-            )
-            meta["s_buckets"] = buckets
-            (
-                self._flat()
-                .withColumn("o_bucket", F.pmod(F.col("o"), F.lit(buckets)))
-                .repartition("o_bucket")
-                .sortWithinPartitions("o", "p", "s")
-                .write.mode("overwrite")
-                .partitionBy("o_bucket")
-                .parquet(path + "/_o_index")
-            )
-            meta["o_buckets"] = buckets
-        else:
-            df.sortWithinPartitions("p", "s", "o").write.mode("overwrite").parquet(path)
-        if self.has_named is None:
-            # settle it now, against the just-written parquet: the
-            # g-IS-NOT-NULL probe prunes on row-group null-count stats,
-            # so it's metadata-mostly — vs a full recompute of the
-            # (possibly unsaved) lineage at first query time
-            written = self.spark.read.parquet(path)
-            self.has_named = bool(
-                written.where(F.col("g").isNotNull()).limit(1).count()
-            )
-        meta["has_named"] = self.has_named
-        # full-text index built at load time, persisted beside the
-        # store (reference: BigdataValueCentricFullTextIndex is
-        # maintained on load, not scanned per query).  Underscore
-        # prefix keeps the subdir invisible to readers of `path`.
-        from .search.fulltext import _build_text_index
 
-        (
-            _build_text_index(self.df)
-            .repartition(F.col("token"))
-            .sortWithinPartitions("token")
-            .write.mode("overwrite")
-            .parquet(path + "/_text_index")
-        )
-        self._write_meta(path, meta)
+        The flattened statement relation is materialized ONCE
+        (checkpoint) before any write: the partitioned save emits four
+        artifacts (three layouts + the text index), and re-running a
+        derived/unmaterialized lineage per artifact would quadruple
+        save cost — and overwriting a path the lineage still READS
+        (saving a loaded store back onto itself) would destroy the
+        source mid-write.  The checkpoint truncates that lineage, so
+        same-path re-save is safe (r10 advice #5).
+        """
+        from .operators import lifecycle as L
+
+        flat = L.checkpoint(self._flat())
+        try:
+            meta = dict(extra_meta or {})
+            if partition_by_predicate:
+                (
+                    flat.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(buckets)))
+                    .repartition("p_bucket")
+                    .sortWithinPartitions("p", "s", "o")
+                    .write.mode("overwrite")
+                    .partitionBy("p_bucket")
+                    .parquet(path)
+                )
+                meta["p_buckets"] = buckets
+                (
+                    flat.withColumn("s_bucket", F.pmod(F.col("s"), F.lit(buckets)))
+                    .repartition("s_bucket")
+                    .sortWithinPartitions("s", "p", "o")
+                    .write.mode("overwrite")
+                    .partitionBy("s_bucket")
+                    .parquet(path + "/_s_index")
+                )
+                meta["s_buckets"] = buckets
+                (
+                    flat.withColumn("o_bucket", F.pmod(F.col("o"), F.lit(buckets)))
+                    .repartition("o_bucket")
+                    .sortWithinPartitions("o", "p", "s")
+                    .write.mode("overwrite")
+                    .partitionBy("o_bucket")
+                    .parquet(path + "/_o_index")
+                )
+                meta["o_buckets"] = buckets
+            else:
+                flat.sortWithinPartitions("p", "s", "o").write.mode(
+                    "overwrite"
+                ).parquet(path)
+            if self.has_named is None:
+                # settle it now, against the just-written parquet: the
+                # g-IS-NOT-NULL probe prunes on row-group null-count
+                # stats, so it's metadata-mostly — vs a full recompute
+                # of the (possibly unsaved) lineage at first query time
+                written = self.spark.read.parquet(path)
+                self.has_named = bool(
+                    written.where(F.col("g").isNotNull()).limit(1).count()
+                )
+            meta["has_named"] = self.has_named
+            if partition_by_predicate and self.has_named:
+                # context-keyed layout for quad stores (the CSPO quad
+                # permutation, SPOKeyOrder.java:101-105): named rows
+                # only, so a GRAPH-bound scan prunes to one g_bucket
+                (
+                    flat.where(F.col("g").isNotNull())
+                    .withColumn("g_bucket", F.pmod(F.col("g"), F.lit(buckets)))
+                    .repartition("g_bucket")
+                    .sortWithinPartitions("g", "s", "p", "o")
+                    .write.mode("overwrite")
+                    .partitionBy("g_bucket")
+                    .parquet(path + "/_g_index")
+                )
+                meta["g_buckets"] = buckets
+            # full-text index built at load time, persisted beside the
+            # store (reference: BigdataValueCentricFullTextIndex is
+            # maintained on load, not scanned per query).  Underscore
+            # prefix keeps the subdir invisible to readers of `path`.
+            from .search.fulltext import _build_text_index
+
+            (
+                _build_text_index(flat)
+                .repartition(F.col("token"))
+                .sortWithinPartitions("token")
+                .write.mode("overwrite")
+                .parquet(path + "/_text_index")
+            )
+            self._write_meta(path, meta)
+        finally:
+            L.free(flat)
 
     def _write_meta(self, path: str, meta: dict) -> None:
         """Sidecar layout metadata, written through the Hadoop FS API so
@@ -313,6 +356,7 @@ class TripleStore:
 
         s_df, s_buckets = _aux_layout("/_s_index", meta.get("s_buckets"), "s_bucket")
         o_df, o_buckets = _aux_layout("/_o_index", meta.get("o_buckets"), "o_bucket")
+        g_df, g_buckets = _aux_layout("/_g_index", meta.get("g_buckets"), "g_bucket")
         return TripleStore(
             spark,
             tdf,
@@ -322,6 +366,8 @@ class TripleStore:
             s_buckets=s_buckets,
             o_df=o_df,
             o_buckets=o_buckets,
+            g_df=g_df,
+            g_buckets=g_buckets,
         )
 
     # ------------------------------------------------------------- views
@@ -369,12 +415,13 @@ class TripleStore:
         u = u.where(F.col("term").isNotNull()).dropDuplicates(["term"])
         return u.select(T.term_id(F.col("term")).alias("id"), "term")
 
-    def _probe_df(self, s, p, o=None) -> DataFrame:
+    def _probe_df(self, s, p, o=None, g=None) -> DataFrame:
         """Pick the layout whose partition column matches the bound
         positions (the probe-side analog of SPOKeyOrder.getKeyOrder):
         bound-s/unbound-p probes read the subject-keyed copy, bound-o/
-        unbound-s/unbound-p probes the object-keyed copy — each prunes
-        to one bucket; everything else reads the primary layout (whose
+        unbound-s/unbound-p probes the object-keyed copy, only-g-bound
+        probes the context-keyed copy (CSPO) — each prunes to one
+        bucket; everything else reads the primary layout (whose
         p_bucket prunes when p is bound)."""
         if p is None and s is not None and self.s_df is not None:
             return self.s_df.where(
@@ -386,13 +433,21 @@ class TripleStore:
                 F.col("o_bucket")
                 == F.pmod(T.term_id(T.lit_term(o)), F.lit(self.o_buckets))
             )
+        if (
+            p is None and s is None and o is None
+            and g is not None and self.g_df is not None
+        ):
+            return self.g_df.where(
+                F.col("g_bucket")
+                == F.pmod(T.term_id(T.lit_term(g)), F.lit(self.g_buckets))
+            )
         return self.df
 
     def count_pattern(self, s=None, p=None, o=None, g=None) -> int:
         """Cardinality of a triple pattern (FastRangeCountOp analog —
         parquet row-group stats + pushdown make this a metadata-mostly
         count; no full scan of non-matching row groups)."""
-        df = self._probe_df(s, p, o)
+        df = self._probe_df(s, p, o, g)
         for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
             if val is not None:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
@@ -401,7 +456,7 @@ class TripleStore:
     def has_statement(self, s=None, p=None, o=None, g=None) -> bool:
         """Limit-1 existence probe (HASSTMT servlet): the scan stops at
         the first matching row-group hit, no full count."""
-        df = self._probe_df(s, p, o)
+        df = self._probe_df(s, p, o, g)
         for pos, val in (("s", s), ("p", p), ("o", o), ("g", g)):
             if val is not None:
                 df = df.where(F.col(pos) == T.term_id(T.lit_term(val)))
@@ -425,12 +480,63 @@ class TripleStore:
 
     # --------------------------------------------------------- mutation
     def _flat(self) -> DataFrame:
-        """df without the layout-derived partition column (mutations
-        produce an in-memory store; re-save to re-bucket)."""
+        """df without the layout-derived partition column (used by
+        save/export paths that re-derive layouts themselves)."""
         return self.df.drop("p_bucket") if "p_bucket" in self.df.columns else self.df
+
+    @staticmethod
+    def _dedup_set(df: DataFrame, bucket_cols: tuple = ()) -> DataFrame:
+        """Statement-SET semantics over a union of layout base + new
+        rows: one row per (s,p,o,g), with ``inferred`` resolved by
+        ``min`` (explicit(0) dominates inferred(1) dominates axiom(2) —
+        the reference upgrades an inferred statement on explicit
+        re-insert, ``StatementEnum`` writes keep the dominant type),
+        which also makes the survivor DETERMINISTIC per layout so the
+        three layout copies can never disagree.  Bucket columns join
+        the group keys: they are functional of the ids, so the result
+        set is unchanged — but as GROUPING columns Catalyst pushes a
+        bucket filter through this aggregate into the parquet branch of
+        the union, keeping partition pruning alive on mutated stores."""
+        group = ["s", "p", "o", "g", *bucket_cols]
+        out = df.groupBy(*group).agg(
+            F.any_value("st", True).alias("st"),
+            F.any_value("pt", True).alias("pt"),
+            F.any_value("ot", True).alias("ot"),
+            F.any_value("gt", True).alias("gt"),
+            F.min("inferred").alias("inferred"),
+        )
+        return out.select(
+            "s", "p", "o", "g", "st", "pt", "ot", "gt", "inferred", *bucket_cols
+        )
+
+    def _layout_meta(self) -> dict:
+        """Constructor kwargs that carry every layout this store has —
+        mutations pass the MUTATED layout dfs alongside these counts."""
+        return {
+            "p_buckets": self.p_buckets if "p_bucket" in self.df.columns else None,
+            "s_buckets": self.s_buckets if self.s_df is not None else None,
+            "o_buckets": self.o_buckets if self.o_df is not None else None,
+            "g_buckets": self.g_buckets if self.g_df is not None else None,
+        }
 
     def add(self, other: DataFrame, other_has_named: bool | None = None) -> "TripleStore":
         """Union in new statements (InsertStatementsOp analog).
+
+        LAYOUT-PRESERVING (r10 missing #1): the reference maintains
+        every index permutation transactionally on each write
+        (``SPORelation.java`` writes SPO/POS/OSP together); here each
+        companion layout the store carries (p-/s-/o-bucketed) absorbs
+        the same new rows — with the layout's bucket column computed on
+        the fly — so bound-s/bound-o/bound-p pruning survives SPARQL
+        UPDATE instead of dying on the first INSERT DATA.  The bucket
+        column rides the dedup group keys, so a later bucket filter
+        still prunes the parquet base under the union (plan-tested).
+
+        Scale shape: set semantics need one dedup aggregate per layout;
+        a pruned query pushes its bucket/id filters BELOW that
+        aggregate, so per-query cost stays proportional to the touched
+        buckets, and journal compaction (every 8th commit) re-buckets
+        to flat parquet before union chains deepen.
 
         ``other_has_named``: pass False/True when the caller knows
         whether `other` carries named-graph statements (e.g. INSERT
@@ -445,10 +551,47 @@ class TripleStore:
             merged_named = False
         else:
             merged_named = None  # would need a scan; settle lazily
+        new = _with_ids(other)
+        meta = self._layout_meta()
+
+        def merged(base_df, bucket_col, key_col, n):
+            nb = new.withColumn(bucket_col, F.pmod(F.col(key_col), F.lit(n)))
+            return self._dedup_set(
+                base_df.unionByName(nb), bucket_cols=(bucket_col,)
+            )
+
+        if meta["p_buckets"]:
+            primary = merged(self.df, "p_bucket", "p", meta["p_buckets"])
+        else:
+            primary = self._dedup_set(self._flat().unionByName(new))
+        g_df = None
+        if meta["g_buckets"]:
+            # the g layout holds NAMED rows only — g is its bucket key
+            named_new = new.where(F.col("g").isNotNull())
+            g_df = self._dedup_set(
+                self.g_df.unionByName(
+                    named_new.withColumn(
+                        "g_bucket", F.pmod(F.col("g"), F.lit(meta["g_buckets"]))
+                    )
+                ),
+                bucket_cols=("g_bucket",),
+            )
         return TripleStore(
             self.spark,
-            self._flat().unionByName(_with_ids(other)).dropDuplicates(["s", "p", "o", "g"]),
+            primary,
+            s_df=(
+                merged(self.s_df, "s_bucket", "s", meta["s_buckets"])
+                if meta["s_buckets"]
+                else None
+            ),
+            o_df=(
+                merged(self.o_df, "o_bucket", "o", meta["o_buckets"])
+                if meta["o_buckets"]
+                else None
+            ),
+            g_df=g_df,
             has_named=merged_named,
+            **meta,
         )
 
     def remove(self, other: DataFrame) -> "TripleStore":
@@ -456,6 +599,11 @@ class TripleStore:
 
         g needs a null-safe join: NULL g = default graph, and a plain
         equi-join would never match it.
+
+        LAYOUT-PRESERVING like :meth:`add`: every layout copy anti-joins
+        the same key set (the keys side is delta-sized and broadcasts;
+        the layout side streams map-side with its partition pruning
+        intact — filters push below a left-anti join's stream side).
         """
         keys = _with_ids(other).select(
             F.col("s").alias("__ks"),
@@ -469,11 +617,34 @@ class TripleStore:
             & (F.col("o") == F.col("__ko"))
             & F.col("g").eqNullSafe(F.col("__kg"))
         )
-        kept = self._flat().join(keys, cond, "left_anti")
+        meta = self._layout_meta()
+        kept = (
+            self.df if meta["p_buckets"] else self._flat()
+        ).join(keys, cond, "left_anti")
         # has_named=True stays True (a stale True only costs an
         # unnecessary-but-correct dedupe in default_graph); False stays
         # False (removal can't add named statements)
-        return TripleStore(self.spark, kept, has_named=self.has_named)
+        return TripleStore(
+            self.spark,
+            kept,
+            s_df=(
+                self.s_df.join(keys, cond, "left_anti")
+                if meta["s_buckets"]
+                else None
+            ),
+            o_df=(
+                self.o_df.join(keys, cond, "left_anti")
+                if meta["o_buckets"]
+                else None
+            ),
+            g_df=(
+                self.g_df.join(keys, cond, "left_anti")
+                if meta["g_buckets"]
+                else None
+            ),
+            has_named=self.has_named,
+            **meta,
+        )
 
 
 # -------------------------------------------------------------- rdfize

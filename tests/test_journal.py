@@ -248,3 +248,64 @@ def test_dump_journal_offline_introspection(journal, tmp_path):
     os.makedirs(os.path.join(journal.path, "versions", "v99999999"))
     rep = dump_journal(journal.path)
     assert rep["dangling"] == [os.path.join("versions", "v99999999")]
+
+
+def test_journal_deltas_preserve_layout_family(spark, tmp_path):
+    """A journal whose base commit carries the three-layout family
+    keeps it alive across DELTA commits and across the every-8th
+    compaction (r10 missing #1; the reference maintains every index
+    permutation per write — SPORelation.java): the reconstructed head
+    still partition-prunes AND serves the delta rows, and the
+    compacted full version re-materializes all three layouts."""
+    import contextlib
+    import io
+    import os
+    import sys
+
+    from database_spark.sparql.engine import SparqlEngine
+    from database_spark.store import TripleStore
+    from database_spark.terms import Term
+
+    journal = Journal(spark, str(tmp_path / "layout_journal"))
+    trips = [
+        (Term.iri(EX + f"s{i}"), Term.iri(EX + f"p{i % 5}"), Term.integer(i))
+        for i in range(50)
+    ]
+    journal.commit(
+        TripleStore.from_python_triples(spark, trips),
+        partition_by_predicate=True,
+    )
+    tx = journal.begin()
+    tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:s1 ex:brandnew 4242 }}')
+    tx.commit()
+    head = journal.open()
+    assert head.p_buckets and head.s_df is not None and head.o_df is not None
+    res = SparqlEngine(head).select(
+        f'PREFIX ex: <{EX}> SELECT ?p ?o WHERE {{ ex:s1 ?p ?o }}'
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.df.explain("formatted")
+    plan = buf.getvalue()
+    assert any(
+        "PartitionFilters" in l and "s_bucket" in l for l in plan.splitlines()
+    ), plan
+    lex = sorted(r["o"]["lex"] for r in res.df.collect())
+    assert "4242" in lex and len(lex) == 2
+    # drive past the compaction point: the full materialization must
+    # re-bucket ALL layouts, not flatten them away
+    for i in range(journal.COMPACT_EVERY):
+        tx = journal.begin()
+        tx.update(f'PREFIX ex: <{EX}> INSERT DATA {{ ex:n{i} ex:name "N{i}" }}')
+        tx.commit()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from dump_journal import dump_journal
+
+    rep = dump_journal(journal.path)
+    fulls = [e for e in rep["versions"] if e["kind"] == "full"]
+    assert fulls and fulls[-1]["layouts"] == ["p", "s", "o"]
+    deltas = [e for e in rep["versions"] if e["kind"] == "delta"]
+    assert deltas and all(e["layout_scope"] == "all" for e in deltas)
+    head2 = journal.open()
+    assert head2.p_buckets and head2.s_df is not None and head2.o_df is not None
+    assert len(names(journal.begin())) == journal.COMPACT_EVERY

@@ -59,7 +59,11 @@ def test_bound_predicate_scan_prunes_partitions(saved_store):
     assert len(res.df.collect()) == len([i for i in range(200) if i % 7 == 3])
 
 
-def test_mutation_drops_layout_column(spark, saved_store):
+def test_mutation_preserves_p_layout(spark, saved_store):
+    """add() keeps the p-bucketed layout alive (r10 missing #1): the
+    new row joins the layout with its bucket computed on the fly, and
+    a bound-predicate scan on the MUTATED store still partition-prunes
+    the parquet base under the union."""
     extra = spark.createDataFrame(
         [
             (
@@ -75,8 +79,17 @@ def test_mutation_drops_layout_column(spark, saved_store):
         "gt struct<kind:tinyint,lex:string,dt:string,lang:string>",
     )
     bigger = saved_store.add(extra)
-    assert "p_bucket" not in bigger.df.columns
+    assert "p_bucket" in bigger.df.columns and bigger.p_buckets == 16
     assert bigger.df.count() == 201
+    eng = SparqlEngine(bigger)
+    res = eng.select(f'PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ ?s ex:p1 ?o }}')
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "p_bucket" in l for l in plan.splitlines()
+    ), plan
+    lex = sorted(r["o"]["lex"] for r in res.df.collect())
+    assert "999" in lex  # sees the new row
+    assert len(lex) == len([i for i in range(200) if i % 7 == 1]) + 1
 
 
 # ------------------------------------------------- subject-keyed layout
@@ -230,12 +243,12 @@ def test_probe_methods_use_o_layout(saved_store):
     assert not saved_store.has_statement(o=Term.integer(5000))
 
 
-def test_mutation_invalidates_aux_layouts(spark, saved_store):
-    """add/remove produce in-memory stores WITHOUT the saved aux
-    layouts (re-save to re-bucket) — a mutated store must never serve
-    stale s-/o-layout data for unbound-predicate queries."""
-    from database_spark.store import _with_ids
-
+def test_mutation_preserves_aux_layouts(spark, saved_store):
+    """add/remove maintain the s-/o-keyed companion layouts alongside
+    the primary (r10 missing #1; the reference maintains EVERY index
+    permutation per write — SPORelation.java): a mutated store still
+    PRUNES s_bucket/o_bucket partitions AND serves the new/removed
+    rows — never stale layout data."""
     extra = spark.createDataFrame(
         [
             (
@@ -251,14 +264,21 @@ def test_mutation_invalidates_aux_layouts(spark, saved_store):
         "gt struct<kind:tinyint,lex:string,dt:string,lang:string>",
     )
     mutated = saved_store.add(extra)
-    assert mutated.s_df is None and mutated.o_df is None
-    # bound-s unbound-p star expansion sees the NEW edge
-    rows = SparqlEngine(mutated).select(
+    assert mutated.s_df is not None and mutated.o_df is not None
+    # bound-s unbound-p star expansion sees the NEW edge, and the plan
+    # still partition-prunes the s-layout's parquet base
+    res = SparqlEngine(mutated).select(
         f'PREFIX ex: <{EX}> SELECT ?p ?o WHERE {{ ex:s5 ?p ?o }}'
-    ).df.collect()
+    )
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "s_bucket" in l for l in plan.splitlines()
+    ), plan
+    rows = res.df.collect()
     lex = sorted(r["o"]["lex"] for r in rows)
     assert "4242" in lex and len(rows) == 2
-    # removal drops the original edge for the reverse lookup too
+    # removal drops the original edge for the reverse lookup too, with
+    # the o-layout still pruning
     removed = saved_store.remove(
         spark.createDataFrame(
             [
@@ -272,11 +292,50 @@ def test_mutation_invalidates_aux_layouts(spark, saved_store):
             extra.schema,
         )
     )
-    assert removed.s_df is None and removed.o_df is None
-    got = SparqlEngine(removed).select(
-        'SELECT ?s WHERE { ?s ?p 5 }'
-    ).df.collect()
-    assert got == []
+    assert removed.s_df is not None and removed.o_df is not None
+    res2 = SparqlEngine(removed).select('SELECT ?s WHERE { ?s ?p 5 }')
+    plan2 = _formatted_plan(res2.df)
+    assert any(
+        "PartitionFilters" in l and "o_bucket" in l for l in plan2.splitlines()
+    ), plan2
+    assert res2.df.collect() == []
+
+
+def test_mutation_chain_stays_correct_across_layouts(spark, saved_store):
+    """add-then-remove-then-add chains: every layout copy must agree
+    with the primary after each step (set semantics, dedup on
+    re-insert, explicit-wins inferred resolution)."""
+    schema = (
+        "st struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "pt struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "ot struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "gt struct<kind:tinyint,lex:string,dt:string,lang:string>"
+    )
+
+    def frame(*trips):
+        return spark.createDataFrame(
+            [
+                (s.as_row(), p.as_row(), o.as_row(), None)
+                for s, p, o in trips
+            ],
+            schema,
+        )
+
+    t_existing = (Term.iri(EX + "s5"), Term.iri(EX + "p5"), Term.integer(5))
+    t_new = (Term.iri(EX + "zz"), Term.iri(EX + "pz"), Term.integer(777))
+    st = saved_store.add(frame(t_existing, t_new))  # re-insert dedups
+    st = st.remove(frame(t_new))
+    st = st.add(frame(t_new))
+    assert st.df.count() == 201
+    for aux in (st.s_df, st.o_df):
+        assert aux is not None
+        assert aux.count() == 201
+        assert (
+            aux.select("s", "p", "o", "g").exceptAll(
+                st.df.select("s", "p", "o", "g")
+            ).count()
+            == 0
+        )
 
 
 @pytest.mark.parametrize("seed", [11, 23])
@@ -322,3 +381,242 @@ def test_layout_choice_never_changes_results_property(spark, tmp_path, seed):
             )
         got, want = bag(SparqlEngine(saved)), bag(SparqlEngine(mem))
         assert got == want, (q, len(got), len(want))
+
+
+def _jobs_in_group(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        result = fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return result, list(spark.sparkContext.statusTracker().getJobIdsForGroup(group))
+
+
+def test_bounded_ids_row_gate_fires_for_file_backed_sides(
+    spark, tmp_path, monkeypatch
+):
+    """r10 verdict wrong #1: a file-backed side leaves maxRows
+    UNDEFINED, so the bounded row gate must run (and early-exit) before
+    any distinct enumeration — the old predicate skipped the gate in
+    exactly that case and paid a full distinct pre-pass at compile
+    time.  Pinned by job counts per case."""
+    from database_spark.sparql.compiler import Compiler
+
+    monkeypatch.setattr(Compiler, "_AS_BOUND_MAX_ROWS", 500)
+    monkeypatch.setattr(Compiler, "_ID_PROBE_CACHE", None)
+    big_path = str(tmp_path / "big")
+    spark.range(2000).selectExpr("id as v__id").write.parquet(big_path)
+    small_path = str(tmp_path / "small")
+    spark.range(40).selectExpr("id as v__id").write.parquet(small_path)
+
+    comp = Compiler(spark, spark.range(1).selectExpr("id as s"))
+    comp._cache_token = "t-gate"
+
+    # baseline: how many jobs the early-exit gate alone costs on this
+    # Spark version (AQE can split a limit+count into 2)
+    big_df = spark.read.parquet(big_path)
+    _, base_jobs = _jobs_in_group(
+        spark,
+        "gate-base",
+        lambda: big_df.limit(Compiler._AS_BOUND_MAX_ROWS + 1).count(),
+    )
+
+    # file-backed side OVER the row bound: exactly the gate's jobs —
+    # the full distinct pre-pass (a separate collect job) never runs
+    ids, jobs = _jobs_in_group(
+        spark, "gate-big", lambda: comp._bounded_ids(big_df, "v__id")
+    )
+    assert ids is None
+    assert len(jobs) == len(base_jobs), (
+        f"expected only the row-gate job(s) ({len(base_jobs)}), ran {len(jobs)}"
+    )
+
+    # file-backed side UNDER the bound: gate runs first, then the
+    # distinct collect — strictly more jobs than the gate alone
+    small_df = spark.read.parquet(small_path)
+    ids, jobs = _jobs_in_group(
+        spark, "gate-small", lambda: comp._bounded_ids(small_df, "v__id")
+    )
+    assert ids is not None and len(ids) == 40
+    assert len(jobs) > len(base_jobs)
+
+    # statically-known-small side (maxRows defined): gate skipped —
+    # only the distinct collect runs
+    local_df = spark.range(30).selectExpr("id as v__id")
+    ids, jobs = _jobs_in_group(
+        spark, "gate-local", lambda: comp._bounded_ids(local_df, "v__id")
+    )
+    assert ids is not None and len(ids) == 30
+    assert len(jobs) <= len(base_jobs)
+
+    # memoization: the big side re-probes with ZERO jobs
+    _, jobs = _jobs_in_group(
+        spark, "gate-memo", lambda: comp._bounded_ids(big_df, "v__id")
+    )
+    assert jobs == []
+
+
+def test_join_rejects_bucket_metadata_on_non_inner(spark, saved_store):
+    """The as-bound id/bucket pushdown filters the join SIDES — legal
+    only for inner joins.  Bucket metadata reaching a non-inner join is
+    a contract violation (left rows could silently drop under
+    left_outer), now enforced by an assertion instead of call-site
+    discipline (r10 verdict wrong #4 / advice #1)."""
+    import pytest as _pytest
+
+    from database_spark.sparql import ast as A
+    from database_spark.sparql.engine import SparqlEngine
+
+    eng = SparqlEngine(saved_store)
+    comp = eng._compiler()
+    # an s-layout scan Sol carries bucket metadata
+    tp = A.TriplePattern(A.Var("s"), A.Var("p"), A.Var("o"))
+    scan = comp.scan_pattern(tp, None)
+    assert scan.buckets, "scan should export s-layout bucket metadata"
+    other = comp.scan_pattern(
+        A.TriplePattern(A.Var("s"), A.Var("p2"), A.Var("o2")), None
+    )
+    with _pytest.raises(AssertionError, match="non-inner join"):
+        comp.join(comp._strip_aux(other), scan, "left_outer")
+    # and the OPTIONAL compile path (which strips aux metadata at BGP
+    # exit) still works end-to-end over an s-layout right side
+    res = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?s ?o ?x WHERE {{ '
+        f'?s ex:p3 ?o OPTIONAL {{ ?s ?q ?x }} }}'
+    )
+    assert len(res.df.collect()) > 0
+
+
+def test_probe_caches_not_stale_after_overwrite_reload(spark, tmp_path):
+    """r10 advice #2: semanticHash of a file scan derives from
+    rootPaths only, so overwriting a store path and reloading it in the
+    same driver used to serve stale memoized as-bound IN-lists —
+    silently missing rows added by the re-save.  The store-generation
+    token in the cache key closes it."""
+    from database_spark.sparql.engine import SparqlEngine
+
+    path = str(tmp_path / "ovr")
+    q = (
+        f'PREFIX ex: <{EX}> SELECT ?s ?o ?x WHERE {{ '
+        f'?s ex:p1 ?o . ?s !(ex:p0) ?x }}'
+    )
+
+    def build(n):
+        trips = [
+            (Term.iri(EX + f"s{i}"), Term.iri(EX + f"p{i % 3}"), Term.integer(i))
+            for i in range(n)
+        ]
+        TripleStore.from_python_triples(spark, trips).save(
+            path, partition_by_predicate=True, buckets=8
+        )
+        return TripleStore.load(spark, path)
+
+    st1 = build(12)
+    r1 = SparqlEngine(st1).select(q).df.collect()
+    assert len(r1) == len([i for i in range(12) if i % 3 == 1])
+    # overwrite the SAME path with more data, reload, re-ask
+    st2 = build(36)
+    got = SparqlEngine(st2).select(q).df.collect()
+    mem = TripleStore(spark, st2._flat(), has_named=False)
+    want = SparqlEngine(mem).select(q).df.collect()
+    assert len(got) == len(want) == len([i for i in range(36) if i % 3 == 1])
+
+
+# ------------------------------------------------- context-keyed layout
+# The CSPO quad-permutation analog (SPOKeyOrder.java:101-105,113-128):
+# save() writes a g_bucket-partitioned copy of the NAMED rows; GRAPH
+# <g> scans with only the context bound prune to one bucket directory.
+
+
+@pytest.fixture(scope="module")
+def saved_quads(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("quads") / "gq")
+    trips = [
+        (
+            Term.iri(EX + f"s{i}"),
+            Term.iri(EX + f"p{i % 7}"),
+            Term.integer(i),
+            Term.iri(EX + f"g{i % 5}"),
+        )
+        for i in range(200)
+    ]
+    TripleStore.from_python_triples(spark, trips).save(
+        path, partition_by_predicate=True, buckets=16
+    )
+    return TripleStore.load(spark, path)
+
+
+def test_g_index_meta_roundtrip(saved_quads):
+    assert saved_quads.g_buckets == 16
+    assert saved_quads.g_df is not None
+    assert "g_bucket" in saved_quads.g_df.columns
+
+
+def test_graph_bound_scan_prunes_g_bucket(spark, saved_quads):
+    eng = SparqlEngine(saved_quads)
+    res = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?s ?p ?o WHERE {{ GRAPH ex:g2 {{ ?s ?p ?o }} }}'
+    )
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "g_bucket" in l for l in plan.splitlines()
+    ), plan
+    rows = res.df.collect()
+    assert len(rows) == len([i for i in range(200) if i % 5 == 2])
+
+
+def test_g_layout_results_match_unpartitioned(spark, saved_quads):
+    mem = TripleStore(spark, saved_quads._flat(), has_named=True)
+    for q in (
+        f'PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ GRAPH ex:g1 {{ ?s ?p ?o }} }}',
+        f'PREFIX ex: <{EX}> SELECT ?s WHERE {{ GRAPH ex:g3 {{ ?s ex:p3 ?o }} }}',
+        f'PREFIX ex: <{EX}> SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s ex:p1 ?o }} }}',
+    ):
+        got = sorted(
+            tuple((v["lex"] if v else None) for v in r)
+            for r in SparqlEngine(saved_quads).select(q).df.collect()
+        )
+        want = sorted(
+            tuple((v["lex"] if v else None) for v in r)
+            for r in SparqlEngine(mem).select(q).df.collect()
+        )
+        assert got == want and got
+
+
+def test_g_probe_methods(saved_quads):
+    g2 = Term.iri(EX + "g2")
+    assert saved_quads.count_pattern(g=g2) == len(
+        [i for i in range(200) if i % 5 == 2]
+    )
+    assert saved_quads.has_statement(g=g2)
+    assert not saved_quads.has_statement(g=Term.iri(EX + "nope"))
+
+
+def test_mutation_preserves_g_layout(spark, saved_quads):
+    extra = spark.createDataFrame(
+        [
+            (
+                Term.iri(EX + "zz").as_row(),
+                Term.iri(EX + "pz").as_row(),
+                Term.integer(777).as_row(),
+                Term.iri(EX + "g2").as_row(),
+            )
+        ],
+        "st struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "pt struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "ot struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "gt struct<kind:tinyint,lex:string,dt:string,lang:string>",
+    )
+    mutated = saved_quads.add(extra, other_has_named=True)
+    assert mutated.g_df is not None
+    res = SparqlEngine(mutated).select(
+        f'PREFIX ex: <{EX}> SELECT ?s ?p ?o WHERE {{ GRAPH ex:g2 {{ ?s ?p ?o }} }}'
+    )
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "g_bucket" in l for l in plan.splitlines()
+    ), plan
+    lex = sorted(r["o"]["lex"] for r in res.df.collect())
+    assert "777" in lex
+    assert len(lex) == len([i for i in range(200) if i % 5 == 2]) + 1

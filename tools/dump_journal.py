@@ -106,6 +106,28 @@ def dump_journal(path: str) -> dict:
             return "delta"
         return "empty"
 
+    def layouts_of(v: int) -> list:
+        """Index layouts a full version materialized: 'p' when the
+        primary is p_bucket-partitioned, 's'/'o' for the companion
+        ``_s_index``/``_o_index`` permutation copies.  Deltas carry no
+        layout of their own — ``open()`` folds the same delta frames
+        into EVERY layout the base carries (the SPORelation analog of
+        one mutation updating all key orders)."""
+        d = vdir(v)
+        out = []
+        try:
+            if any(n.startswith("p_bucket=") for n in os.listdir(d)):
+                out.append("p")
+        except OSError:
+            return out
+        if os.path.isdir(os.path.join(d, "_s_index")):
+            out.append("s")
+        if os.path.isdir(os.path.join(d, "_o_index")):
+            out.append("o")
+        if os.path.isdir(os.path.join(d, "_g_index")):
+            out.append("g")
+        return out
+
     versions = []
     last_full = 0
     full_gaps = []
@@ -114,12 +136,16 @@ def dump_journal(path: str) -> dict:
         ent: dict = {"version": v, "kind": k}
         if k == "full":
             ent.update(_dir_stats(vdir(v)))
+            ent["layouts"] = layouts_of(v)
             if last_full:
                 full_gaps.append(v - last_full)
             last_full = v
         elif k == "delta":
             ent.update(_dir_stats(ddir(v)))
             ent.update(_delta_ops(ddir(v)))
+            # one delta chain serves every layout: the fold applies the
+            # frames to the p-, s-, and o-keyed copies alike
+            ent["layout_scope"] = "all"
         versions.append(ent)
 
     # head reconstruction depth: deltas folded over the nearest full
@@ -185,9 +211,11 @@ def main() -> int:
     for e in rep["versions"]:
         extra = ""
         if e["kind"] == "delta":
-            extra = f"  +{e['inserts']} -{e['tombstones']}"
+            extra = f"  +{e['inserts']} -{e['tombstones']} (all layouts)"
         if "rows" in e:
             extra += f"  rows={e['rows']} bytes={e['bytes']}"
+        if e.get("layouts"):
+            extra += f"  layouts={','.join(e['layouts'])}"
         print(f"  v{e['version']:>4} {e['kind']:<5}{extra}")
     for d in rep["dangling"]:
         print(f"  DANGLING {d} (data past the head pointer — crash residue)")
