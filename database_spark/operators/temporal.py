@@ -223,6 +223,12 @@ def range_join(
     # every matched row; for ids with zero matches across BOTH bucket
     # copies keep exactly the pos==0 copy, null-extended.  The id never
     # crosses plan branches, so nondeterministic ids are harmless.
+    # Scale note: the window shuffles the joined output once on __lid
+    # (per-id groups are the row's own match fanout — small and
+    # AQE-splittable); the previous anti-join design shuffled base +
+    # matched ids too, so total shuffle volume is comparable, and
+    # callers that aggregate matches anyway should join inner and
+    # left-join the aggregate back (see q_events_range_join).
     rr = r.withColumnsRenamed({"__k": "__rk", "__b": "__rb"})
     tagged = base.withColumn("__lid", F.monotonically_increasing_id()).select(
         "*", F.posexplode(F.array(lb, lb + 1)).alias("__bp", "__b")
