@@ -620,3 +620,37 @@ def test_mutation_preserves_g_layout(spark, saved_quads):
     lex = sorted(r["o"]["lex"] for r in res.df.collect())
     assert "777" in lex
     assert len(lex) == len([i for i in range(200) if i % 5 == 2]) + 1
+
+
+def test_engine_compaction_keeps_layout_family(spark, tmp_path):
+    """Engine lineage compaction (every _COMPACT_EVERY commits) must
+    not flatten the layout family away: after compaction the store
+    still carries s-/o-layout views (derived from the checkpointed
+    snapshot — no extra storage) and unbound-predicate queries stay
+    correct, including rows added after the compaction point."""
+    path = str(tmp_path / "compact")
+    trips = [
+        (Term.iri(EX + f"s{i}"), Term.iri(EX + f"p{i % 5}"), Term.integer(i))
+        for i in range(50)
+    ]
+    TripleStore.from_python_triples(spark, trips).save(
+        path, partition_by_predicate=True, buckets=8
+    )
+    eng = SparqlEngine(TripleStore.load(spark, path))
+    n = eng._COMPACT_EVERY
+    for i in range(n + 1):  # crosses one compaction boundary
+        eng.update(
+            f'PREFIX ex: <{EX}> INSERT DATA {{ ex:s1 ex:extra{i} {1000 + i} }}'
+        )
+    assert eng.store.s_df is not None and eng.store.o_df is not None
+    assert eng.store.p_buckets == 8
+    rows = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?p ?o WHERE {{ ex:s1 ?p ?o }}'
+    ).df.collect()
+    # s1's original edge + n+1 inserted ones, served via the s-layout
+    assert len(rows) == n + 2
+    lex = {r["o"]["lex"] for r in rows}
+    assert "1000" in lex and str(1000 + n) in lex
+    # reverse lookup via the o-layout view agrees
+    got = eng.select('SELECT ?s WHERE { ?s ?p 1003 }').df.collect()
+    assert len(got) == 1 and got[0]["s"]["lex"].endswith("s1")
