@@ -519,6 +519,24 @@ class TripleStore:
             "g_buckets": self.g_buckets if self.g_df is not None else None,
         }
 
+    def _pin_delta_frame(self, delta: DataFrame, meta: dict) -> DataFrame:
+        """Materialize a mutation's statement frame ONCE when more than
+        one layout copy will consume it.  Each layout's union/anti-join
+        branch would otherwise re-evaluate ``delta`` independently, and
+        a NONDETERMINISTIC source (a sample, an RDD whose partitioning
+        shifts between evaluations) could insert/remove DIFFERENT rows
+        per copy — silently desynchronizing the layout family (the same
+        hazard class as the r10 range_join two-branch bug).  The
+        checkpoint is delta-sized; its blocks live exactly as long as
+        the mutated store's lineage references them (ContextCleaner
+        frees them when the store is garbage collected).  Single-layout
+        stores skip it: one consumer, no divergence possible."""
+        if sum(1 for k in ("s_buckets", "o_buckets", "g_buckets") if meta[k]) == 0:
+            return delta
+        from .operators import lifecycle as L
+
+        return L.checkpoint(delta)
+
     def add(self, other: DataFrame, other_has_named: bool | None = None) -> "TripleStore":
         """Union in new statements (InsertStatementsOp analog).
 
@@ -553,6 +571,7 @@ class TripleStore:
             merged_named = None  # would need a scan; settle lazily
         new = _with_ids(other)
         meta = self._layout_meta()
+        new = self._pin_delta_frame(new, meta)
 
         def merged(base_df, bucket_col, key_col, n):
             nb = new.withColumn(bucket_col, F.pmod(F.col(key_col), F.lit(n)))
@@ -605,11 +624,15 @@ class TripleStore:
         the layout side streams map-side with its partition pruning
         intact — filters push below a left-anti join's stream side).
         """
-        keys = _with_ids(other).select(
-            F.col("s").alias("__ks"),
-            F.col("p").alias("__kp"),
-            F.col("o").alias("__ko"),
-            F.col("g").alias("__kg"),
+        meta = self._layout_meta()
+        keys = self._pin_delta_frame(
+            _with_ids(other).select(
+                F.col("s").alias("__ks"),
+                F.col("p").alias("__kp"),
+                F.col("o").alias("__ko"),
+                F.col("g").alias("__kg"),
+            ),
+            meta,
         )
         cond = (
             (F.col("s") == F.col("__ks"))
@@ -617,7 +640,6 @@ class TripleStore:
             & (F.col("o") == F.col("__ko"))
             & F.col("g").eqNullSafe(F.col("__kg"))
         )
-        meta = self._layout_meta()
         kept = (
             self.df if meta["p_buckets"] else self._flat()
         ).join(keys, cond, "left_anti")

@@ -119,3 +119,55 @@ def test_random_mutations_match_set_model_on_every_layout(
     named = sorted(k for k in want if k[4] != "")
     if store.g_df is not None:
         assert _bag(store.g_df) == named
+
+
+def test_nondeterministic_mutation_frame_cannot_desync_layouts(
+    spark, tmp_path
+):
+    """A mutation frame whose CONTENT is nondeterministic (an RDD that
+    drops a random row per evaluation) must still leave every layout
+    copy identical: the frame is pinned once before the per-layout
+    union/anti-join branches consume it (the same hazard class as the
+    r10 range_join two-branch bug, closed in store._pin_delta_frame).
+    Without the pin, primary/_s_index/_o_index would each see a
+    DIFFERENT row subset."""
+    path = str(tmp_path / "nd")
+    base = [
+        (Term.iri(EX + f"s{i}"), Term.iri(EX + f"p{i % 3}"), Term.integer(i))
+        for i in range(20)
+    ]
+    TripleStore.from_python_triples(spark, base).save(
+        path, partition_by_predicate=True, buckets=8
+    )
+    store = TripleStore.load(spark, path)
+
+    new = [
+        (
+            Term.iri(EX + f"n{i}").as_row(),
+            Term.iri(EX + "pz").as_row(),
+            Term.integer(1000 + i).as_row(),
+            None,
+        )
+        for i in range(10)
+    ]
+
+    def drop_one(it):
+        import random
+
+        rows = list(it)
+        if rows:
+            rows.pop(random.randrange(len(rows)))  # unseeded, per-eval
+        return iter(rows)
+
+    rdd = spark.sparkContext.parallelize(new, 1).mapPartitions(drop_one)
+    frame = spark.createDataFrame(rdd, SCHEMA)
+    mutated = store.add(frame)
+    want = _bag(mutated.df)
+    assert len(want) == 29  # 20 base + 9 survivors of the dropped row
+    assert _bag(mutated.s_df) == want
+    assert _bag(mutated.o_df) == want
+    # removal with a nondeterministic key frame: same invariant
+    removed = mutated.remove(frame)
+    want2 = _bag(removed.df)
+    assert _bag(removed.s_df) == want2
+    assert _bag(removed.o_df) == want2
