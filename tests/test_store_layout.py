@@ -654,3 +654,46 @@ def test_engine_compaction_keeps_layout_family(spark, tmp_path):
     # reverse lookup via the o-layout view agrees
     got = eng.select('SELECT ?s WHERE { ?s ?p 1003 }').df.collect()
     assert len(got) == 1 and got[0]["s"]["lex"].endswith("s1")
+
+
+def test_same_path_resave_is_safe(spark, tmp_path):
+    """save() of a LOADED store back onto its own path must not destroy
+    the source mid-write (r10 advice #5): the flattened relation is
+    checkpointed once before the overwrite, so all four layout
+    artifacts and the text index derive from materialized data, not
+    from the files being replaced."""
+    path = str(tmp_path / "selfsave")
+    trips = [
+        (Term.iri(EX + f"s{i}"), Term.iri(EX + f"p{i % 4}"), Term.integer(i))
+        for i in range(80)
+    ]
+    TripleStore.from_python_triples(spark, trips).save(
+        path, partition_by_predicate=True, buckets=8
+    )
+    st = TripleStore.load(spark, path)
+    st.save(path, partition_by_predicate=True, buckets=8)  # onto itself
+    again = TripleStore.load(spark, path)
+    assert again.df.count() == 80
+    assert again.s_df is not None and again.s_df.count() == 80
+    assert again.o_df is not None and again.o_df.count() == 80
+    # and a mutated (union-lineage) store can re-save onto the source
+    extra = spark.createDataFrame(
+        [
+            (
+                Term.iri(EX + "zz").as_row(),
+                Term.iri(EX + "p1").as_row(),
+                Term.integer(999).as_row(),
+                None,
+            )
+        ],
+        "st struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "pt struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "ot struct<kind:tinyint,lex:string,dt:string,lang:string>, "
+        "gt struct<kind:tinyint,lex:string,dt:string,lang:string>",
+    )
+    again.add(extra).save(path, partition_by_predicate=True, buckets=8)
+    final = TripleStore.load(spark, path)
+    assert final.df.count() == 81
+    eng = SparqlEngine(final)
+    got = eng.select('SELECT ?s WHERE { ?s ?p 999 }').df.collect()
+    assert len(got) == 1 and got[0]["s"]["lex"].endswith("zz")
