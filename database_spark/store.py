@@ -7,12 +7,24 @@ prefix is a range scan (``SPOKeyOrder.java:90-128``); terms live in the
 
 Spark-native design (NOT a port):
 
-* ONE ``triples`` DataFrame/parquet table.  The permutations existed
-  only to serve prefix scans — Catalyst replaces them with predicate
-  pushdown + column pruning + (optionally) partition layout.  A store
-  saved with ``partition_by_predicate=True`` hash-buckets by ``p`` so
-  per-predicate patterns prune files (the S2RDF "vertical partitioning"
-  idea expressed as a layout, not as N tables).
+* ONE logical ``triples`` relation.  The permutations existed only to
+  serve prefix scans — Catalyst replaces them with predicate pushdown +
+  column pruning + partition layout.  A store saved with
+  ``partition_by_predicate=True`` hash-buckets by ``p`` (the S2RDF
+  "vertical partitioning" idea expressed as a layout, not as N tables)
+  and writes companion permutation copies: ``_s_index`` (s_bucket,
+  (s,p,o) sort), ``_o_index`` (o_bucket, (o,p,s) sort) and — for quad
+  stores — ``_g_index`` (g_bucket over named rows, (g,s,p,o) sort), so
+  every triple-pattern shape prunes like the reference's SPO/POS/OSP/
+  CSPO family (``SPOKeyOrder.java:90-128``).  Mutations maintain EVERY
+  copy (``SPORelation`` writes all permutations per statement write):
+  deltas fold in as pruned-pushdown-friendly unions/anti-joins, and the
+  journal's every-``COMPACT_EVERY``-th commit re-buckets the family to
+  flat parquet.  At 100 TB the compaction rewrite is the tunable cost
+  knob (raise ``Journal.COMPACT_EVERY`` to trade read-side delta folds
+  for write amplification); per-bucket manifest compaction (Iceberg/
+  Delta-style reuse of untouched bucket files) is the noted upgrade
+  path if that rewrite ever dominates.
 * Terms are carried inline as structs (see :mod:`database_spark.terms`)
   plus a 64-bit id per position used as the join key.  There is no
   dictionary to join at query time; an optional ``terms()`` view derives
