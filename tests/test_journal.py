@@ -309,3 +309,54 @@ def test_journal_deltas_preserve_layout_family(spark, tmp_path):
     head2 = journal.open()
     assert head2.p_buckets and head2.s_df is not None and head2.o_df is not None
     assert len(names(journal.begin())) == journal.COMPACT_EVERY
+
+
+def test_journal_quads_base_keeps_g_layout(spark, tmp_path):
+    """Quads journal: a base commit carrying the context-keyed
+    ``_g_index`` keeps serving pruned GRAPH-bound scans across delta
+    commits that touch named graphs."""
+    import contextlib
+    import io
+
+    from database_spark.sparql.engine import SparqlEngine
+    from database_spark.store import TripleStore
+    from database_spark.terms import Term
+
+    journal = Journal(spark, str(tmp_path / "quads_journal"))
+    trips = [
+        (
+            Term.iri(EX + f"s{i}"),
+            Term.iri(EX + f"p{i % 4}"),
+            Term.integer(i),
+            Term.iri(EX + f"g{i % 3}"),
+        )
+        for i in range(40)
+    ]
+    journal.commit(
+        TripleStore.from_python_triples(spark, trips),
+        partition_by_predicate=True,
+    )
+    tx = journal.begin()
+    tx.update(
+        f'PREFIX ex: <{EX}> INSERT DATA {{ GRAPH ex:g1 {{ ex:zz ex:pz 777 }} }}'
+    )
+    tx.update(
+        f'PREFIX ex: <{EX}> DELETE DATA {{ GRAPH ex:g1 {{ ex:s1 ex:p1 1 }} }}'
+    )
+    tx.commit()
+    head = journal.open()
+    assert head.g_df is not None and head.g_buckets
+    res = SparqlEngine(head).select(
+        f'PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ GRAPH ex:g1 {{ ?s ?p ?o }} }}'
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.df.explain("formatted")
+    assert any(
+        "PartitionFilters" in l and "g_bucket" in l
+        for l in buf.getvalue().splitlines()
+    )
+    lex = sorted(r["o"]["lex"] for r in res.df.collect())
+    assert "777" in lex and "1" not in lex
+    # g1 originally held i % 3 == 1 → 13 rows; -1 removed +1 added
+    assert len(lex) == 13

@@ -697,3 +697,25 @@ def test_same_path_resave_is_safe(spark, tmp_path):
     eng = SparqlEngine(final)
     got = eng.select('SELECT ?s WHERE { ?s ?p 999 }').df.collect()
     assert len(got) == 1 and got[0]["s"]["lex"].endswith("zz")
+
+
+def test_g_layout_respects_from_named_restriction(spark, saved_quads):
+    """FROM NAMED dataset clauses compose with the context-keyed
+    layout: the g_bucket prune and the dataset restriction are
+    independent conjuncts, so a GRAPH constant outside the dataset
+    matches nothing while one inside it still prunes and answers."""
+    eng = SparqlEngine(saved_quads)
+    empty = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?s FROM NAMED ex:g1 '
+        f'WHERE {{ GRAPH ex:g2 {{ ?s ?p ?o }} }}'
+    ).df.collect()
+    assert empty == []
+    res = eng.select(
+        f'PREFIX ex: <{EX}> SELECT ?s FROM NAMED ex:g2 '
+        f'WHERE {{ GRAPH ex:g2 {{ ?s ?p ?o }} }}'
+    )
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "g_bucket" in l for l in plan.splitlines()
+    ), plan
+    assert len(res.df.collect()) == len([i for i in range(200) if i % 5 == 2])
