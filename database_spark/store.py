@@ -539,15 +539,21 @@ class TripleStore:
         shifts between evaluations) could insert/remove DIFFERENT rows
         per copy — silently desynchronizing the layout family (the same
         hazard class as the r10 range_join two-branch bug).  The
-        checkpoint is delta-sized; its blocks live exactly as long as
-        the mutated store's lineage references them (ContextCleaner
-        frees them when the store is garbage collected).  Single-layout
-        stores skip it: one consumer, no divergence possible."""
+        checkpoint is delta-sized and LAZY: the first consuming action
+        materializes it once and every other branch reads the stored
+        blocks, so the guarantee costs no extra pass over the delta;
+        blocks live exactly as long as the mutated store's lineage
+        references them (ContextCleaner frees them when the store is
+        garbage collected).  Single-layout stores skip it: one
+        consumer, no divergence possible.  Bulk ingest note: at 100 TB
+        a LOAD-sized `other` lands in block-manager storage here —
+        bulk loads should build a fresh store + ``save`` instead of
+        ``add``-ing into a layout store (DataLoader does)."""
         if sum(1 for k in ("s_buckets", "o_buckets", "g_buckets") if meta[k]) == 0:
             return delta
         from .operators import lifecycle as L
 
-        return L.checkpoint(delta)
+        return L.checkpoint(delta, eager=False)
 
     def add(self, other: DataFrame, other_has_named: bool | None = None) -> "TripleStore":
         """Union in new statements (InsertStatementsOp analog).
