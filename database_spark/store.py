@@ -453,7 +453,16 @@ class TripleStore:
                 F.col("g_bucket")
                 == F.pmod(T.term_id(T.lit_term(g)), F.lit(self.g_buckets))
             )
-        return self.df
+        df = self.df
+        if p is not None and self.p_buckets and "p_bucket" in df.columns:
+            # bound-p probes prune the primary layout's partition dirs
+            # too (ESTCARD/HASSTMT used to push only the row filter and
+            # scan every bucket's row groups)
+            df = df.where(
+                F.col("p_bucket")
+                == F.pmod(T.term_id(T.lit_term(p)), F.lit(self.p_buckets))
+            )
+        return df
 
     def count_pattern(self, s=None, p=None, o=None, g=None) -> int:
         """Cardinality of a triple pattern (FastRangeCountOp analog —

@@ -719,3 +719,19 @@ def test_g_layout_respects_from_named_restriction(spark, saved_quads):
         "PartitionFilters" in l and "g_bucket" in l for l in plan.splitlines()
     ), plan
     assert len(res.df.collect()) == len([i for i in range(200) if i % 5 == 2])
+
+
+def test_probe_bound_p_prunes_p_bucket(saved_store):
+    """ESTCARD/HASSTMT probes with a bound predicate prune the primary
+    layout's p_bucket partition dirs (they used to push only the row
+    filter and touch every bucket's row groups)."""
+    p3 = Term.iri(EX + "p3")
+    plan = _formatted_plan(saved_store._probe_df(None, p3))
+    assert any(
+        "PartitionFilters" in l and "p_bucket" in l for l in plan.splitlines()
+    ), plan
+    assert saved_store.count_pattern(p=p3) == len(
+        [i for i in range(200) if i % 7 == 3]
+    )
+    assert saved_store.has_statement(p=p3)
+    assert not saved_store.has_statement(p=Term.iri(EX + "nope"))
