@@ -1632,6 +1632,23 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_sample_quota(spark, sf_dir):
+    """Exact per-source quota sampling of the documents table
+    (pipeline/sample.py::sample_quota) — the fixed-budget mixture
+    step: at most 10 docs of src0, 7 of src1, 3 of every other source,
+    selected as the quota-many smallest md5(seed||doc_id) per source.
+    One stratum-keyed shuffle + a row_number window; deterministic, so
+    DuckDB reproduces exact membership with the same window
+    predicate."""
+    from database_spark.pipeline import sample
+
+    d = _read(spark, sf_dir, "documents")
+    return sample.sample_quota(
+        d, "doc_id", "source", {"src0": 10, "src1": 7},
+        default_quota=3, seed="q0",
+    ).select("doc_id", "source")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary top-50 by total occurrences with document
     frequency (count desc, token asc tiebreak — deterministic in both
@@ -2140,6 +2157,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "ivf_topk": q_ivf_topk,
     "sample_stratified": q_sample_stratified,
+    "sample_quota": q_sample_quota,
     "vocab_topk": q_vocab_topk,
     "events_asof": q_events_asof,
     "events_asof_fwd": q_events_asof_fwd,
@@ -3046,6 +3064,19 @@ ORACLES: dict[str, str] = {
     "embedding_dedup": _embedding_dedup_oracle(),
     "ivf_topk": _ivf_topk_oracle(),
     "sample_stratified": _sample_stratified_oracle(),
+    "sample_quota": """
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('q0' || CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source FROM ranked
+        WHERE rk <= CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 7
+                    ELSE 3 END
+    """,
     "vocab_topk": """
         SELECT token, occurrences, doc_freq FROM (
           SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS occurrences,

@@ -64,3 +64,46 @@ def sample_stratified(
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == stratum, rate_to_hex(rate)).otherwise(thr)
     return df.where(_hash_prefix(F.col(id_col), seed) < thr)
+
+
+def sample_quota(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    quotas: dict,
+    default_quota: int = 0,
+    seed: str = "s0",
+) -> DataFrame:
+    """Exact per-stratum QUOTAS (at most ``n`` rows from stratum ``k``)
+    — the fixed-budget companion to :func:`sample_stratified`'s
+    fractional rates: mixture construction is usually specified as
+    "120k documents of web, 40k of books, 10k of the rest", not as
+    fractions of unknown stratum sizes.
+
+    The kept set is the quota-many smallest ``md5(seed||id)`` values
+    per stratum (ties broken by id), so it is deterministic and
+    rerun-stable like every sampler here, and GROWS MONOTONICALLY
+    SENSIBLY: adding new corpus documents can only displace ranks at
+    the hash boundary — it never reshuffles the selection.
+
+    Scale shape: one shuffle keyed by the stratum column + a
+    row_number window over the hash order — no driver state, no
+    collect.  A stratum is one window partition, so a handful of huge
+    strata should pre-thin with :func:`sample_rate` at a generous rate
+    before ranking (composable by the caller; this operator stays
+    exact).  DuckDB reproduces membership with the same
+    ``row_number() OVER (PARTITION BY … ORDER BY md5(…))`` predicate —
+    the oracle contract of this module.
+    """
+    from pyspark.sql.window import Window
+
+    order_key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(order_key, F.col(id_col))
+    quota = F.lit(int(default_quota))
+    for stratum, n in sorted(quotas.items()):
+        quota = F.when(F.col(stratum_col) == stratum, int(n)).otherwise(quota)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )

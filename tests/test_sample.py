@@ -57,3 +57,32 @@ def test_vocab_topk_doc_freq(spark):
     rows = vocab_topk(d, "text", k=4, id_col="doc_id").collect()
     got = {r["token"]: (r["occurrences"], r["doc_freq"]) for r in rows}
     assert got == {"a": (3, 2), "b": (3, 1), "c": (2, 2), "d": (1, 1)}
+
+
+def test_sample_quota_exact_counts_and_determinism(spark):
+    from database_spark.pipeline.sample import sample_quota
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else "b") for i in range(60)], "id long, src string"
+    )
+    out = sample_quota(df, "id", "src", {"a": 5}, default_quota=2, seed="t")
+    rows = out.groupBy("src").count().collect()
+    got = {r["src"]: r["count"] for r in rows}
+    assert got == {"a": 5, "b": 2}
+    # deterministic across invocations
+    a1 = sorted(r["id"] for r in sample_quota(
+        df, "id", "src", {"a": 5}, default_quota=2, seed="t").collect())
+    a2 = sorted(r["id"] for r in sample_quota(
+        df, "id", "src", {"a": 5}, default_quota=2, seed="t").collect())
+    assert a1 == a2
+    # quota above stratum size keeps the whole stratum; zero drops it
+    full = sample_quota(df, "id", "src", {"a": 999}, default_quota=0, seed="t")
+    assert full.count() == 40
+    # growing the corpus only displaces at the boundary: the new
+    # selection is still the hash-smallest quota per stratum
+    bigger = df.unionByName(
+        spark.createDataFrame([(i, "b") for i in range(100, 140)],
+                              "id long, src string")
+    )
+    b1 = sample_quota(bigger, "id", "src", {}, default_quota=3, seed="t")
+    assert b1.where("src = 'b'").count() == 3
