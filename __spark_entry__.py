@@ -129,6 +129,27 @@ def _tpch_fingerprint(sf_dir: str) -> str:
     return ";".join(parts)
 
 
+def _swap_cache_dir(tmp: str, path: str) -> None:
+    """Publish a freshly-built store cache dir with the smallest
+    possible unavailability window (r11 advice #1): the old copy is
+    RENAMED aside (an atomic metadata op, vs the unbounded rmtree the
+    old code ran between delete and publish), the new copy renamed into
+    place, and only then is the old copy deleted.  A crash between the
+    two renames leaves ``path`` missing but ``tmp`` complete — the next
+    process's fingerprint check fails on the missing dir and rebuilds;
+    it can never observe a half-deleted store."""
+    import shutil
+
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def _build_tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
     parts = [
         rdfize(spark, _read(spark, sf_dir, t), _MAPPINGS[t]) for t in _MAPPINGS
@@ -173,9 +194,7 @@ def _tpch_store(spark: SparkSession, sf_dir: str) -> TripleStore:
             buckets=64,
             extra_meta={"fingerprint": fp},
         )
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_cache_dir(tmp, path)
         return TripleStore.load(spark, path)
     except Exception:  # noqa: BLE001 — read-only cache root etc.
         from database_spark.operators import lifecycle as L
@@ -289,9 +308,7 @@ def _quads_graph(spark: SparkSession, sf_dir: str) -> SparqlEngine:
             buckets=64,
             extra_meta={"fingerprint": fp},
         )
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+        _swap_cache_dir(tmp, path)
         _GRAPH_CACHE[key] = SparqlEngine(TripleStore.load(spark, path))
     except Exception:  # noqa: BLE001 — read-only cache root etc.
         from database_spark.operators import lifecycle as L

@@ -266,9 +266,15 @@ class Journal:
         store: TripleStore,
         expected_head: int | None = None,
         message: str = "",
-        partition_by_predicate: bool = False,
+        partition_by_predicate: bool | None = None,
     ) -> int:
         """Write a new commit point and advance the pointer.
+
+        ``partition_by_predicate`` defaults to *derive from the store*
+        (None): a layout-carrying store keeps its bucketed layout and
+        bucket COUNT, an unpartitioned one saves flat — so the bucketing
+        of a version no longer depends on WHICH commit kind materialized
+        it (r11 advice #2).  Pass True/False to override.
 
         ``expected_head`` enables optimistic concurrency: the commit
         aborts with CommitConflict if another writer advanced the
@@ -285,10 +291,30 @@ class Journal:
                     f"head moved: expected v{expected_head}, is v{cur}"
                 )
             new = cur + 1
-            store.save(
-                self._vdir(new), partition_by_predicate=partition_by_predicate
-            )
+            self._save_full(store, new, partition_by_predicate)
             return self._advance(new, "full", message)
+
+    def _save_full(
+        self,
+        store: TripleStore,
+        version: int,
+        partition_by_predicate: bool | None = None,
+    ) -> None:
+        """The ONE full-materialization path both commit kinds share
+        (r11 advice #2): a journal whose base was saved with a
+        non-default bucket count used to re-bucket differently depending
+        on whether ``commit()`` or a delta compaction materialized the
+        version — ``commit()`` fell through to ``save()``'s default 64.
+        Both now preserve the store's own bucket count, and a plain
+        ``commit()`` of a layout-carrying store keeps its partitioning
+        unless the caller explicitly opts out."""
+        if partition_by_predicate is None:
+            partition_by_predicate = store.p_buckets is not None
+        store.save(
+            self._vdir(version),
+            partition_by_predicate=partition_by_predicate,
+            buckets=store.p_buckets or 64,
+        )
 
     def commit_delta(
         self,

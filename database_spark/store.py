@@ -216,10 +216,19 @@ class TripleStore:
         (saving a loaded store back onto itself) would destroy the
         source mid-write.  The checkpoint truncates that lineage, so
         same-path re-save is safe (r10 advice #5).
+
+        Eagerness is overlap-aware (r11 advice #4): the checkpoint MUST
+        materialize before the first write only when ``path`` overlaps
+        the store's own source files (the self-overwrite case — an
+        eager pass, transiently holding a second copy of the store in
+        block storage).  A save to a fresh target checkpoints LAZILY:
+        the first layout write materializes lineage, persists the
+        blocks, and writes parquet in one pass, so the large-store save
+        costs one source pass instead of two.
         """
         from .operators import lifecycle as L
 
-        flat = L.checkpoint(self._flat())
+        flat = L.checkpoint(self._flat(), eager=self._overlaps_source(path))
         try:
             meta = dict(extra_meta or {})
             if partition_by_predicate:
@@ -294,6 +303,28 @@ class TripleStore:
             self._write_meta(path, meta)
         finally:
             L.free(flat)
+
+    def _overlaps_source(self, path: str) -> bool:
+        """True when writing to ``path`` would clobber files this
+        store's lineage still reads (save-onto-itself).  Driver-side
+        metadata only (``inputFiles``); unknown ⇒ True (safe: the
+        caller checkpoints eagerly before the first overwrite)."""
+        import os as _os
+
+        def _norm(p: str) -> str:
+            if "://" in p and not p.startswith("file:"):
+                return p.rstrip("/")
+            return _os.path.abspath(p.removeprefix("file:"))
+
+        try:
+            tgt = _norm(path)
+            for f in self.df.inputFiles():
+                nf = _norm(f)
+                if nf == tgt or nf.startswith(tgt + "/"):
+                    return True
+            return False
+        except Exception:  # noqa: BLE001 — unknown source shape
+            return True
 
     def _write_meta(self, path: str, meta: dict) -> None:
         """Sidecar layout metadata, written through the Hadoop FS API so

@@ -456,6 +456,16 @@ def test_bounded_ids_row_gate_fires_for_file_backed_sides(
     )
     assert jobs == []
 
+    # statically-known-BIG side (maxRows defined and over the bound —
+    # a big VALUES block / range): treated as big with ZERO jobs, the
+    # gate is provably unhelpful so it must not run (r11 advice #3)
+    static_big = spark.range(2000).selectExpr("id as v__id")
+    ids, jobs = _jobs_in_group(
+        spark, "gate-static-big", lambda: comp._bounded_ids(static_big, "v__id")
+    )
+    assert ids is None
+    assert jobs == []
+
 
 def test_join_rejects_bucket_metadata_on_non_inner(spark, saved_store):
     """The as-bound id/bucket pushdown filters the join SIDES — legal
