@@ -86,3 +86,54 @@ def test_sample_quota_exact_counts_and_determinism(spark):
     )
     b1 = sample_quota(bigger, "id", "src", {}, default_quota=3, seed="t")
     assert b1.where("src = 'b'").count() == 3
+
+
+def test_sample_quota_hot_stratum_bounded_and_exact(spark):
+    """r11 verdict wrong #2: a stratum far bigger than its quota must
+    NOT shuffle wholesale into one window task.  The two-stage top-k
+    bounds the stage-2 window input to spread x quota per stratum, and
+    membership is IDENTICAL to the one-window definition (the oracle
+    contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from database_spark.pipeline.sample import (
+        _quota_candidates,
+        sample_quota,
+    )
+
+    # one hot stratum (5000 rows, quota 7) + a small one (50 rows, quota 5)
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 5000 else "cold") for i in range(5050)],
+        "id long, src string",
+    )
+    quotas = {"hot": 7, "cold": 5}
+    spread = 16
+
+    # stage-1 candidates are bounded: <= spread * quota per stratum
+    order_key = F.md5(F.concat(F.lit("t"), F.col("id").cast("string")))
+    quota = F.when(F.col("src") == "cold", 5).otherwise(
+        F.when(F.col("src") == "hot", 7).otherwise(F.lit(0))
+    )
+    cand = _quota_candidates(df, "id", "src", order_key, quota, spread)
+    per = {r["src"]: r["count"] for r in cand.groupBy("src").count().collect()}
+    assert per["hot"] <= spread * 7
+    assert per["hot"] < 5000  # the hot stratum was actually thinned
+    assert per["cold"] <= 50
+
+    # membership identical to the naive single-window definition
+    got = sorted(
+        (r["src"], r["id"])
+        for r in sample_quota(
+            df, "id", "src", quotas, seed="t", spread=spread
+        ).collect()
+    )
+    w = Window.partitionBy("src").orderBy(order_key, F.col("id"))
+    naive = (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )
+    want = sorted((r["src"], r["id"]) for r in naive.collect())
+    assert got == want
+    assert len(got) == 12
