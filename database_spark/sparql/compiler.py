@@ -298,14 +298,28 @@ class Compiler:
         # GRAPH <g> { ?s ?p ?o } with only the context bound: the
         # context-keyed copy (CSPO quad permutation) prunes to one
         # g_bucket; a Const subject instead prefers the s-layout below
-        # (a point-subject prune beats a whole-graph prune)
-        use_g = (
+        # (a point-subject prune beats a whole-graph prune).  When the
+        # PREDICATE is bound too (GRAPH <g> { ?s <p> ?o }) the p- and
+        # g-layouts compete: route through whichever pruned partition
+        # is SMALLER (a memoized metadata-count probe — the access-path
+        # range-count cost comparison of SPOAccessPath/getKeyOrder).
+        # Measured at sf1 (tools/probe_pg.py): the p-route scanned 25x
+        # the matching rows on the nations-quads store while the
+        # g-route scanned 2x — routing recovers nearly all of the gain
+        # a fifth composite (p,g) layout would buy, for zero storage.
+        g_eligible = (
             (not use_o)
-            and raw_ok
             and self.g_triples is not None
             and graph is not None
             and not isinstance(graph, A.Var)
             and isinstance(tp.s, A.Var)
+        )
+        use_g = g_eligible and (
+            raw_ok
+            or (
+                isinstance(tp.p, A.Const)
+                and self._prefer_g_partition(tp.p.term, graph)
+            )
         )
         use_s = (
             (not use_o) and (not use_g) and raw_ok
@@ -942,6 +956,56 @@ class Compiler:
         rows = sel.limit(self._AS_BOUND_MAX_IDS + 1).collect()
         ids = sorted(r["__v"] for r in rows)
         return _memo(None if len(ids) > self._AS_BOUND_MAX_IDS else ids)
+    #: memoized per-(store, layout, term) pruned-partition row counts
+    #: for access-path routing (see ``_prefer_g_partition``)
+    _PART_ROWS_CACHE = None
+    #: partition-count probe jobs actually submitted (test observability)
+    _part_probe_jobs = 0
+
+    def _partition_rows(self, df, bucket_col: str, n_buckets: int, term) -> int:
+        """Row count of the single bucket partition ``term`` prunes to,
+        memoized per (store generation, layout, term).  The count scans
+        only the pruned partition dir with an empty read schema —
+        parquet-footer-metadata-mostly, the FastRangeCountOp analog of
+        the reference's access-path range counts."""
+        from collections import OrderedDict
+
+        cache = Compiler._PART_ROWS_CACHE
+        if cache is None:
+            cache = Compiler._PART_ROWS_CACHE = OrderedDict()
+        key = (
+            self._cache_token, bucket_col,
+            term.kind, term.lex, term.dt, term.lang,
+        )
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        Compiler._part_probe_jobs += 1
+        tid = T.term_id(T.lit_term(term))
+        n = df.where(F.col(bucket_col) == F.pmod(tid, F.lit(n_buckets))).count()
+        cache[key] = n
+        while len(cache) > self._SLICE_PROBE_CACHE_MAX:
+            cache.popitem(last=False)
+        return n
+
+    def _prefer_g_partition(self, p_term, g_term) -> bool:
+        """Access-path choice for ``GRAPH <g> { ?s <p> ?o }`` (both
+        predicate and context bound): True routes through the
+        context-keyed layout.  The reference compares the range counts
+        of the candidate key orders (``SPOAccessPath``/
+        ``getKeyOrder``); here the candidates are the two pruned bucket
+        partitions, whose row counts are one memoized metadata-count
+        each.  Ties keep the p-route (today's default)."""
+        if not (self.p_buckets and "p_bucket" in self.triples.columns):
+            return True  # the g-layout is the only pruning layout
+        p_rows = self._partition_rows(
+            self.triples, "p_bucket", self.p_buckets, p_term
+        )
+        g_rows = self._partition_rows(
+            self.g_triples, "g_bucket", self.g_buckets, g_term
+        )
+        return g_rows < p_rows
+
     #: probe jobs actually submitted (test observability)
     _slice_probe_jobs = 0
 

@@ -745,3 +745,69 @@ def test_probe_bound_p_prunes_p_bucket(saved_store):
     )
     assert saved_store.has_statement(p=p3)
     assert not saved_store.has_statement(p=Term.iri(EX + "nope"))
+
+
+def test_both_bound_scan_routes_by_partition_size(spark, tmp_path):
+    """GRAPH <g> { ?s <p> ?o } — predicate AND context bound — routes
+    through whichever pruned partition is smaller (tools/probe_pg.py at
+    sf1: the fixed p-route scanned 25x the matching rows on a
+    graph-heavy store while the g-route scanned 2x).  The probe is one
+    memoized metadata-count per (store, layout, term)."""
+    from database_spark.sparql.compiler import Compiler
+
+    # graph-heavy store: 2 predicates, 25 graphs => g-partition smaller
+    gheavy = str(tmp_path / "gheavy")
+    trips = [
+        (
+            Term.iri(EX + f"s{i}"),
+            Term.iri(EX + f"p{i % 2}"),
+            Term.integer(i),
+            Term.iri(EX + f"g{i % 25}"),
+        )
+        for i in range(200)
+    ]
+    TripleStore.from_python_triples(spark, trips).save(
+        gheavy, partition_by_predicate=True, buckets=16
+    )
+    st = TripleStore.load(spark, gheavy)
+    eng = SparqlEngine(st)
+    q = f'PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ GRAPH ex:g7 {{ ?s ex:p1 ?o }} }}'
+    res = eng.select(q)
+    plan = _formatted_plan(res.df)
+    assert any(
+        "PartitionFilters" in l and "g_bucket" in l for l in plan.splitlines()
+    ), plan
+    rows = sorted(r["s"]["lex"] for r in res.df.collect())
+    assert rows == sorted(
+        EX + f"s{i}" for i in range(200) if i % 25 == 7 and i % 2 == 1
+    )
+    # memoized: recompiling the same shape submits no new probe jobs
+    before = Compiler._part_probe_jobs
+    eng.select(q)
+    assert Compiler._part_probe_jobs == before
+
+    # predicate-heavy store: 25 predicates, 2 graphs => p-route stays
+    pheavy = str(tmp_path / "pheavy")
+    trips2 = [
+        (
+            Term.iri(EX + f"s{i}"),
+            Term.iri(EX + f"q{i % 25}"),
+            Term.integer(i),
+            Term.iri(EX + f"h{i % 2}"),
+        )
+        for i in range(200)
+    ]
+    TripleStore.from_python_triples(spark, trips2).save(
+        pheavy, partition_by_predicate=True, buckets=16
+    )
+    eng2 = SparqlEngine(TripleStore.load(spark, pheavy))
+    res2 = eng2.select(
+        f'PREFIX ex: <{EX}> SELECT ?s ?o WHERE {{ GRAPH ex:h1 {{ ?s ex:q3 ?o }} }}'
+    )
+    plan2 = _formatted_plan(res2.df)
+    assert any(
+        "PartitionFilters" in l and "p_bucket" in l for l in plan2.splitlines()
+    ), plan2
+    assert res2.df.count() == len(
+        [i for i in range(200) if i % 2 == 1 and i % 25 == 3]
+    )

@@ -137,6 +137,18 @@ def dump_journal(path: str) -> dict:
         if k == "full":
             ent.update(_dir_stats(vdir(v)))
             ent["layouts"] = layouts_of(v)
+            # a MIXED version: incremental compaction cloned the base's
+            # untouched bucket dirs and rewrote only the touched ones
+            # (journal meta records which — Journal._compact_incremental)
+            mfile = os.path.join(vdir(v), "_dbspark_meta.json")
+            if os.path.exists(mfile):
+                try:
+                    with open(mfile) as fh:
+                        comp = json.load(fh).get("compaction")
+                    if comp:
+                        ent["compaction"] = comp
+                except (OSError, ValueError):
+                    pass
             if last_full:
                 full_gaps.append(v - last_full)
             last_full = v
@@ -216,6 +228,12 @@ def main() -> int:
             extra += f"  rows={e['rows']} bytes={e['bytes']}"
         if e.get("layouts"):
             extra += f"  layouts={','.join(e['layouts'])}"
+        if e.get("compaction"):
+            c = e["compaction"]
+            rew = ",".join(
+                f"{k}:{len(v)}" for k, v in (c.get("rewritten") or {}).items() if v
+            )
+            extra += f"  incremental(base=v{c.get('base')} rewrote {rew} buckets)"
         print(f"  v{e['version']:>4} {e['kind']:<5}{extra}")
     for d in rep["dangling"]:
         print(f"  DANGLING {d} (data past the head pointer — crash residue)")
