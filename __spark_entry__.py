@@ -613,6 +613,26 @@ def q_sparql_graph_scan(spark, sf_dir):
     )
 
 
+def q_sparql_graph_pred_scan(spark, sf_dir):
+    """Both-bound quad scan ``GRAPH <g> { ?s <p> ?o }`` — predicate AND
+    context bound, the composite-prefix shape (r11 verdict missing #2).
+    The compiler compares the two candidate pruned partitions' row
+    counts (memoized metadata-counts — the ``SPOAccessPath`` range-count
+    comparison) and routes through the context-keyed ``_g_index`` here:
+    on this graph-heavy store one ``g_bucket`` directory (~1/25 of the
+    named rows) beats the ``p_bucket`` directory (~1/2 of them) by an
+    order of magnitude (``PROBE_PG.json``: 25.3x vs 2.0x scan waste at
+    sf1).  No fifth composite layout needed — routing recovers the gap
+    (decision record: COVERAGE.md round-12)."""
+    e = _quads_graph(spark, sf_dir)
+    return _sel(
+        e,
+        "SELECT ?s ?o WHERE { GRAPH <urn:gn:3> "
+        "{ ?s <urn:tpch:mktsegment> ?o } }",
+        {"s": ("s", "lex"), "o": ("o", "lex")},
+    )
+
+
 def q_sparql_reduced(spark, sf_dir):
     """SELECT REDUCED (we fully dedupe — a permitted REDUCED answer,
     and the only deterministic one)."""
@@ -2120,6 +2140,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sparql_nps": q_sparql_nps,
     "sparql_ref_lookup": q_sparql_ref_lookup,
     "sparql_graph_scan": q_sparql_graph_scan,
+    "sparql_graph_pred_scan": q_sparql_graph_pred_scan,
     "sparql_reduced": q_sparql_reduced,
     "sparql_federation": q_sparql_federation,
     "sparql_path_seq": q_sparql_path_seq,
@@ -2657,6 +2678,11 @@ ORACLES: dict[str, str] = {
         SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
                'urn:tpch:mktsegment' AS p, c_mktsegment AS o
         FROM customer WHERE c_nationkey = 7
+    """,
+    "sparql_graph_pred_scan": """
+        SELECT 'urn:c:' || CAST(c_custkey AS VARCHAR) AS s,
+               c_mktsegment AS o
+        FROM customer WHERE c_nationkey = 3
     """,
     "sparql_reduced": """
         SELECT DISTINCT c_mktsegment AS seg FROM customer
