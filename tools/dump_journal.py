@@ -217,8 +217,9 @@ def main() -> int:
     print(f"  head reconstruction: {rep['head_reconstruction_depth']} delta"
           f" fold(s) over the nearest full base")
     if rep["full_materialization_gaps"]:
+        gaps = rep["full_materialization_gaps"]
         print(f"  full-materialization cadence: every"
-              f" {rep['full_materialization_gaps']} versions")
+              f" {'/'.join(str(g) for g in gaps)} versions")
     print(f"  total bytes: {rep['total_bytes']}")
     for e in rep["versions"]:
         extra = ""
