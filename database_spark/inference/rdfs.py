@@ -96,7 +96,15 @@ def rdfs_closure(
     table is complete, not just first-proof."""
     spark = store.spark
     base = store.df.where(F.col("g").isNull()).select("s", "p", "o", "st", "pt", "ot")
+    # The closure total is a lazy union of the base checkpoint and the
+    # per-round delta checkpoints; each round runs ONE action — an
+    # aggregate over the round's lazily-checkpointed delta that
+    # materializes it and returns its row count AND its schema-triple
+    # pairs (the rule-activation probe) together.  The old shape paid
+    # four barriers a round: probe collect, delta checkpoint, isEmpty,
+    # and an O(closure) union re-materialization.
     total = L.checkpoint(base)
+    layers = [total]
 
     def head_df(df: DataFrame, cols: list, prem=None) -> DataFrame:
         sel = cols + ([prem.alias("prem")] if prem is not None else [])
@@ -122,30 +130,32 @@ def rdfs_closure(
         for name in ("subp", "subc", "dom", "rng", "inv", "eqc", "eqp", "sameas")
     }
 
+    # Rule activation probe (FastClosure-style rule pruning): which
+    # schema predicates exist in the current closure; only rules whose
+    # schema frame is non-empty join each round.  Exact, not heuristic:
+    # the base contributes its pairs once here, every round's DELTA
+    # contributes its pairs from the same fused aggregate that counts
+    # it (total = base ∪ deltas, so the union of pair sets is exactly
+    # the per-round full-closure probe of the old shape) — a schema
+    # triple derived in round k still activates its rules in round k+1.
+    probe_cond = (
+        F.col("p").isin(*schema_ids.values())
+        | ((F.col("p") == type_id) & F.col("o").isin(sym_id, tr_id))
+    )
+    present = {
+        (r["p"], r["o"])
+        for r in base.select("p", "o").where(probe_cond).distinct().collect()
+    }
     for _ in fixpoint_rounds(max_iter, "rdfs_closure"):
-        t = total
-        # Rule activation probe (FastClosure-style rule pruning): one
-        # tiny job lists which schema predicates exist in the current
-        # closure; only rules whose schema frame is non-empty join this
-        # round.  Exact, not heuristic — the probe reruns per round, so
-        # a schema triple derived in round k activates its rules in
-        # round k+1, and the final (empty-delta) round still ran every
-        # active rule against the full closure.  Schema is small by
-        # definition, so the collect is O(#schema predicates).
-        probe = (
-            t.select("p", "o")
-            .where(
-                F.col("p").isin(*schema_ids.values())
-                | ((F.col("p") == type_id) & F.col("o").isin(sym_id, tr_id))
-            )
-            .distinct()
-            .collect()
-        )
-        present = {r["p"] for r in probe}
-        active = {name for name, pid in schema_ids.items() if pid in present}
-        if any(r["p"] == type_id and r["o"] == sym_id for r in probe):
+        t = layers[0]
+        for l in layers[1:]:
+            t = t.unionByName(l)
+        total = t
+        pvals = {p for p, _ in present}
+        active = {name for name, pid in schema_ids.items() if pid in pvals}
+        if (type_id, sym_id) in present:
             active.add("sym")
-        if any(r["p"] == type_id and r["o"] == tr_id for r in probe):
+        if (type_id, tr_id) in present:
             active.add("trans")
         if not active:
             break
@@ -383,18 +393,30 @@ def rdfs_closure(
         for h in heads[1:]:
             fires = fires.unionByName(h)
         last_fires = fires  # complete on the final (empty-delta) round
-        new = L.checkpoint(
+        new = L.lazy_checkpoint(
             fires.select("s", "p", "o", "st", "pt", "ot")
             .dropDuplicates(["s", "p", "o"]).join(
                 total.select("s", "p", "o"), ["s", "p", "o"], "left_anti"
             )
         )
-        if new.isEmpty():
+        # ONE action: materializes the delta checkpoint, counts it, and
+        # collects its schema pairs for next round's activation probe
+        row = new.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.when(probe_cond, F.struct("p", "o"))
+            ).alias("sch"),
+        ).first()
+        if row["n"] == 0:
             L.free(new)
             break
-        new_total = L.checkpoint(total.unionByName(new))
-        L.free(total, new)
-        total = new_total
+        present |= {(x["p"], x["o"]) for x in row["sch"]}
+        layers.append(new)
+        layers = L.compact_layers(layers)
+    total = layers[0]
+    for l in layers[1:]:
+        total = total.unionByName(l)
+    total = L.adopt(total, *layers)
 
     explicit_keys = store.df.where(F.col("g").isNull()).select("s", "p", "o")
     inferred = total.join(
@@ -494,12 +516,17 @@ def tm_retract(
         .select("s", "p", "o")
         .dropDuplicates()
     )
-    over = D
+    # one checkpoint_count action per round; the over set is a lazy
+    # union of D and the per-round layers (see rdfs_closure)
+    over_layers: list = []
     frontier = D
     for _ in fixpoint_rounds(max_iter, "tm_overdelete"):
         f = frontier.select(
             F.col("s").alias("fs"), F.col("p").alias("fp"), F.col("o").alias("fo")
         )
+        over_keys = D
+        for l in over_layers:
+            over_keys = over_keys.unionByName(l)
         hit = (
             je.join(
                 f,
@@ -511,26 +538,29 @@ def tm_retract(
             .dropDuplicates()
             .join(explicit_now, ["s", "p", "o"], "left_anti")
         )
-        new = L.checkpoint(hit.join(over, ["s", "p", "o"], "left_anti"))
-        if new.isEmpty():
+        new, nn = L.checkpoint_count(hit.join(over_keys, ["s", "p", "o"], "left_anti"))
+        if nn == 0:
             L.free(new)
             break
-        new_over = L.checkpoint(over.unionByName(new))
-        if over is not D:
-            L.free(over)
-        if frontier is not D:
-            L.free(frontier)
-        over, frontier = new_over, new
-    if frontier is not D and frontier is not over:
-        L.free(frontier)
+        over_layers.append(new)
+        over_layers = L.compact_layers(over_layers)
+        frontier = new
+    over = D
+    for l in over_layers:
+        over = over.unionByName(l)
+    if over_layers:
+        over = L.adopt(over, *over_layers)  # D keeps its own ownership
 
     # -- 2. rederive: a statement in `over` survives if some
     # justification has ALL premises outside the final removed set
     total_keys = store.df.where(F.col("g").isNull()).select("s", "p", "o")
-    remaining = L.checkpoint(
+    rem_layers = [L.checkpoint(
         total_keys.join(over, ["s", "p", "o"], "left_anti").dropDuplicates()
-    )
+    )]
     for _ in fixpoint_rounds(max_iter, "tm_rederive"):
+        remaining = rem_layers[0]
+        for l in rem_layers[1:]:
+            remaining = remaining.unionByName(l)
         rem = remaining.select(
             F.col("s").alias("rs"), F.col("p").alias("rp"), F.col("o").alias("ro")
         )
@@ -552,15 +582,18 @@ def tm_retract(
             .select("s", "p", "o")
             .dropDuplicates()
         )
-        add = L.checkpoint(
+        add, na = L.checkpoint_count(
             good_heads.join(remaining, ["s", "p", "o"], "left_anti")
         )
-        if add.isEmpty():
+        if na == 0:
             L.free(add)
             break
-        new_remaining = L.checkpoint(remaining.unionByName(add))
-        L.free(remaining, add)
-        remaining = new_remaining
+        rem_layers.append(add)
+        rem_layers = L.compact_layers(rem_layers)
+    remaining = rem_layers[0]
+    for l in rem_layers[1:]:
+        remaining = remaining.unionByName(l)
+    remaining = L.adopt(remaining, *rem_layers)
 
     removed = L.checkpoint(
         over.join(remaining, ["s", "p", "o"], "left_anti")

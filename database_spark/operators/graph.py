@@ -118,54 +118,80 @@ def bfs(
     complete per round, so the truncated result is the exact
     depth-bounded traversal, not a wrong answer).
 
-    Checkpoint rotation: at most 4 block sets live at any moment
-    (edges, current visited, current frontier, this round's layer) —
-    constant storage per query regardless of round count, so a long
-    session never accumulates dead checkpoint blocks.
+    Round structure (guide §1/§2): ONE shuffle and ONE action per
+    round.  The old shape paid three exchanges (neighbor dedup, the
+    anti-join against visited — which re-shuffled the whole visited
+    set — and the visited-union re-checkpoint) plus a separate
+    ``isEmpty`` job.  Here each round is a single tagged-union
+    aggregate — visited rows tagged 0 unioned with this round's
+    neighbor candidates tagged 1, ``groupBy(node)`` with ``min`` — and
+    BOTH the new visited state (``node, min(depth)``) and the next
+    frontier (``min(tag) == 1`` ⇒ never seen before) are plain filters
+    over that one checkpointed aggregate; the convergence count rides
+    the same job that materializes it.  This is the Pregel
+    vertex-state superstep shape: O(V) state written once per round,
+    one synchronization barrier.
     """
-    e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    e0 = L.checkpoint(edges.select("src", "dst").dropDuplicates())
     # max_iter is the caller's no-fixpoint safety valve (it RAISES in
     # the distributed walk); the local path explores everything, which
     # would silently bypass the guard — take the distributed path then.
     small = None if max_iter is not None else _local_small_graph(
-        e.withColumn("weight", F.lit(1.0)), seeds
+        e0.withColumn("weight", F.lit(1.0)), seeds
     )
     if small is not None:
-        L.free(e)
+        L.free(e0)
         rows = [
             (n, int(d))
             for n, d in _local_sssp(*small)
             if max_rounds is None or d <= max_rounds
         ]
         return _values_df(edges.sparkSession, rows, "node", "depth")
-    frontier = L.checkpoint(
-        seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
-    )
-    visited = frontier
-    depth = 0
-    for _ in fixpoint_rounds(max_iter, "bfs"):
-        if max_rounds is not None and depth >= max_rounds:
-            break
-        depth += 1
-        nxt = L.checkpoint(
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"))
-            .dropDuplicates()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(depth))
+    spark = edges.sparkSession
+    parts = max(4, e0.rdd.getNumPartitions())
+    with L.loop_exec(spark, parts):
+        # partition + sort edges by the probe key ONCE: the per-round
+        # sort-merge join then reuses this layout (LogicalRDD keeps the
+        # partitioning/ordering), so rounds never re-shuffle the edges
+        e = L.checkpoint(
+            e0.repartition(parts, "src").sortWithinPartitions("src")
         )
-        if nxt.isEmpty():
-            L.free(nxt)
-            break
-        new_visited = L.checkpoint(visited.unionByName(nxt))
-        L.free(visited)  # frontier's blocks merged into new_visited
-        if frontier is not visited:
-            L.free(frontier)
-        visited, frontier = new_visited, nxt
-    L.free(e)
-    if frontier is not visited:
-        L.free(frontier)
-    return visited
+        L.free(e0)
+        owner = L.checkpoint(
+            seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
+        )
+        visited = frontier = owner
+        depth = 0
+        for _ in fixpoint_rounds(max_iter, "bfs"):
+            if max_rounds is not None and depth >= max_rounds:
+                break
+            depth += 1
+            nbrs = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.lit(depth).alias("depth"),
+                    F.lit(1).alias("new"),
+                )
+            )
+            agg = L.lazy_checkpoint(
+                visited.withColumn("new", F.lit(0))
+                .unionByName(nbrs)
+                .groupBy("node")
+                .agg(F.min("depth").alias("depth"), F.min("new").alias("new"))
+            )
+            # the single action of the round: materializes `agg` and
+            # counts the fresh nodes for the convergence test
+            n = agg.agg(F.sum(F.when(F.col("new") == 1, 1)).alias("n")).first()["n"] or 0
+            if n == 0:
+                L.free(agg)
+                break
+            L.free(owner)  # agg is materialized; the state it read is dead
+            owner = agg
+            visited = agg.select("node", "depth")
+            frontier = agg.where(F.col("new") == 1).select("node", "depth")
+        L.free(e)
+    return L.adopt(visited.select("node", "depth"), owner)
 
 
 def sssp(
@@ -184,54 +210,63 @@ def sssp(
     relaxation rounds — the result is the exact ≤k-hop shortest
     distances (the reference truncates the same way).
     """
-    e = L.checkpoint(edges.select("src", "dst", "weight"))
+    e0 = L.checkpoint(edges.select("src", "dst", "weight"))
     # With a round budget the distributed loop's semantics are
     # "shortest path using <= max_rounds relaxation rounds", which
     # Dijkstra does not emulate — take the distributed path then.
     small = (
         None
         if (max_iter is not None or max_rounds is not None)
-        else _local_small_graph(e, seeds)
+        else _local_small_graph(e0, seeds)
     )
     if small is not None:
-        L.free(e)
+        L.free(e0)
         rows = [(n, float(d)) for n, d in _local_sssp(*small)]
         return _values_df(edges.sparkSession, rows, "node", "dist")
-    dist = L.checkpoint(
-        seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
-    )
-    frontier = dist
-    rounds = 0
-    for _ in fixpoint_rounds(max_iter, "sssp"):
-        if max_rounds is not None and rounds >= max_rounds:
-            break
-        rounds += 1
-        cand = (
-            frontier.join(e, frontier["node"] == e["src"])
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("weight")).alias("nd"))
-            .groupBy("node")
-            .agg(F.min("nd").alias("nd"))
+    parts = max(4, e0.rdd.getNumPartitions())
+    with L.loop_exec(edges.sparkSession, parts):
+        e = L.checkpoint(e0.repartition(parts, "src").sortWithinPartitions("src"))
+        L.free(e0)
+        owner = L.checkpoint(
+            seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
         )
-        joined = cand.join(dist, "node", "left_outer")
-        improved = L.checkpoint(
-            joined.where(F.col("dist").isNull() | (F.col("nd") < F.col("dist"))).select(
-                "node", F.col("nd").alias("dist")
+        dist = frontier = owner
+        # Single-shuffle round (same shape as bfs): current distances
+        # tagged old ∪ this round's relaxations tagged new, ONE
+        # groupBy(node) computing min over the old rows and min over
+        # all — the new dist table and the improved-node frontier are
+        # filters over that one checkpointed aggregate, and the
+        # convergence count rides its materialization job.
+        rounds = 0
+        for _ in fixpoint_rounds(max_iter, "sssp"):
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            rounds += 1
+            relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("weight")).alias("d"),
+                F.lit(1).alias("new"),
             )
-        )
-        if improved.isEmpty():
-            L.free(improved)
-            break
-        new_dist = L.checkpoint(
-            dist.join(improved.select("node"), "node", "left_anti").unionByName(improved)
-        )
-        L.free(dist)
-        if frontier is not dist:
-            L.free(frontier)
-        dist, frontier = new_dist, improved
-    L.free(e)
-    if frontier is not dist:
-        L.free(frontier)
-    return dist
+            agg = L.lazy_checkpoint(
+                dist.select("node", F.col("dist").alias("d"), F.lit(0).alias("new"))
+                .unionByName(relaxed)
+                .groupBy("node")
+                .agg(
+                    F.min(F.when(F.col("new") == 0, F.col("d"))).alias("old"),
+                    F.min("d").alias("dist"),
+                )
+            )
+            improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            n = agg.agg(F.sum(F.when(improved, 1)).alias("n")).first()["n"] or 0
+            if n == 0:
+                L.free(agg)
+                break
+            L.free(owner)  # agg is materialized; the state it read is dead
+            owner = agg
+            dist = agg.select("node", "dist")
+            frontier = agg.where(improved).select("node", "dist")
+        L.free(e)
+    return L.adopt(dist.select("node", "dist"), owner)
 
 
 def multi_sssp(
@@ -273,16 +308,16 @@ def multi_sssp(
     if stats is not None:
         stats["rounds"] = 0
     extra = [dir_col] if dir_col else []
-    e = L.checkpoint(edges.select("src", "dst", "weight", *extra))
+    e0 = L.checkpoint(edges.select("src", "dst", "weight", *extra))
     small = (
         None
         if (max_iter is not None or max_rounds is not None)
-        else _local_small_graph(e, seeds.select("node").dropDuplicates())
+        else _local_small_graph(e0, seeds.select("node").dropDuplicates())
     )
     if small is not None:
         edge_rows = small[0]
         seed_rows = seeds.select("node", "seed", *extra).collect()
-        L.free(e)
+        L.free(e0)
         rows = []
         groups = sorted(
             {(r["seed"], *(r[c] for c in extra)) for r in seed_rows}
@@ -318,52 +353,58 @@ def multi_sssp(
         )
         return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
     key = ["node", "seed", *extra]
-    dist = L.checkpoint(
-        seeds.select(
-            F.col("node").cast("long"), F.col("seed").cast("long"), *extra,
-            F.lit(0.0).alias("dist"),
-        ).dropDuplicates(key)
-    )
-    frontier = dist
-    rounds = 0
-    for _ in fixpoint_rounds(max_iter, "multi_sssp"):
-        if max_rounds is not None and rounds >= max_rounds:
-            break
-        rounds += 1
-        cond = frontier["node"] == e["src"]
-        for c in extra:
-            cond = cond & (frontier[c] == e[c])
-        cand = (
-            frontier.join(e, cond)
-            .select(
+    parts = max(4, e0.rdd.getNumPartitions())
+    with L.loop_exec(edges.sparkSession, parts):
+        e = L.checkpoint(
+            e0.repartition(parts, "src", *extra)
+            .sortWithinPartitions("src", *extra)
+        )
+        L.free(e0)
+        owner = L.checkpoint(
+            seeds.select(
+                F.col("node").cast("long"), F.col("seed").cast("long"), *extra,
+                F.lit(0.0).alias("dist"),
+            ).dropDuplicates(key)
+        )
+        dist = frontier = owner
+        # single-shuffle round keyed on the composite (node, seed[, tag])
+        # state key — see sssp() for the shape
+        rounds = 0
+        for _ in fixpoint_rounds(max_iter, "multi_sssp"):
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            rounds += 1
+            cond = frontier["node"] == e["src"]
+            for c in extra:
+                cond = cond & (frontier[c] == e[c])
+            relaxed = frontier.join(e, cond).select(
                 e["dst"].alias("node"), frontier["seed"].alias("seed"),
                 *[frontier[c].alias(c) for c in extra],
-                (frontier["dist"] + e["weight"]).alias("nd"),
+                (frontier["dist"] + e["weight"]).alias("d"),
+                F.lit(1).alias("new"),
             )
-            .groupBy(*key)
-            .agg(F.min("nd").alias("nd"))
-        )
-        joined = cand.join(dist, key, "left_outer")
-        improved = L.checkpoint(
-            joined.where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-            .select(*key, F.col("nd").alias("dist"))
-        )
-        if improved.isEmpty():
-            L.free(improved)
-            break
-        new_dist = L.checkpoint(
-            dist.join(improved.select(*key), key, "left_anti").unionByName(improved)
-        )
-        L.free(dist)
-        if frontier is not dist:
-            L.free(frontier)
-        dist, frontier = new_dist, improved
-    L.free(e)
-    if frontier is not dist:
-        L.free(frontier)
+            agg = L.lazy_checkpoint(
+                dist.select(*key, F.col("dist").alias("d"), F.lit(0).alias("new"))
+                .unionByName(relaxed)
+                .groupBy(*key)
+                .agg(
+                    F.min(F.when(F.col("new") == 0, F.col("d"))).alias("old"),
+                    F.min("d").alias("dist"),
+                )
+            )
+            improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
+            n = agg.agg(F.sum(F.when(improved, 1)).alias("n")).first()["n"] or 0
+            if n == 0:
+                L.free(agg)
+                break
+            L.free(owner)
+            owner = agg
+            dist = agg.select(*key, "dist")
+            frontier = agg.where(improved).select(*key, "dist")
+        L.free(e)
     if stats is not None:
         stats["rounds"] = rounds
-    return dist
+    return L.adopt(dist.select(*key, "dist"), owner)
 
 
 def connected_components(
@@ -433,58 +474,60 @@ def connected_components(
         return _values_df(
             edges.sparkSession, rows, "node", "component", val_type="bigint"
         )
-    nodes = L.checkpoint(sym.select(F.col("src").alias("node")).dropDuplicates())
-    E = L.checkpoint(
-        sym.where(F.col("src") < F.col("dst")).select(
-            F.col("src").alias("u"), F.col("dst").alias("v")
+    parts = max(4, sym.rdd.getNumPartitions())
+    with L.loop_exec(edges.sparkSession, parts):
+        nodes = L.checkpoint(sym.select(F.col("src").alias("node")).dropDuplicates())
+        E, n_edges = L.checkpoint_count(
+            sym.where(F.col("src") < F.col("dst")).select(
+                F.col("src").alias("u"), F.col("dst").alias("v")
+            )
         )
-    )
-    L.free(sym)
-    n_edges = E.count()
-    rounds = 0
-    for _ in fixpoint_rounds(max_iter, "connected_components"):
-        if max_rounds is not None and rounds >= max_rounds:
-            break
-        rounds += 1
-        # -- large-star: every node connects its LARGER neighbors to
-        # the minimum of its closed neighborhood
-        s = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        large = (
-            s.where(F.col("v") > F.col("u"))
-            .join(m, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .dropDuplicates()
-        )
-        # -- small-star: orient (larger → smaller); every node connects
-        # its smaller neighbors (and itself) to the neighborhood min
-        o = large.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        m2 = o.groupBy("u").agg(F.min("v").alias("m"))
-        ne = L.checkpoint(
-            o.join(m2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(m2.select("u", F.col("m").alias("v")))
-            .where(F.col("u") != F.col("v"))
-            .dropDuplicates()
-        )
-        n_new = ne.count()
-        converged = n_new == n_edges and ne.join(E, ["u", "v"], "left_anti").isEmpty()
-        L.free(E)
-        E, n_edges = ne, n_new
-        if converged:
-            break
-    if stats is not None:
-        stats["rounds"] = rounds
-    labels = nodes.join(
-        E.select(F.col("u").alias("node"), F.col("v").alias("component")),
-        "node",
-        "left_outer",
-    ).select("node", F.coalesce("component", "node").alias("component"))
-    out = L.checkpoint(labels)
-    L.free(E, nodes)
+        L.free(sym)
+        rounds = 0
+        for _ in fixpoint_rounds(max_iter, "connected_components"):
+            if max_rounds is not None and rounds >= max_rounds:
+                break
+            rounds += 1
+            # -- large-star: every node connects its LARGER neighbors to
+            # the minimum of its closed neighborhood
+            s = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+            large = (
+                s.where(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates()
+            )
+            # -- small-star: orient (larger → smaller); every node connects
+            # its smaller neighbors (and itself) to the neighborhood min
+            o = large.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            m2 = o.groupBy("u").agg(F.min("v").alias("m"))
+            ne, n_new = L.checkpoint_count(
+                o.join(m2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .unionByName(m2.select("u", F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates()
+            )
+            # the anti-join convergence probe is one extra job, but only
+            # on rounds where the edge count stopped changing (≈ last)
+            converged = n_new == n_edges and ne.join(E, ["u", "v"], "left_anti").isEmpty()
+            L.free(E)
+            E, n_edges = ne, n_new
+            if converged:
+                break
+        if stats is not None:
+            stats["rounds"] = rounds
+        labels = nodes.join(
+            E.select(F.col("u").alias("node"), F.col("v").alias("component")),
+            "node",
+            "left_outer",
+        ).select("node", F.coalesce("component", "node").alias("component"))
+        out = L.checkpoint(labels)
+        L.free(E, nodes)
     return out
 
 
@@ -533,30 +576,47 @@ def pagerank(
             edges.sparkSession, sorted(rank.items()), "node", "rank",
             val_type="double",
         )
-    nodes = L.checkpoint(
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .dropDuplicates()
-    )
-    outdeg = L.checkpoint(e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-    ranks = nodes.withColumn("rank", F.lit(1.0))
-    for _ in range(iters):
-        contribs = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
-            .join(e, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
+    parts = max(4, e.rdd.getNumPartitions())
+    with L.loop_exec(edges.sparkSession, parts):
+        ep = L.checkpoint(
+            e.repartition(parts, "src").sortWithinPartitions("src")
         )
-        new_ranks = L.checkpoint(
-            nodes.join(contribs, "node", "left_outer").select(
-                "node",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+        L.free(e)
+        nodes = L.checkpoint(
+            ep.select(F.col("src").alias("node"))
+            .unionByName(ep.select(F.col("dst").alias("node")))
+            .dropDuplicates()
+        )
+        outdeg = L.checkpoint(ep.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+        ranks = nodes.withColumn("rank", F.lit(1.0))
+        # Lazy checkpoints chained across iterations, with one explicit
+        # materializing action every few rounds: the count() finalizes
+        # the whole pending chain's blocks in one job, after which the
+        # chain's predecessors are releasable.  Freeing a lazy
+        # checkpoint's inputs BEFORE an action has materialized it
+        # would make it uncomputable — hence the pending list.
+        pend: list = []
+        for i in range(iters):
+            contribs = (
+                ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
+                .join(ep, "src")
+                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("inflow"))
             )
-        )
-        L.free(ranks)  # no-op on the first (un-checkpointed) ranks
-        ranks = new_ranks
-    L.free(e, nodes, outdeg)
+            new_ranks = L.lazy_checkpoint(
+                nodes.join(contribs, "node", "left_outer").select(
+                    "node",
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+                )
+            )
+            pend.append(ranks)  # first (un-checkpointed) ranks: free no-ops
+            ranks = new_ranks
+            if len(pend) >= 4 or i == iters - 1:
+                ranks.count()
+                L.free(*pend)
+                pend = []
+        L.free(ep, nodes, outdeg)
     return ranks
 
 
@@ -624,16 +684,18 @@ def fuzzy_sssp(
 
     fst = {} if stats is None else stats
     s1 = {}
-    fused = L.checkpoint(multi_sssp(
+    # fwd/bwd are plain filters over the fused fixpoint's checkpointed
+    # state — re-checkpointing each copy (3 eager jobs) bought nothing:
+    # every consumer below reads the same blocks through the filter
+    fused = multi_sssp(
         e.withColumn("dir", F.lit(0)).unionByName(
             rev.withColumn("dir", F.lit(1))
         ),
         seed_frame(sources, 0).unionByName(seed_frame(targets, 1)),
         max_iter=max_iter, max_rounds=max_rounds, stats=s1, dir_col="dir",
-    ))
-    fwd = L.checkpoint(fused.where(F.col("dir") == 0).drop("dir"))
-    bwd = L.checkpoint(fused.where(F.col("dir") == 1).drop("dir"))
-    L.free(fused)
+    )
+    fwd = fused.where(F.col("dir") == 0).drop("dir")
+    bwd = fused.where(F.col("dir") == 1).drop("dir")
     fst["rounds"] = s1.get("rounds")
     fst["fwd_rounds"] = fst["bwd_rounds"] = s1.get("rounds")
     # source→target distances: |S|·|T| bounded rows (the
@@ -646,7 +708,7 @@ def fuzzy_sssp(
             for t in targets:
                 reach[(int(s), int(t))] = d_st.get((int(s), int(t)))
     if not d_st:  # no target reachable from any source
-        L.free(fwd, bwd)
+        L.free(fused)
         return _values_df(spark, [], "node", "depth", val_type="int")
     pvals = ",".join(
         f"(CAST({int(s)} AS BIGINT), CAST({int(t)} AS BIGINT),"
@@ -668,7 +730,7 @@ def fuzzy_sssp(
         .select("node")
         .dropDuplicates()
     )
-    L.free(fwd, bwd)
+    L.free(fused)
     band = bfs(edges, sp, max_iter=max_iter, max_rounds=max_rounds)
     L.free(sp)
     # stop at the end of the layer that reaches n visited vertices:

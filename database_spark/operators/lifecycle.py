@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import os
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -143,6 +144,126 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
             out = df.localCheckpoint(eager=eager)
             setattr(out, _ATTR, _ids(sc) - before)
     return out
+
+
+def checkpoint_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Checkpoint + materialize + count with ONE action.
+
+    Every fixpoint round needs its delta both persisted (lineage
+    truncation) and sized (convergence test).  Doing those as separate
+    actions — eager checkpoint, then ``isEmpty()``/``count()`` — pays
+    one extra scheduler barrier per round, and at local[*] the per-job
+    driver latency dominates iterative operators outright (guide §1
+    measurement: the GAS family is ~100% driver-side wall).  Here the
+    checkpoint is LAZY and ``count()`` is the materializing action, so
+    blocks are finalized and the size comes back from the same job.
+
+    Reliable backend: :func:`checkpoint` forces an eager ``df.checkpoint()``
+    regardless of ``eager`` (ownership attribution needs the files
+    written inside the lock), so the count is a second, cheap job over
+    the checkpoint files — durability's price, paid only in the opt-in
+    cluster mode."""
+    out = checkpoint(df, eager=False)
+    return out, out.count()
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """Checkpoint whose materialization is deferred to the FIRST action
+    that reads it (typically the next fixpoint round's
+    :func:`checkpoint_count` job, which fuses the parent state's
+    finalization into the round it already runs).  The caller must not
+    :func:`free` the inputs this plan reads until it has provably been
+    materialized — see the pending-free pattern in the fixpoint loops."""
+    return checkpoint(df, eager=False)
+
+
+@contextmanager
+def loop_exec(spark, partitions: int | None = None):
+    """Execution profile for driver-side fixpoint loops: AQE off and a
+    DATA-derived static shuffle-partition count for the loop's rounds.
+
+    Why (guide §1/§2, measured r12): with AQE on, every round's small
+    query materializes 3-6 adaptive stage-jobs, and their scheduler +
+    Py4J barriers dominate iterative operators — a 7-round BFS spent
+    0.95 s in 34 jobs inside a 3.2 s wall.  A fixpoint loop re-plans
+    every round anyway, so runtime re-optimization buys nothing; with
+    a static plan each round executes as ONE job (the convergence-count
+    action), which measured 0.6x the AQE wall on the same rounds.
+
+    Skew safety inside loops comes from shape, not AQE: the per-round
+    aggregates are min/sum (map-side partial aggregation absorbs hot
+    keys before the exchange), and edge relations are pre-partitioned
+    and pre-sorted by their join key ONCE so rounds never re-shuffle
+    them.  ``partitions`` must come from the operator's input
+    partitioning (e.g. the AQE-sized checkpoint of the edge set: a
+    bench graph gets a handful, a 100 TB edge set keeps its thousands)
+    — NEVER from the local core count.  Set ``SPARK_GRAFT_LOOP_AQE=1``
+    to keep AQE inside loops (escape hatch for frontiers too large to
+    broadcast over heavily skewed clusters).
+
+    Conf changes are session-visible while the loop runs (documented
+    trade: a concurrent query planned in that window gets a static
+    plan too — still correct, possibly less adaptive)."""
+    if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "1":
+        yield
+        return
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    if partitions:
+        conf.set("spark.sql.shuffle.partitions", str(max(4, int(partitions))))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+#: append-only fixpoint state (BFS visited, closure totals) is kept as
+#: a lazy union of per-round layer checkpoints; past this many layers
+#: the head is merged into ONE checkpoint so the union plan stays
+#: bounded and (reliable backend) the rdd-* dir count stays constant
+COMPACT_LAYERS = 8
+
+
+def compact_layers(layers: list) -> list:
+    """Bound a fixpoint loop's layer list: merge all but the last
+    layer (the live frontier, which the next round still probes on its
+    own) into one eager checkpoint and free the merged pieces.  One
+    extra job every COMPACT_LAYERS rounds buys O(1) plan size and
+    checkpoint-artifact count for arbitrarily long fixpoints."""
+    if len(layers) <= COMPACT_LAYERS:
+        return layers
+    head = layers[:-1]
+    merged = head[0]
+    for l in head[1:]:
+        merged = merged.unionByName(l)
+    out = checkpoint(merged)  # eager: inputs freeable immediately after
+    free(*head)
+    return [out, layers[-1]]
+
+
+def adopt(df: DataFrame, *owners) -> DataFrame:
+    """Transfer checkpoint-block/file ownership from ``owners`` onto
+    ``df`` — for results assembled LAZILY from checkpointed pieces
+    (e.g. a BFS result that is a union of per-round layer checkpoints).
+    After this, ``free(df)`` releases every piece exactly as if ``df``
+    itself had been checkpointed; the former owners own nothing."""
+    ids: set[int] = set(getattr(df, _ATTR, ()))
+    files: set[str] = set(getattr(df, _FATTR, ()))
+    for o in owners:
+        if o is None or o is df:
+            continue
+        ids |= getattr(o, _ATTR, set())
+        files |= getattr(o, _FATTR, set())
+        if hasattr(o, _ATTR):
+            setattr(o, _ATTR, set())
+        if hasattr(o, _FATTR):
+            setattr(o, _FATTR, set())
+    setattr(df, _ATTR, ids)
+    setattr(df, _FATTR, files)
+    return df
 
 
 def free(*dfs) -> None:

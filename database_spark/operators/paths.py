@@ -73,66 +73,72 @@ def transitive_closure(
     gcols = [gcol, gcol + "__id"] if gcol else []
     cols = [a, a + "__id", b, b + "__id"] + gcols
     join_keys = ["__mid"] + ([gcol + "__id"] if gcol else [])
-    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b, gcol))
     if strategy == "doubling":
-        total = step
-        size = total.count()
-        for _ in fixpoint_rounds(max_iter, "transitive_closure(doubling)"):
-            right_cols = [
-                F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
-            ] + ([F.col(gcol + "__id")] if gcol else [])
-            right = total.select(*right_cols)
-            left_cols = [
-                F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
-            ] + [F.col(c) for c in gcols]
-            grown = (
-                total.select(*left_cols)
-                .join(right, join_keys)
-                .select(*cols)
-            )
-            new_total = L.checkpoint(_dedupe(total.unionByName(grown), a, b, gcol))
-            new_size = new_total.count()
-            L.free(total)  # round k's pairs are a subset of round k+1's
-            total = new_total
-            if new_size == size:
-                break
-            size = new_size
+        # one action per round: checkpoint_count materializes the round's
+        # closure AND returns the convergence size from the same job
+        total, size = L.checkpoint_count(_dedupe(pairs.select(*cols), a, b, gcol))
+        step = total
+        with L.loop_exec(spark, max(4, total.rdd.getNumPartitions())):
+            for _ in fixpoint_rounds(max_iter, "transitive_closure(doubling)"):
+                right_cols = [
+                    F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
+                ] + ([F.col(gcol + "__id")] if gcol else [])
+                right = total.select(*right_cols)
+                left_cols = [
+                    F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
+                ] + [F.col(c) for c in gcols]
+                grown = (
+                    total.select(*left_cols)
+                    .join(right, join_keys)
+                    .select(*cols)
+                )
+                new_total, new_size = L.checkpoint_count(
+                    _dedupe(total.unionByName(grown), a, b, gcol)
+                )
+                L.free(total)  # round k's pairs ⊆ round k+1's
+                total = new_total
+                if new_size == size:
+                    break
+                size = new_size
         return total
-    total = step
+    step = L.checkpoint(_dedupe(pairs.select(*cols), a, b, gcol))
+    # semi-naive: the total is a LAZY union of the step and the per-round
+    # delta checkpoints (flat lineage, no per-round O(closure) union
+    # re-materialization); each round runs exactly one action — the
+    # delta's checkpoint_count job.
+    layers = [step]
     delta = step
     step_right_cols = [
         F.col(a + "__id").alias("__mid"), F.col(b), F.col(b + "__id")
     ] + ([F.col(gcol + "__id")] if gcol else [])
     step_right = step.select(*step_right_cols)
     anti_keys = [a + "__id", b + "__id"] + ([gcol + "__id"] if gcol else [])
-    for _ in fixpoint_rounds(max_iter, "transitive_closure(seminaive)"):
-        delta_cols = [
-            F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
-        ] + [F.col(c) for c in gcols]
-        grown = (
-            delta.select(*delta_cols)
-            .join(step_right, join_keys)
-            .select(*cols)
-        )
-        new_delta = L.checkpoint(
-            _dedupe(grown, a, b, gcol).join(
-                total.select(*anti_keys), anti_keys, "left_anti"
+    with L.loop_exec(spark, max(4, step.rdd.getNumPartitions())):
+        for _ in fixpoint_rounds(max_iter, "transitive_closure(seminaive)"):
+            delta_cols = [
+                F.col(a), F.col(a + "__id"), F.col(b + "__id").alias("__mid")
+            ] + [F.col(c) for c in gcols]
+            grown = (
+                delta.select(*delta_cols)
+                .join(step_right, join_keys)
+                .select(*cols)
             )
-        )
-        if new_delta.isEmpty():
-            L.free(new_delta)
-            if delta is not total and delta is not step:
-                L.free(delta)
-            break
-        new_total = L.checkpoint(total.unionByName(new_delta))
-        if total is not step:
-            L.free(total)
-        if delta is not step and delta is not total:
-            L.free(delta)
-        total, delta = new_total, new_delta
-    if step is not total:
-        L.free(step)  # step pairs are contained in the returned closure
-    return total
+            total_keys = layers[0].select(*anti_keys)
+            for l in layers[1:]:
+                total_keys = total_keys.unionByName(l.select(*anti_keys))
+            new_delta, n = L.checkpoint_count(
+                _dedupe(grown, a, b, gcol).join(total_keys, anti_keys, "left_anti")
+            )
+            if n == 0:
+                L.free(new_delta)
+                break
+            layers.append(new_delta)
+            layers = L.compact_layers(layers)
+            delta = new_delta
+    total = layers[0]
+    for l in layers[1:]:
+        total = total.unionByName(l)
+    return L.adopt(total, *layers)
 
 
 def reachable_pairs(
@@ -171,7 +177,9 @@ def reachable_pairs(
     step = L.checkpoint(_dedupe(pairs.select(*cols), a, b, gcol))
     seed_id = T.term_id(seed)
     fkeys = ["n__id"] + ([gcol + "__id"] if gcol else [])
-    frontier = L.checkpoint(
+    # BFS with the reached set as a lazy union of per-round layer
+    # checkpoints — one checkpoint_count action per round (see bfs()).
+    frontier, n = L.checkpoint_count(
         step.where(F.col(a + "__id") == seed_id)
         .select(
             F.col(b).alias("n"), F.col(b + "__id").alias("n__id"),
@@ -179,37 +187,46 @@ def reachable_pairs(
         )
         .dropDuplicates(fkeys)
     )
-    reached = frontier
-    step_fwd = step.select(
-        F.col(a + "__id").alias("n__id"), F.col(b).alias("m"), F.col(b + "__id").alias("m__id"),
-        *([F.col(gcol + "__id")] if gcol else []),
-    )
-    for _ in fixpoint_rounds(max_iter, "reachable_pairs"):
-        if frontier.isEmpty():
-            break
-        grown = (
-            frontier.select(*fkeys, *([gcol] if gcol else []))
-            .join(step_fwd, fkeys)
-            .select(
-                F.col("m").alias("n"), F.col("m__id").alias("n__id"),
-                *[F.col(c) for c in gcols],
+    layers = [frontier]
+    with L.loop_exec(spark, max(4, step.rdd.getNumPartitions())):
+        step_fwd = L.checkpoint(
+            step.select(
+                F.col(a + "__id").alias("n__id"), F.col(b).alias("m"),
+                F.col(b + "__id").alias("m__id"),
+                *([F.col(gcol + "__id")] if gcol else []),
             )
-            .dropDuplicates(fkeys)
+            .repartition(max(4, step.rdd.getNumPartitions()), *fkeys)
+            .sortWithinPartitions(*fkeys)
         )
-        new_frontier = L.checkpoint(
-            grown.join(reached.select(*fkeys), fkeys, "left_anti")
-        )
-        if new_frontier.isEmpty():
-            L.free(new_frontier)
-            break
-        new_reached = L.checkpoint(reached.unionByName(new_frontier))
-        L.free(reached)
-        if frontier is not reached:
-            L.free(frontier)
-        reached, frontier = new_reached, new_frontier
-    L.free(step)
-    if frontier is not reached:
-        L.free(frontier)
+        for _ in fixpoint_rounds(max_iter, "reachable_pairs"):
+            if n == 0:
+                break
+            grown = (
+                frontier.select(*fkeys, *([gcol] if gcol else []))
+                .join(step_fwd, fkeys)
+                .select(
+                    F.col("m").alias("n"), F.col("m__id").alias("n__id"),
+                    *[F.col(c) for c in gcols],
+                )
+                .dropDuplicates(fkeys)
+            )
+            reached_keys = layers[0].select(*fkeys)
+            for l in layers[1:]:
+                reached_keys = reached_keys.unionByName(l.select(*fkeys))
+            new_frontier, n = L.checkpoint_count(
+                grown.join(reached_keys, fkeys, "left_anti")
+            )
+            if n == 0:
+                L.free(new_frontier)
+                break
+            layers.append(new_frontier)
+            layers = L.compact_layers(layers)
+            frontier = new_frontier
+        L.free(step, step_fwd)
+    reached = layers[0]
+    for l in layers[1:]:
+        reached = reached.unionByName(l)
+    reached = L.adopt(reached, *layers)
     return reached.select(
         seed.alias(a),
         T.term_id(seed).alias(a + "__id"),

@@ -105,10 +105,12 @@ def test_bfs_identical_across_backends(spark, reliable_dir):
     got = sorted(
         tuple(r) for r in bfs(edges, seeds, max_iter=100).collect()
     )
-    # per-round checkpoints are freed as rounds rotate; only the
-    # RESULT's final checkpoint may remain until the caller sweeps
-    assert len(_rdd_dirs(reliable_dir)) <= 2, (
-        "fixpoint rounds must free their per-round reliable checkpoints"
+    # the result owns its per-round layer checkpoints (lazy-union
+    # design, r12): the artifact count must stay BOUNDED by the layer
+    # compaction constant regardless of round count — a 45-round BFS
+    # may leave at most COMPACT_LAYERS+1 layer dirs plus the seed's
+    assert len(_rdd_dirs(reliable_dir)) <= L.COMPACT_LAYERS + 2, (
+        "fixpoint layer compaction must bound reliable checkpoint dirs"
     )
     L.sweep(spark)
     assert _rdd_dirs(reliable_dir) == set()
