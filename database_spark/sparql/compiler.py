@@ -752,6 +752,45 @@ class Compiler:
             mu |= right.maybe_unbound | (right.vars - left.vars)
         return Sol(joined.select(*sel), out_vars, mu & out_vars)
 
+    #: a compat-join side Catalyst statically bounds at or below this
+    #: many rows recomputes cheaper than it materializes — skip the
+    #: shared-side checkpoint for it
+    _COMPAT_SHARED_MAX_STATIC_ROWS = 100_000
+
+    def _materialize_shared(self, df: DataFrame) -> DataFrame:
+        """Materialize a plan fragment that 2+ compat-join branches
+        re-execute (Catalyst has no cross-branch common-subplan
+        elimination — guide §3.3: materialising an intermediate
+        truncates the plan), so the fragment's joins run once instead
+        of once per branch and the union plan the optimizer sees
+        shrinks by branches× copies.
+
+        Skipped — returning the frame untouched — when recompute is
+        provably cheap: (1) Catalyst statically bounds the rows small
+        (LocalRelation-backed probe shapes must stay zero-job at
+        compile, and tiny frames recompute faster than they
+        checkpoint); (2) the fragment is scan-shaped (no join /
+        aggregate / window / generate nodes): re-reading a pruned
+        parquet scan per branch costs no duplicated transform work,
+        and keeping it lazy preserves pushdown evidence in the final
+        plan."""
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            mr = plan.maxRows()
+            if mr.isDefined() and int(mr.get()) <= self._COMPAT_SHARED_MAX_STATIC_ROWS:
+                return df
+            heavy = ("Join", "Aggregate", "Window", "Generate", "Expand")
+            if not any(
+                line.lstrip(" :+-").startswith(heavy)
+                for line in plan.toString().splitlines()
+            ):
+                return df
+        except Exception:  # noqa: BLE001 — py4j surface; default to materializing
+            pass
+        from ..operators import lifecycle as L
+
+        return L.checkpoint(df)
+
     def _compat_join_union(
         self,
         left: Sol,
@@ -795,9 +834,15 @@ class Compiler:
                 for lf, rf, cs in branches
                 for clf, crf, ccs in cases
             ]
+        left_src = left.df
+        if len(branches) > 1:
+            # every branch re-executes both side plans; materialize the
+            # heavy ones once (see _materialize_shared)
+            left_src = self._materialize_shared(left.df)
+            rdf = self._materialize_shared(rdf)
         out = None
         for lfs, rfs, cs in branches:
-            ldf = left.df
+            ldf = left_src
             for f in lfs:
                 ldf = ldf.where(f)
             rd = rdf
@@ -1170,10 +1215,14 @@ class Compiler:
         the last OR-condition shape from round-4 verdict #2.  Duplicate
         left tuples behave identically under SPARQL bag semantics, so
         anti-joining on the full binding tuple extends each instance of
-        an unmatched tuple exactly once.  Cost: J's lineage is computed
-        twice (output + projection) — acceptable for this rare shape.
+        an unmatched tuple exactly once.  J is consumed twice (output +
+        the matched-tuple projection), so it is materialized once via
+        _materialize_shared instead of re-executing its whole branch
+        union per consumer.
         Reference semantics: JVMHashJoinUtility optional-join path."""
-        inner = self._compat_inner(left, right, rdf, mu_vars, base_conds)
+        inner = self._materialize_shared(
+            self._compat_inner(left, right, rdf, mu_vars, base_conds)
+        )
         lcols = list(left.df.columns)
         matched = inner.select(*lcols).dropDuplicates(
             [c for c in lcols if c.endswith("__id")]
