@@ -2063,7 +2063,18 @@ def q_corpus_funnel(spark, sf_dir):
     from database_spark.pipeline import text as TX
     from database_spark.pipeline.dedup import duplicate_spans
 
-    d = _spread(_read(spark, sf_dir, "documents"))
+    d0 = _read(spark, sf_dir, "documents")
+    d = _spread(d0)
+    if d is not d0:
+        # the spread only fires when the corpus scan is cluster-narrow
+        # (small input): materialize the repartitioned copy ONCE so the
+        # funnel's three text passes (repetition, span-dedup, flags)
+        # read blocks instead of re-scanning and re-shuffling the text
+        # three times.  At scale the spread is a no-op and the three
+        # passes stream the parquet scan as before.
+        from database_spark.operators import lifecycle as L
+
+        d = L.checkpoint(d)
     rep = TX.repetition_stats(d, "text", "doc_id").select(
         "doc_id", "top_bigram_frac"
     )

@@ -80,6 +80,9 @@ def ngram_jaccard_pairs(
     are counted after the filter, so the ratio stays consistent instead
     of being biased low.  Returns (id_a, id_b, jaccard).
     """
+    from . import spread_narrow
+
+    df = spread_narrow(df)  # shingle explosion parallelism (no-op at scale)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
     )
@@ -152,6 +155,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, i).  One explode + one groupBy; JVM-side only."""
+    from . import spread_narrow
+
+    df = spread_narrow(df)  # shingle explosion needs the whole cluster
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
@@ -276,9 +282,12 @@ def _simhash_signatures(
     arithmetic; empty-token docs get signature 0)."""
     from database_spark.pipeline.text import tokens
 
+    from . import spread_narrow
+
     if token_hash is None:
         token_hash = lambda t: F.xxhash64(t)  # noqa: E731
     spark = df.sparkSession
+    df = spread_narrow(df)  # tokenization + bit explosion parallelism
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),

@@ -114,7 +114,9 @@ def kmeans_assign(
     assignment, regardless of partitioning, so a chained-CTE SQL
     oracle reproduces it bit-for-bit.
     """
-    base = _quantized(df, id_col, vec_col, scale).persist()
+    from . import spread_narrow
+
+    base = _quantized(spread_narrow(df), id_col, vec_col, scale).persist()
     seeds = sorted(
         base.orderBy("__id").limit(k).collect(), key=lambda r: r["__id"]
     )
@@ -127,28 +129,35 @@ def kmeans_assign(
     dim = len(seeds[0]["__vi"])
     cents = [[v / float(scale) for v in r["__vi"]] for r in seeds]
     k = len(cents)  # fewer rows than k: every row is its own seed
-    for _ in range(iters):
-        assigned = _assign(base, cents, scale)
-        stats = (
-            assigned.select(
-                "__cell", F.posexplode("__vi").alias("__d", "__x")
+    from ..operators import lifecycle as L
+
+    # Lloyd is a driver-side fixpoint-style loop: each iteration's
+    # (cell, dim) stats collect is the only action, so run it under the
+    # static-plan loop profile (one job per iteration instead of the
+    # per-iteration AQE stage storm — see lifecycle.loop_exec)
+    with L.loop_exec(df.sparkSession, base.rdd.getNumPartitions()):
+        for _ in range(iters):
+            assigned = _assign(base, cents, scale)
+            stats = (
+                assigned.select(
+                    "__cell", F.posexplode("__vi").alias("__d", "__x")
+                )
+                .groupBy("__cell", "__d")
+                .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
             )
-            .groupBy("__cell", "__d")
-            .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        sums: dict[tuple[int, int], tuple[int, int]] = {
-            (r["__cell"], r["__d"]): (r["s"], r["n"]) for r in stats
-        }
-        cents = [
-            [
-                (float(sums[(j, d)][0]) / sums[(j, d)][1]) / float(scale)
-                for d in range(dim)
+            sums: dict[tuple[int, int], tuple[int, int]] = {
+                (r["__cell"], r["__d"]): (r["s"], r["n"]) for r in stats
+            }
+            cents = [
+                [
+                    (float(sums[(j, d)][0]) / sums[(j, d)][1]) / float(scale)
+                    for d in range(dim)
+                ]
+                if (j, 0) in sums
+                else cents[j]  # empty cell keeps its previous centroid
+                for j in range(k)
             ]
-            if (j, 0) in sums
-            else cents[j]  # empty cell keeps its previous centroid
-            for j in range(k)
-        ]
     out = _assign(base, cents, scale).select(
         F.col("__id").alias(id_col), F.col("__cell").alias("cell")
     )
