@@ -58,6 +58,14 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
+        # PySpark 4's DataFrame-context error enrichment wraps EVERY
+        # DataFrame API call with a Python stack walk plus two py4j
+        # round-trips (getActiveSession + a conf read) to record the
+        # user call site for error messages.  Measured r12: ~280
+        # wrapped calls per SPARQL compile at ~4.8 ms each — over half
+        # the driver-side compile wall of every query.  Errors still
+        # raise normally; they just omit the user-code line number.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
