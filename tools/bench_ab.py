@@ -35,6 +35,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R1_TAG = "dca8646"  # round 1: verdict/advice/correctness/bench
+# --base COMMIT overrides the A arm (e.g. a round's pre-optimization
+# HEAD) so within-round before/after ratios ride the same machine
+# window as the canonical r1 comparison does.
 
 
 def _median(xs):
@@ -84,15 +87,19 @@ def _run_arm(cwd: str, cache_dir: str, sf_dir: str) -> dict:
 def main() -> int:
     reps = 3
     out_path = os.path.join(REPO, "BENCH_AB.json")
+    base_tag = R1_TAG
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
+    if "--base" in sys.argv:
+        base_tag = sys.argv[sys.argv.index("--base") + 1]
+    globals()["R1_TAG"] = base_tag
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     r1_dir = _extract_r1()
     arms = {
-        "r1": (r1_dir, os.path.join(tempfile.gettempdir(), "spark_graft_ab_cache_r1")),
+        "r1": (r1_dir, os.path.join(tempfile.gettempdir(), f"spark_graft_ab_cache_{R1_TAG}")),
         "head": (REPO, os.path.join(tempfile.gettempdir(), "spark_graft_ab_cache_head")),
     }
     t_start = time.time()
