@@ -510,10 +510,6 @@ class Journal:
             if frac > self.INCR_COMPACT_MAX_FRACTION:
                 return False
 
-            # 1. clone every untouched bucket dir + the text index
-            self._clone_untouched_buckets(
-                base_dir, new_dir, "p_bucket", set(touched["p"])
-            )
             layouts = []
             if meta.get("s_buckets"):
                 layouts.append(("_s_index", "s_bucket", "s", store.s_df, ("s", "p", "o")))
@@ -521,13 +517,13 @@ class Journal:
                 layouts.append(("_o_index", "o_bucket", "o", store.o_df, ("o", "p", "s")))
             if meta.get("g_buckets"):
                 layouts.append(("_g_index", "g_bucket", "g", store.g_df, ("g", "s", "p", "o")))
-            for sub, bcol, key, _frame, _sort in layouts:
-                self._clone_untouched_buckets(
-                    f"{base_dir}/{sub}", f"{new_dir}/{sub}", bcol, set(touched[key])
-                )
-            self._clone_tree(f"{base_dir}/_text_index", f"{new_dir}/_text_index")
 
-            # 2. rewrite the touched buckets from the folded store
+            # clone untouched buckets + rewrite touched buckets, ONE
+            # task per layout, run CONCURRENTLY from a driver thread
+            # pool (r12 "not yet optimized" #5 / guide §2.6): the four
+            # layout rewrites read disjoint inputs and write disjoint
+            # directories, so running them sequentially serialized four
+            # independent Spark jobs plus their file-clone I/O.
             def write_touched(frame, bcol, touched_list, sort_cols, dst):
                 if not touched_list:
                     return
@@ -540,18 +536,39 @@ class Journal:
                     .parquet(dst)
                 )
 
-            write_touched(store.df, "p_bucket", touched["p"], ("p", "s", "o"), new_dir)
-            for sub, bcol, key, frame, sort_cols in layouts:
-                write_touched(frame, bcol, touched[key], sort_cols, f"{new_dir}/{sub}")
+            def _task_p():
+                self._clone_untouched_buckets(
+                    base_dir, new_dir, "p_bucket", set(touched["p"])
+                )
+                write_touched(
+                    store.df, "p_bucket", touched["p"], ("p", "s", "o"), new_dir
+                )
 
-            # 3. extend the text index with literals new since the base
-            add_parts = [
-                self.spark.read.parquet(dd).where(F.col("op") == 0).drop("op")
-                for dd in delta_dirs
-            ]
-            if added is not None:
-                add_parts.append(_with_ids(added))
-            if add_parts:
+            def _make_task(sub, bcol, key, frame, sort_cols):
+                def _task():
+                    self._clone_untouched_buckets(
+                        f"{base_dir}/{sub}", f"{new_dir}/{sub}", bcol,
+                        set(touched[key]),
+                    )
+                    write_touched(
+                        frame, bcol, touched[key], sort_cols, f"{new_dir}/{sub}"
+                    )
+                return _task
+
+            def _task_text():
+                # clone the base text index, then extend it with
+                # literals new since the base
+                self._clone_tree(
+                    f"{base_dir}/_text_index", f"{new_dir}/_text_index"
+                )
+                add_parts = [
+                    self.spark.read.parquet(dd).where(F.col("op") == 0).drop("op")
+                    for dd in delta_dirs
+                ]
+                if added is not None:
+                    add_parts.append(_with_ids(added))
+                if not add_parts:
+                    return
                 adds = add_parts[0]
                 for p in add_parts[1:]:
                     adds = adds.unionByName(p)
@@ -569,6 +586,15 @@ class Journal:
                     .write.mode("append")
                     .parquet(f"{new_dir}/_text_index")
                 )
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            tasks = [_task_p] + [
+                _make_task(*lay) for lay in layouts
+            ] + [_task_text]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(t) for t in tasks]:
+                    f.result()  # re-raise into the full-rewrite fallback
 
             out_meta = dict(meta)
             out_meta["has_named"] = has_named

@@ -177,6 +177,13 @@ def lazy_checkpoint(df: DataFrame) -> DataFrame:
     return checkpoint(df, eager=False)
 
 
+#: per-session loop_exec nesting state: id(spark) → {count, saved conf}.
+#: Guarded by _LOOP_LOCK so overlapping loops from concurrent threads
+#: save/restore the session conf exactly once (outermost wins).
+_LOOP_STATE: dict = {}
+_LOOP_LOCK = threading.Lock()
+
+
 @contextmanager
 def loop_exec(spark, partitions: int | None = None):
     """Execution profile for driver-side fixpoint loops: AQE off and a
@@ -203,21 +210,44 @@ def loop_exec(spark, partitions: int | None = None):
 
     Conf changes are session-visible while the loop runs (documented
     trade: a concurrent query planned in that window gets a static
-    plan too — still correct, possibly less adaptive)."""
+    plan too — still correct, possibly less adaptive).
+
+    Reentrant and thread-safe (r12 advice #1): overlapping loops —
+    nested on one thread, or concurrent server-handler threads — are
+    refcounted per session, so only the OUTERMOST enter saves the
+    pre-loop conf and only the outermost exit restores it.  The old
+    non-reentrant save/restore could interleave two loops so the last
+    exit restored the OTHER loop's 'false'/tiny-partition values,
+    permanently leaving the session with AQE off.  Partition counts
+    set by inner/concurrent loops still apply (last-set-wins while any
+    loop runs — each loop's rounds replan every iteration, so each
+    picks up its own setting on its next round)."""
     if os.environ.get("SPARK_GRAFT_LOOP_AQE") == "1":
         yield
         return
     conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    if partitions:
-        conf.set("spark.sql.shuffle.partitions", str(max(4, int(partitions))))
+    key = id(spark)
+    with _LOOP_LOCK:
+        st = _LOOP_STATE.get(key)
+        if st is None:
+            st = _LOOP_STATE[key] = {
+                "count": 0,
+                "aqe": conf.get("spark.sql.adaptive.enabled", "true"),
+                "parts": conf.get("spark.sql.shuffle.partitions"),
+            }
+        st["count"] += 1
+        conf.set("spark.sql.adaptive.enabled", "false")
+        if partitions:
+            conf.set("spark.sql.shuffle.partitions", str(max(4, int(partitions))))
     try:
         yield
     finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+        with _LOOP_LOCK:
+            st["count"] -= 1
+            if st["count"] <= 0:
+                conf.set("spark.sql.adaptive.enabled", st["aqe"])
+                conf.set("spark.sql.shuffle.partitions", st["parts"])
+                _LOOP_STATE.pop(key, None)
 
 
 #: append-only fixpoint state (BFS visited, closure totals) is kept as

@@ -107,6 +107,14 @@ class Compiler:
         #: new data — misses the cache, while the same engine
         #: recompiling the same query still hits it.
         self._cache_token = cache_token
+        #: checkpoints this compile created for shared compat-join
+        #: sides (``_materialize_shared``).  They are needed for as
+        #: long as the compiled result may be (re)executed; the engine
+        #: adopts them onto the returned result DataFrame (or frees
+        #: them right after eager consumption) so a long-lived session
+        #: can release them per query instead of leaking blocks until
+        #: ``lifecycle.sweep`` (r12 advice #2).
+        self._owned: list = []
         #: (sub_classes, sub_properties) IRI-closure maps for
         #: query-time backchained entailments (BackchainAccessPath):
         #: a bound class/predicate expands to the id-set of its
@@ -789,7 +797,9 @@ class Compiler:
             pass
         from ..operators import lifecycle as L
 
-        return L.checkpoint(df)
+        out = L.checkpoint(df)
+        self._owned.append(out)
+        return out
 
     def _compat_join_union(
         self,

@@ -472,7 +472,15 @@ class SparqlEngine:
         with self._hint_scope(q):
             sol = c.compile_select(q)
         order = getattr(sol, "projected_order", sorted(sol.vars))
-        return SelectResult(sol.df.select(*order), order)
+        df = sol.df.select(*order)
+        if c._owned:
+            # compile-time checkpoints (shared compat-join sides) ride
+            # the result: lifecycle.free(result.df) — or the session
+            # sweep — releases them once the result is consumed
+            from ..operators import lifecycle as L
+
+            L.adopt(df, *c._owned)
+        return SelectResult(df, order)
 
     def ask(self, text: str) -> bool:
         q = parse_query(text)
@@ -481,7 +489,12 @@ class SparqlEngine:
         c = self._compiler(dataset=q.dataset, hints=getattr(q, "hints", None))
         with self._hint_scope(q):
             sol = c.compile_group(q.where)
-        return bool(sol.df.limit(1).count())
+        result = bool(sol.df.limit(1).count())
+        if c._owned:
+            from ..operators import lifecycle as L
+
+            L.free(*c._owned)  # consumed eagerly: release compile ckpts
+        return result
 
     def construct(self, text: str) -> DataFrame:
         q = parse_query(text)
@@ -494,7 +507,12 @@ class SparqlEngine:
             sol = Sol(sol.df.offset(q.offset), sol.vars, sol.maybe_unbound)
         if q.limit is not None:
             sol = Sol(sol.df.limit(q.limit), sol.vars, sol.maybe_unbound)
-        return self._instantiate(sol, q.template)
+        out = self._instantiate(sol, q.template)
+        if c._owned:
+            from ..operators import lifecycle as L
+
+            L.adopt(out, *c._owned)
+        return out
 
     def _instantiate(self, sol: Sol, template: list, graph: T.Term | None = None) -> DataFrame:
         """Template instantiation (ASTConstructIterator): one select per
@@ -685,7 +703,12 @@ class SparqlEngine:
             return self._select(q)
         if isinstance(q, A.AskQuery):
             c = self._compiler()
-            return bool(c.compile_group(q.where).df.limit(1).count())
+            result = bool(c.compile_group(q.where).df.limit(1).count())
+            if c._owned:
+                from ..operators import lifecycle as L
+
+                L.free(*c._owned)
+            return result
         if isinstance(q, A.ConstructQuery):
             return self.construct(text)
         if isinstance(q, A.DescribeQuery):
@@ -1327,6 +1350,13 @@ class SparqlEngine:
                 c = self._compiler()
                 sol = c.compile_group(op.where, graph=g)
             sol = Sol(sol.df.localCheckpoint(), sol.vars, sol.maybe_unbound)
+            if c._owned:
+                # the localCheckpoint above materialized the WHERE
+                # solutions; the compile-time compat checkpoints they
+                # read are now dead
+                from ..operators import lifecycle as L
+
+                L.free(*c._owned)
             if op.delete_templates:
                 dels = self._instantiate(sol, op.delete_templates, g)
                 if track:

@@ -225,13 +225,27 @@ class TripleStore:
         the first layout write materializes lineage, persists the
         blocks, and writes parquet in one pass, so the large-store save
         costs one source pass instead of two.
+
+        After the first (p-layout) write has materialized the
+        checkpoint, the REMAINING artifacts — s/o/g layouts and the
+        text index — are written CONCURRENTLY from a small driver
+        thread pool (guide §2.6: actions are only sequential because
+        the driver calls them sequentially; each write's shuffle tail
+        leaves executors idle that the next write's scan can back-fill).
+        The writes are independent by construction: each reads only the
+        materialized checkpoint blocks and writes its own directory.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from .operators import lifecycle as L
 
         flat = L.checkpoint(self._flat(), eager=self._overlaps_source(path))
         try:
             meta = dict(extra_meta or {})
             if partition_by_predicate:
+                # first write runs alone: it materializes the (lazy)
+                # checkpoint exactly once; every later write reads the
+                # persisted blocks
                 (
                     flat.withColumn("p_bucket", F.pmod(F.col("p"), F.lit(buckets)))
                     .repartition("p_bucket")
@@ -241,24 +255,6 @@ class TripleStore:
                     .parquet(path)
                 )
                 meta["p_buckets"] = buckets
-                (
-                    flat.withColumn("s_bucket", F.pmod(F.col("s"), F.lit(buckets)))
-                    .repartition("s_bucket")
-                    .sortWithinPartitions("s", "p", "o")
-                    .write.mode("overwrite")
-                    .partitionBy("s_bucket")
-                    .parquet(path + "/_s_index")
-                )
-                meta["s_buckets"] = buckets
-                (
-                    flat.withColumn("o_bucket", F.pmod(F.col("o"), F.lit(buckets)))
-                    .repartition("o_bucket")
-                    .sortWithinPartitions("o", "p", "s")
-                    .write.mode("overwrite")
-                    .partitionBy("o_bucket")
-                    .parquet(path + "/_o_index")
-                )
-                meta["o_buckets"] = buckets
             else:
                 flat.sortWithinPartitions("p", "s", "o").write.mode(
                     "overwrite"
@@ -273,7 +269,28 @@ class TripleStore:
                     written.where(F.col("g").isNotNull()).limit(1).count()
                 )
             meta["has_named"] = self.has_named
-            if partition_by_predicate and self.has_named:
+
+            def _write_s():
+                (
+                    flat.withColumn("s_bucket", F.pmod(F.col("s"), F.lit(buckets)))
+                    .repartition("s_bucket")
+                    .sortWithinPartitions("s", "p", "o")
+                    .write.mode("overwrite")
+                    .partitionBy("s_bucket")
+                    .parquet(path + "/_s_index")
+                )
+
+            def _write_o():
+                (
+                    flat.withColumn("o_bucket", F.pmod(F.col("o"), F.lit(buckets)))
+                    .repartition("o_bucket")
+                    .sortWithinPartitions("o", "p", "s")
+                    .write.mode("overwrite")
+                    .partitionBy("o_bucket")
+                    .parquet(path + "/_o_index")
+                )
+
+            def _write_g():
                 # context-keyed layout for quad stores (the CSPO quad
                 # permutation, SPOKeyOrder.java:101-105): named rows
                 # only, so a GRAPH-bound scan prunes to one g_bucket
@@ -286,20 +303,35 @@ class TripleStore:
                     .partitionBy("g_bucket")
                     .parquet(path + "/_g_index")
                 )
-                meta["g_buckets"] = buckets
-            # full-text index built at load time, persisted beside the
-            # store (reference: BigdataValueCentricFullTextIndex is
-            # maintained on load, not scanned per query).  Underscore
-            # prefix keeps the subdir invisible to readers of `path`.
-            from .search.fulltext import _build_text_index
 
-            (
-                _build_text_index(flat)
-                .repartition(F.col("token"))
-                .sortWithinPartitions("token")
-                .write.mode("overwrite")
-                .parquet(path + "/_text_index")
-            )
+            def _write_text():
+                # full-text index built at load time, persisted beside
+                # the store (reference: BigdataValueCentricFullTextIndex
+                # is maintained on load, not scanned per query).
+                # Underscore prefix keeps the subdir invisible to
+                # readers of `path`.
+                from .search.fulltext import _build_text_index
+
+                (
+                    _build_text_index(flat)
+                    .repartition(F.col("token"))
+                    .sortWithinPartitions("token")
+                    .write.mode("overwrite")
+                    .parquet(path + "/_text_index")
+                )
+
+            jobs = [_write_text]
+            if partition_by_predicate:
+                jobs = [_write_s, _write_o] + jobs
+                meta["s_buckets"] = buckets
+                meta["o_buckets"] = buckets
+                if self.has_named:
+                    jobs.append(_write_g)
+                    meta["g_buckets"] = buckets
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [pool.submit(j) for j in jobs]
+                for f in futures:
+                    f.result()  # re-raise the first failure
             self._write_meta(path, meta)
         finally:
             L.free(flat)

@@ -134,6 +134,12 @@ def main() -> int:
     head_total = round(sum(v["head_median"] for v in per_entry.values()), 2)
     record = {
         "r1_commit": R1_TAG,
+        # provenance (r12 advice #4): the A arm is "r1" by KEY but may
+        # be any commit via --base; record the resolved commit and
+        # whether it is the true round-1 baseline, so archived records
+        # from overridden runs are self-describing
+        "base_commit": base_tag,
+        "base_is_round1": base_tag == "dca8646",
         "sf_dir": sf_dir,
         "reps": reps,
         "interleaving": "strict A/B per rep, one window",
