@@ -20,6 +20,8 @@ skew is split by AQE.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,6 +36,125 @@ from .iterate import fixpoint_rounds
 #: 100 TB path.
 SMALL_GRAPH_EDGES = 512
 SMALL_SEED_SET = 1024
+
+#: multi-round fusion for convergence-tested fixpoints (r12 verdict
+#: next-round #4): chain up to this many rounds of lazy checkpoints and
+#: materialize + convergence-test them with ONE action (a union of the
+#: per-round convergence aggregates), dividing the loop's driver/job
+#: barriers by the block size.  Fusion trades barriers for potentially
+#: WASTED rounds: quiescence is detected up to k-1 rounds late, and a
+#: post-quiescence round still shuffles the whole O(V) state — cheap on
+#: a small state, ruinous on a 100 TB one.  So fusion is DATA-GATED:
+#: it only engages while the measured state row count (returned by the
+#: previous block's own convergence aggregate, no extra job) is at or
+#: below GAS_FUSE_MAX_ROWS; above it the loop degrades to the exact
+#: one-action-per-round shape, whose convergence test is free.  The
+#: detected round count stays EXACT in both modes: the fused action
+#: returns per-round new-row counts, so quiescence is attributed to the
+#: precise round it happened in (stats["rounds"]/max_rounds semantics
+#: are bit-identical to the unfused loop).
+GAS_FUSE_ROUNDS = max(1, int(os.environ.get("SPARK_GRAFT_GAS_FUSE", "4")))
+GAS_FUSE_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GAS_FUSE_MAX_ROWS", str(4_000_000))
+)
+
+
+def _fused_fixpoint(
+    owner: DataFrame,
+    step,
+    advanced,
+    state_of,
+    frontier_of,
+    max_iter: int | None,
+    max_rounds: int | None,
+    label: str,
+    first_free: tuple = (),
+):
+    """Drive a convergence-tested fixpoint with data-adaptive round
+    fusion (see GAS_FUSE_ROUNDS).
+
+    ``owner``: the (lazily) checkpointed initial state; ``step(state,
+    frontier, round_no)`` builds round ``round_no``'s aggregate plan
+    (NOT yet checkpointed); ``advanced(agg)`` is the boolean Column
+    marking rows that advanced this round (its count is the
+    convergence test); ``state_of(agg)`` / ``frontier_of(agg, adv)``
+    project the next round's inputs.  ``first_free``: frames consumed
+    by round 1's plan that become releasable once the first block
+    materializes (e.g. the pre-shuffle edge checkpoint).
+
+    Returns ``(owner, rounds)`` where ``owner`` is the final
+    checkpointed state (convergence-quiescent, value-identical to the
+    unfused loop's final state) and ``rounds`` the exact round count
+    including the quiescence-detection round — the same accounting as
+    the one-action-per-round loop."""
+    rounds = 0
+    state = frontier = owner
+    it = fixpoint_rounds(max_iter, label)
+    pend = [f for f in first_free if f is not None]
+    state_rows = None
+    while True:
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+        k = (
+            GAS_FUSE_ROUNDS
+            if state_rows is not None and state_rows <= GAS_FUSE_MAX_ROWS
+            else 1
+        )
+        if max_rounds is not None:
+            k = min(k, max_rounds - rounds)
+        if max_iter is not None:
+            if rounds >= max_iter:
+                next(it)  # raises: no fixpoint within max_iter
+            k = min(k, max_iter - rounds)
+        block: list = []
+        counts: list = []
+        for j in range(k):
+            next(it)
+            rounds += 1
+            agg = L.lazy_checkpoint(step(state, frontier, rounds))
+            adv = advanced(agg)
+            counts.append(
+                agg.agg(
+                    F.sum(F.when(adv, 1)).alias("n"),
+                    F.count(F.lit(1)).alias("total"),
+                ).select(F.lit(j).alias("j"), "n", "total")
+            )
+            block.append(agg)
+            state = state_of(agg)
+            frontier = frontier_of(agg, adv)
+        u = counts[0]
+        for c in counts[1:]:
+            u = u.unionByName(c)
+        # the block's single action: materializes every chained round
+        # checkpoint and returns each round's convergence count
+        rows = {int(r["j"]): r for r in u.collect()}
+        stop = None
+        for j in range(len(block)):
+            if int(rows[j]["n"] or 0) == 0:
+                stop = j
+                break
+        last = stop if stop is not None else len(block) - 1
+        keep = block[last]
+        state_rows = int(rows[last]["total"] or 0)
+        L.free(owner, *[a for i, a in enumerate(block) if i != last])
+        if pend:
+            L.free(*pend)
+            pend = []
+        owner = keep
+        state = state_of(keep)
+        frontier = frontier_of(keep, advanced(keep))
+        if stop is not None:
+            # quiescence happened in block round ``stop``: rounds past
+            # it computed (and we discarded) identical state — report
+            # the exact count the unfused loop would have
+            rounds -= len(block) - 1 - stop
+            break
+    if pend:
+        # zero-round exit (max_rounds=0): nothing materialized, and the
+        # result depends only on the initial state — release the
+        # round-plan inputs
+        L.free(*pend)
+    return owner, rounds
 
 
 def _local_small_graph(e: DataFrame, seeds: DataFrame):
@@ -152,46 +273,44 @@ def bfs(
     with L.loop_exec(spark, parts):
         # partition + sort edges by the probe key ONCE: the per-round
         # sort-merge join then reuses this layout (LogicalRDD keeps the
-        # partitioning/ordering), so rounds never re-shuffle the edges
-        e = L.checkpoint(
+        # partitioning/ordering), so rounds never re-shuffle the edges.
+        # LAZY: the shuffle+sort fuses into the first round's action
+        # instead of paying its own materialization barrier (e0 is
+        # released by the fixpoint driver once that action has run).
+        e = L.lazy_checkpoint(
             e0.repartition(parts, "src").sortWithinPartitions("src")
         )
-        L.free(e0)
-        owner = L.checkpoint(
+        owner = L.lazy_checkpoint(
             seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
         )
-        visited = frontier = owner
-        depth = 0
-        for _ in fixpoint_rounds(max_iter, "bfs"):
-            if max_rounds is not None and depth >= max_rounds:
-                break
-            depth += 1
-            nbrs = (
-                frontier.join(e, frontier["node"] == e["src"])
-                .select(
-                    F.col("dst").alias("node"),
-                    F.lit(depth).alias("depth"),
-                    F.lit(1).alias("new"),
-                )
+
+        def step(visited, frontier, depth):
+            nbrs = frontier.join(e, frontier["node"] == e["src"]).select(
+                F.col("dst").alias("node"),
+                F.lit(depth).alias("depth"),
+                F.lit(1).alias("new"),
             )
-            agg = L.lazy_checkpoint(
-                visited.withColumn("new", F.lit(0))
+            return (
+                visited.select("node", "depth")
+                .withColumn("new", F.lit(0))
                 .unionByName(nbrs)
                 .groupBy("node")
                 .agg(F.min("depth").alias("depth"), F.min("new").alias("new"))
             )
-            # the single action of the round: materializes `agg` and
-            # counts the fresh nodes for the convergence test
-            n = agg.agg(F.sum(F.when(F.col("new") == 1, 1)).alias("n")).first()["n"] or 0
-            if n == 0:
-                L.free(agg)
-                break
-            L.free(owner)  # agg is materialized; the state it read is dead
-            owner = agg
-            visited = agg.select("node", "depth")
-            frontier = agg.where(F.col("new") == 1).select("node", "depth")
+
+        owner, _ = _fused_fixpoint(
+            owner,
+            step,
+            advanced=lambda agg: F.col("new") == 1,
+            state_of=lambda agg: agg.select("node", "depth"),
+            frontier_of=lambda agg, adv: agg.where(adv).select("node", "depth"),
+            max_iter=max_iter,
+            max_rounds=max_rounds,
+            label="bfs",
+            first_free=(e0,),
+        )
         L.free(e)
-    return L.adopt(visited.select("node", "depth"), owner)
+    return L.adopt(owner.select("node", "depth"), owner)
 
 
 def sssp(
@@ -225,29 +344,25 @@ def sssp(
         return _values_df(edges.sparkSession, rows, "node", "dist")
     parts = max(4, e0.rdd.getNumPartitions())
     with L.loop_exec(edges.sparkSession, parts):
-        e = L.checkpoint(e0.repartition(parts, "src").sortWithinPartitions("src"))
-        L.free(e0)
-        owner = L.checkpoint(
+        # lazy: shuffle+sort fuses into the first round's action
+        e = L.lazy_checkpoint(e0.repartition(parts, "src").sortWithinPartitions("src"))
+        owner = L.lazy_checkpoint(
             seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
         )
-        dist = frontier = owner
+
         # Single-shuffle round (same shape as bfs): current distances
         # tagged old ∪ this round's relaxations tagged new, ONE
         # groupBy(node) computing min over the old rows and min over
         # all — the new dist table and the improved-node frontier are
         # filters over that one checkpointed aggregate, and the
-        # convergence count rides its materialization job.
-        rounds = 0
-        for _ in fixpoint_rounds(max_iter, "sssp"):
-            if max_rounds is not None and rounds >= max_rounds:
-                break
-            rounds += 1
+        # convergence count rides the (fused) materialization action.
+        def step(dist, frontier, _round):
             relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("weight")).alias("d"),
                 F.lit(1).alias("new"),
             )
-            agg = L.lazy_checkpoint(
+            return (
                 dist.select("node", F.col("dist").alias("d"), F.lit(0).alias("new"))
                 .unionByName(relaxed)
                 .groupBy("node")
@@ -256,17 +371,23 @@ def sssp(
                     F.min("d").alias("dist"),
                 )
             )
-            improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
-            n = agg.agg(F.sum(F.when(improved, 1)).alias("n")).first()["n"] or 0
-            if n == 0:
-                L.free(agg)
-                break
-            L.free(owner)  # agg is materialized; the state it read is dead
-            owner = agg
-            dist = agg.select("node", "dist")
-            frontier = agg.where(improved).select("node", "dist")
+
+        improved = lambda agg: F.col("old").isNull() | (  # noqa: E731
+            F.col("dist") < F.col("old")
+        )
+        owner, _ = _fused_fixpoint(
+            owner,
+            step,
+            advanced=improved,
+            state_of=lambda agg: agg.select("node", "dist"),
+            frontier_of=lambda agg, adv: agg.where(adv).select("node", "dist"),
+            max_iter=max_iter,
+            max_rounds=max_rounds,
+            label="sssp",
+            first_free=(e0,),
+        )
         L.free(e)
-    return L.adopt(dist.select("node", "dist"), owner)
+    return L.adopt(owner.select("node", "dist"), owner)
 
 
 def multi_sssp(
@@ -355,25 +476,21 @@ def multi_sssp(
     key = ["node", "seed", *extra]
     parts = max(4, e0.rdd.getNumPartitions())
     with L.loop_exec(edges.sparkSession, parts):
-        e = L.checkpoint(
+        # lazy: shuffle+sort fuses into the first round's action
+        e = L.lazy_checkpoint(
             e0.repartition(parts, "src", *extra)
             .sortWithinPartitions("src", *extra)
         )
-        L.free(e0)
-        owner = L.checkpoint(
+        owner = L.lazy_checkpoint(
             seeds.select(
                 F.col("node").cast("long"), F.col("seed").cast("long"), *extra,
                 F.lit(0.0).alias("dist"),
             ).dropDuplicates(key)
         )
-        dist = frontier = owner
+
         # single-shuffle round keyed on the composite (node, seed[, tag])
         # state key — see sssp() for the shape
-        rounds = 0
-        for _ in fixpoint_rounds(max_iter, "multi_sssp"):
-            if max_rounds is not None and rounds >= max_rounds:
-                break
-            rounds += 1
+        def step(dist, frontier, _round):
             cond = frontier["node"] == e["src"]
             for c in extra:
                 cond = cond & (frontier[c] == e[c])
@@ -383,7 +500,7 @@ def multi_sssp(
                 (frontier["dist"] + e["weight"]).alias("d"),
                 F.lit(1).alias("new"),
             )
-            agg = L.lazy_checkpoint(
+            return (
                 dist.select(*key, F.col("dist").alias("d"), F.lit(0).alias("new"))
                 .unionByName(relaxed)
                 .groupBy(*key)
@@ -392,19 +509,25 @@ def multi_sssp(
                     F.min("d").alias("dist"),
                 )
             )
-            improved = F.col("old").isNull() | (F.col("dist") < F.col("old"))
-            n = agg.agg(F.sum(F.when(improved, 1)).alias("n")).first()["n"] or 0
-            if n == 0:
-                L.free(agg)
-                break
-            L.free(owner)
-            owner = agg
-            dist = agg.select(*key, "dist")
-            frontier = agg.where(improved).select(*key, "dist")
+
+        improved = lambda agg: F.col("old").isNull() | (  # noqa: E731
+            F.col("dist") < F.col("old")
+        )
+        owner, rounds = _fused_fixpoint(
+            owner,
+            step,
+            advanced=improved,
+            state_of=lambda agg: agg.select(*key, "dist"),
+            frontier_of=lambda agg, adv: agg.where(adv).select(*key, "dist"),
+            max_iter=max_iter,
+            max_rounds=max_rounds,
+            label="multi_sssp",
+            first_free=(e0,),
+        )
         L.free(e)
     if stats is not None:
         stats["rounds"] = rounds
-    return L.adopt(dist.select(*key, "dist"), owner)
+    return L.adopt(owner.select(*key, "dist"), owner)
 
 
 def connected_components(
@@ -578,16 +701,18 @@ def pagerank(
         )
     parts = max(4, e.rdd.getNumPartitions())
     with L.loop_exec(edges.sparkSession, parts):
-        ep = L.checkpoint(
+        # lazy: the shuffle+sort materializes inside the (eager) nodes
+        # checkpoint's action instead of paying its own barrier
+        ep = L.lazy_checkpoint(
             e.repartition(parts, "src").sortWithinPartitions("src")
         )
-        L.free(e)
         nodes = L.checkpoint(
             ep.select(F.col("src").alias("node"))
             .unionByName(ep.select(F.col("dst").alias("node")))
             .dropDuplicates()
         )
         outdeg = L.checkpoint(ep.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+        L.free(e)  # ep is materialized (nodes' action); its input is dead
         ranks = nodes.withColumn("rank", F.lit(1.0))
         # Lazy checkpoints chained across iterations, with one explicit
         # materializing action every few rounds: the count() finalizes
