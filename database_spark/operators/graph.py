@@ -82,9 +82,12 @@ def _fused_fixpoint(
     by round 1's plan that become releasable once the first block
     materializes (e.g. the pre-shuffle edge checkpoint).
 
-    Returns ``(owner, rounds)`` where ``owner`` is the final
-    checkpointed state (convergence-quiescent, value-identical to the
-    unfused loop's final state) and ``rounds`` the exact round count
+    Returns ``(owner, state, rounds)`` where ``owner`` is the final
+    checkpointed frame (convergence-quiescent, value-identical to the
+    unfused loop's final state), ``state`` its state projection
+    (``state_of(owner)`` after ≥1 round, the initial state verbatim
+    for a zero-round exit — the initial frame need not carry the
+    aggregate's marker columns) and ``rounds`` the exact round count
     including the quiescence-detection round — the same accounting as
     the one-action-per-round loop."""
     rounds = 0
@@ -154,7 +157,7 @@ def _fused_fixpoint(
         # result depends only on the initial state — release the
         # round-plan inputs
         L.free(*pend)
-    return owner, rounds
+    return owner, state, rounds
 
 
 def _local_small_graph(e: DataFrame, seeds: DataFrame):
@@ -298,7 +301,7 @@ def bfs(
                 .agg(F.min("depth").alias("depth"), F.min("new").alias("new"))
             )
 
-        owner, _ = _fused_fixpoint(
+        owner, visited, _ = _fused_fixpoint(
             owner,
             step,
             advanced=lambda agg: F.col("new") == 1,
@@ -310,7 +313,7 @@ def bfs(
             first_free=(e0,),
         )
         L.free(e)
-    return L.adopt(owner.select("node", "depth"), owner)
+    return L.adopt(visited.select("node", "depth"), owner)
 
 
 def sssp(
@@ -375,7 +378,7 @@ def sssp(
         improved = lambda agg: F.col("old").isNull() | (  # noqa: E731
             F.col("dist") < F.col("old")
         )
-        owner, _ = _fused_fixpoint(
+        owner, dist, _ = _fused_fixpoint(
             owner,
             step,
             advanced=improved,
@@ -387,7 +390,7 @@ def sssp(
             first_free=(e0,),
         )
         L.free(e)
-    return L.adopt(owner.select("node", "dist"), owner)
+    return L.adopt(dist.select("node", "dist"), owner)
 
 
 def multi_sssp(
@@ -513,7 +516,7 @@ def multi_sssp(
         improved = lambda agg: F.col("old").isNull() | (  # noqa: E731
             F.col("dist") < F.col("old")
         )
-        owner, rounds = _fused_fixpoint(
+        owner, dist, rounds = _fused_fixpoint(
             owner,
             step,
             advanced=improved,
@@ -527,7 +530,7 @@ def multi_sssp(
         L.free(e)
     if stats is not None:
         stats["rounds"] = rounds
-    return L.adopt(owner.select(*key, "dist"), owner)
+    return L.adopt(dist.select(*key, "dist"), owner)
 
 
 def connected_components(
@@ -606,11 +609,8 @@ def connected_components(
             )
         )
         L.free(sym)
-        rounds = 0
-        for _ in fixpoint_rounds(max_iter, "connected_components"):
-            if max_rounds is not None and rounds >= max_rounds:
-                break
-            rounds += 1
+
+        def step(E, _frontier, _round):
             # -- large-star: every node connects its LARGER neighbors to
             # the minimum of its closed neighborhood
             s = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -628,20 +628,39 @@ def connected_components(
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             m2 = o.groupBy("u").agg(F.min("v").alias("m"))
-            ne, n_new = L.checkpoint_count(
+            ne = (
                 o.join(m2, "u")
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .unionByName(m2.select("u", F.col("m").alias("v")))
                 .where(F.col("u") != F.col("v"))
-                .dropDuplicates()
             )
-            # the anti-join convergence probe is one extra job, but only
-            # on rounds where the edge count stopped changing (≈ last)
-            converged = n_new == n_edges and ne.join(E, ["u", "v"], "left_anti").isEmpty()
-            L.free(E)
-            E, n_edges = ne, n_new
-            if converged:
-                break
+            # old ∪ new edge sets through ONE tagged groupBy: it both
+            # DEDUPLICATES ne (replacing its dropDuplicates shuffle) and
+            # computes the exact set-equality convergence test in the
+            # round's own action — the old shape needed a count match
+            # plus a separate anti-join probe job on the last round
+            return (
+                E.select("u", "v", F.lit(0).alias("t"))
+                .unionByName(ne.select("u", "v", F.lit(1).alias("t")))
+                .groupBy("u", "v")
+                .agg(
+                    F.max(F.when(F.col("t") == 0, 1).otherwise(0)).alias("in_old"),
+                    F.max(F.when(F.col("t") == 1, 1).otherwise(0)).alias("in_new"),
+                )
+            )
+
+        owner, E, rounds = _fused_fixpoint(
+            E,
+            step,
+            # convergence ⟺ the edge sets are identical ⟺ no row is in
+            # exactly one of them
+            advanced=lambda agg: F.col("in_old") != F.col("in_new"),
+            state_of=lambda agg: agg.where(F.col("in_new") == 1).select("u", "v"),
+            frontier_of=lambda agg, adv: agg,
+            max_iter=max_iter,
+            max_rounds=max_rounds,
+            label="connected_components",
+        )
         if stats is not None:
             stats["rounds"] = rounds
         labels = nodes.join(
@@ -650,7 +669,7 @@ def connected_components(
             "left_outer",
         ).select("node", F.coalesce("component", "node").alias("component"))
         out = L.checkpoint(labels)
-        L.free(E, nodes)
+        L.free(owner, nodes)
     return out
 
 

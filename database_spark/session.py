@@ -45,6 +45,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES, not core count (guide
+        # §2.2/§9): with the default parallelismFirst=true AQE refuses
+        # to coalesce below defaultParallelism, so every tiny shuffle
+        # still runs ~numCores tasks and per-task overhead dominates
+        # small reduce stages.  bytes-first + the advisory size keeps
+        # partition sizing data-derived at every scale: a KB-size
+        # aggregate coalesces to 1 task, a 100 TB shuffle still gets
+        # bytes/advisory (hundreds of thousands of) partitions.  Both
+        # knobs are env-overridable for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_BYTES", "67108864"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -626,9 +626,14 @@ class Compiler:
             if left.df is not None and not left.df.columns:
                 return right
         shared = left.vars & right.vars
-        rdf = right.df
-        for c in rdf.columns:
-            rdf = rdf.withColumnRenamed(c, RPFX + c)
+        # one selectExpr instead of a withColumnRenamed per column:
+        # each rename is a py4j round-trip plus a new Dataset the
+        # analyzer re-walks — 10-30 per join on wide solution sets
+        # (measured r13: the rename chain alone was ~0.1 s of the
+        # optional-rejoin compile)
+        rdf = right.df.selectExpr(
+            *[f"`{c}` AS `{RPFX}{c}`" for c in right.df.columns]
+        )
         mu_vars = [
             v
             for v in sorted(shared)
@@ -673,11 +678,14 @@ class Compiler:
                         left.maybe_unbound,
                         left.buckets,
                     )
-        conds = []
+        # equi + DPP-hook conditions built as ONE SQL parse instead of
+        # 2-6 Column-API py4j round-trips per shared var (the bd8455a
+        # terms.py treatment applied to the join path)
+        cond_sql = []
         for v in sorted(shared):
             if v in mu_vars:
                 continue
-            conds.append(F.col(v + "__id") == F.col(RPFX + v + "__id"))
+            cond_sql.append(f"`{v}__id` = `{RPFX}{v}__id`")
             # subject-layout join hook: when one side is a subject-
             # bucketed scan that exported its partition column, add the
             # (redundant, implied-by-id-equality) equi condition on the
@@ -688,16 +696,15 @@ class Compiler:
             # PipelineJoin access-path probe, Spark-style.
             n = right.buckets.get(v)
             if n and (RPFX + v + "__sb") in rdf.columns:
-                conds.append(
-                    F.col(RPFX + v + "__sb")
-                    == F.pmod(F.col(v + "__id"), F.lit(n))
+                cond_sql.append(
+                    f"`{RPFX}{v}__sb` = pmod(`{v}__id`, {int(n)})"
                 )
             n = left.buckets.get(v)
             if n and (v + "__sb") in left.df.columns:
-                conds.append(
-                    F.col(v + "__sb")
-                    == F.pmod(F.col(RPFX + v + "__id"), F.lit(n))
+                cond_sql.append(
+                    f"`{v}__sb` = pmod(`{RPFX}{v}__id`, {int(n)})"
                 )
+        conds = [F.expr(" AND ".join(cond_sql))] if cond_sql else []
         if extra is not None:
             conds.append(extra)
         # left_outer decomposes too.  When every nullable shared var is
@@ -738,27 +745,31 @@ class Compiler:
             else:
                 joined = left.df.join(rdf, cond, how)
         out_vars = left.vars | right.vars
+        # output projection as ONE selectExpr parse (same rationale as
+        # the condition batching above)
         sel = []
         for v in sorted(out_vars):
             lv, rv = v in left.vars, v in right.vars
             if lv and rv:
                 if (v in left.maybe_unbound) or how != "inner":
-                    sel.append(F.coalesce(F.col(v), F.col(RPFX + v)).alias(v))
-                    sel.append(F.coalesce(F.col(v + "__id"), F.col(RPFX + v + "__id")).alias(v + "__id"))
+                    sel.append(f"coalesce(`{v}`, `{RPFX}{v}`) AS `{v}`")
+                    sel.append(
+                        f"coalesce(`{v}__id`, `{RPFX}{v}__id`) AS `{v}__id`"
+                    )
                 else:
-                    sel += [F.col(v), F.col(v + "__id")]
+                    sel += [f"`{v}`", f"`{v}__id`"]
             elif lv:
-                sel += [F.col(v), F.col(v + "__id")]
+                sel += [f"`{v}`", f"`{v}__id`"]
             else:
-                sel.append(F.col(RPFX + v).alias(v))
-                sel.append(F.col(RPFX + v + "__id").alias(v + "__id"))
+                sel.append(f"`{RPFX}{v}` AS `{v}`")
+                sel.append(f"`{RPFX}{v}__id` AS `{v}__id`")
         mu = set(left.maybe_unbound)
         if how == "inner":
             mu |= right.maybe_unbound
             mu -= {v for v in shared if v not in left.maybe_unbound or v not in right.maybe_unbound}
         else:  # left outer: all right-only vars become optional
             mu |= right.maybe_unbound | (right.vars - left.vars)
-        return Sol(joined.select(*sel), out_vars, mu & out_vars)
+        return Sol(joined.selectExpr(*sel), out_vars, mu & out_vars)
 
     #: a compat-join side Catalyst statically bounds at or below this
     #: many rows recomputes cheaper than it materializes — skip the
@@ -797,7 +808,12 @@ class Compiler:
             pass
         from ..operators import lifecycle as L
 
-        out = L.checkpoint(df)
+        out, n = L.checkpoint_count(df)
+        # exact row count, free with the materializing action: lets the
+        # null-slice broadcast probe skip its per-compile limit+count
+        # job (the slice memo always misses — the checkpoint's RDD id
+        # is fresh per compile, so its semantic hash never repeats)
+        out._dbspark_rowbound = n
         self._owned.append(out)
         return out
 
@@ -850,6 +866,8 @@ class Compiler:
             # heavy ones once (see _materialize_shared)
             left_src = self._materialize_shared(left.df)
             rdf = self._materialize_shared(rdf)
+        lbound = getattr(left_src, "_dbspark_rowbound", None)
+        rbound = getattr(rdf, "_dbspark_rowbound", None)
         out = None
         for lfs, rfs, cs in branches:
             ldf = left_src
@@ -858,6 +876,12 @@ class Compiler:
             rd = rdf
             for f in rfs:
                 rd = rd.where(f)
+            # a filtered slice can only shrink: carry the materialized
+            # side's exact count as the slice's broadcast row bound
+            if lbound is not None and ldf is not left_src:
+                ldf._dbspark_rowbound = lbound
+            if rbound is not None and rd is not rdf:
+                rd._dbspark_rowbound = rbound
             conds = base_conds + cs
             if conds:
                 cond = conds[0]
@@ -1084,6 +1108,12 @@ class Compiler:
         generation token in the key."""
         from collections import OrderedDict
 
+        bound = getattr(build_df, "_dbspark_rowbound", None)
+        if bound is not None:
+            # exact count of the slice's materialized parent (stashed
+            # by _materialize_shared): an upper bound with ZERO jobs
+            # and no plan analysis
+            return int(bound)
         key = None
         try:
             plan = build_df._jdf.queryExecution().optimizedPlan()
