@@ -160,6 +160,27 @@ def _fused_fixpoint(
     return owner, state, rounds
 
 
+def _input_parts(df: DataFrame) -> int:
+    """Loop partition count DERIVED from the operator's input without
+    materializing it: the leaf scans' file count (metadata-only, scales
+    with input bytes) when the plan reads files, else the plan's RDD
+    partition count (free for the flat checkpoint-scan inputs the
+    engine passes; a deep RDD-backed plan pays at most the one
+    materialization the old eager edge checkpoint always paid).  Never
+    the core count — a bench graph gets the 4-partition floor, a
+    100 TB edge set thousands (see loop_exec's contract)."""
+    try:
+        files = df.inputFiles()
+        if files:
+            return len(files)
+    except Exception:  # noqa: BLE001 — sizing only
+        pass
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — sizing only
+        return 0
+
+
 def _local_small_graph(e: DataFrame, seeds: DataFrame):
     """(edge_rows, seed_rows) when the graph AND seed set are probe-
     small, else None.  One bounded collect each — same contract as the
@@ -256,7 +277,11 @@ def bfs(
     vertex-state superstep shape: O(V) state written once per round,
     one synchronization barrier.
     """
-    e0 = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    # the dedup stays a LAZY plan: the probe below reads it with an
+    # early-exit limit, and the distributed path folds it into the
+    # loop's first action (the old eager checkpoint paid a full
+    # materialization pass before any round ran)
+    e0 = edges.select("src", "dst").dropDuplicates()
     # max_iter is the caller's no-fixpoint safety valve (it RAISES in
     # the distributed walk); the local path explores everything, which
     # would silently bypass the guard — take the distributed path then.
@@ -264,7 +289,6 @@ def bfs(
         e0.withColumn("weight", F.lit(1.0)), seeds
     )
     if small is not None:
-        L.free(e0)
         rows = [
             (n, int(d))
             for n, d in _local_sssp(*small)
@@ -272,7 +296,7 @@ def bfs(
         ]
         return _values_df(edges.sparkSession, rows, "node", "depth")
     spark = edges.sparkSession
-    parts = max(4, e0.rdd.getNumPartitions())
+    parts = max(4, _input_parts(edges))
     with L.loop_exec(spark, parts):
         # partition + sort edges by the probe key ONCE: the per-round
         # sort-merge join then reuses this layout (LogicalRDD keeps the
@@ -310,7 +334,6 @@ def bfs(
             max_iter=max_iter,
             max_rounds=max_rounds,
             label="bfs",
-            first_free=(e0,),
         )
         L.free(e)
     return L.adopt(visited.select("node", "depth"), owner)
@@ -332,7 +355,7 @@ def sssp(
     relaxation rounds — the result is the exact ≤k-hop shortest
     distances (the reference truncates the same way).
     """
-    e0 = L.checkpoint(edges.select("src", "dst", "weight"))
+    e0 = edges.select("src", "dst", "weight")
     # With a round budget the distributed loop's semantics are
     # "shortest path using <= max_rounds relaxation rounds", which
     # Dijkstra does not emulate — take the distributed path then.
@@ -342,10 +365,9 @@ def sssp(
         else _local_small_graph(e0, seeds)
     )
     if small is not None:
-        L.free(e0)
         rows = [(n, float(d)) for n, d in _local_sssp(*small)]
         return _values_df(edges.sparkSession, rows, "node", "dist")
-    parts = max(4, e0.rdd.getNumPartitions())
+    parts = max(4, _input_parts(edges))
     with L.loop_exec(edges.sparkSession, parts):
         # lazy: shuffle+sort fuses into the first round's action
         e = L.lazy_checkpoint(e0.repartition(parts, "src").sortWithinPartitions("src"))
@@ -387,7 +409,6 @@ def sssp(
             max_iter=max_iter,
             max_rounds=max_rounds,
             label="sssp",
-            first_free=(e0,),
         )
         L.free(e)
     return L.adopt(dist.select("node", "dist"), owner)
@@ -432,7 +453,7 @@ def multi_sssp(
     if stats is not None:
         stats["rounds"] = 0
     extra = [dir_col] if dir_col else []
-    e0 = L.checkpoint(edges.select("src", "dst", "weight", *extra))
+    e0 = edges.select("src", "dst", "weight", *extra)
     small = (
         None
         if (max_iter is not None or max_rounds is not None)
@@ -441,7 +462,6 @@ def multi_sssp(
     if small is not None:
         edge_rows = small[0]
         seed_rows = seeds.select("node", "seed", *extra).collect()
-        L.free(e0)
         rows = []
         groups = sorted(
             {(r["seed"], *(r[c] for c in extra)) for r in seed_rows}
@@ -477,7 +497,7 @@ def multi_sssp(
         )
         return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
     key = ["node", "seed", *extra]
-    parts = max(4, e0.rdd.getNumPartitions())
+    parts = max(4, _input_parts(edges))
     with L.loop_exec(edges.sparkSession, parts):
         # lazy: shuffle+sort fuses into the first round's action
         e = L.lazy_checkpoint(
@@ -525,7 +545,6 @@ def multi_sssp(
             max_iter=max_iter,
             max_rounds=max_rounds,
             label="multi_sssp",
-            first_free=(e0,),
         )
         L.free(e)
     if stats is not None:
@@ -690,12 +709,14 @@ def pagerank(
     """
     if max_rounds is not None:
         iters = min(iters, max_rounds)
-    e = L.checkpoint(edges.select("src", "dst").dropDuplicates())
+    # lazy dedup plan: the probe reads it with an early-exit limit and
+    # the distributed path folds it into the pre-loop checkpoint pass
+    # (PageRank NEEDS distinct edges — out-degrees count them)
+    e = edges.select("src", "dst").dropDuplicates()
     probe = e.limit(SMALL_GRAPH_EDGES + 1).collect()
     if len(probe) <= SMALL_GRAPH_EDGES:
         # driver-local power iteration — same update rule, summing
         # inflow over sorted sources for determinism
-        L.free(e)
         out_adj: dict = {}
         in_adj: dict = {}
         node_set = set()
@@ -718,10 +739,10 @@ def pagerank(
             edges.sparkSession, sorted(rank.items()), "node", "rank",
             val_type="double",
         )
-    parts = max(4, e.rdd.getNumPartitions())
+    parts = max(4, _input_parts(edges))
     with L.loop_exec(edges.sparkSession, parts):
-        # lazy: the shuffle+sort materializes inside the (eager) nodes
-        # checkpoint's action instead of paying its own barrier
+        # lazy: dedup + shuffle + sort materialize inside the (eager)
+        # nodes checkpoint's action instead of paying their own barriers
         ep = L.lazy_checkpoint(
             e.repartition(parts, "src").sortWithinPartitions("src")
         )
@@ -731,7 +752,6 @@ def pagerank(
             .dropDuplicates()
         )
         outdeg = L.checkpoint(ep.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
-        L.free(e)  # ep is materialized (nodes' action); its input is dead
         ranks = nodes.withColumn("rank", F.lit(1.0))
         # Lazy checkpoints chained across iterations, with one explicit
         # materializing action every few rounds: the count() finalizes
