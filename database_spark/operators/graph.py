@@ -114,6 +114,14 @@ def _fused_fixpoint(
         for j in range(k):
             next(it)
             rounds += 1
+            # every round keeps its own lazy checkpoint: the plan
+            # TRUNCATION is load-bearing, not just the reuse — a step
+            # that references its state s times (CC references the edge
+            # set ~6 times per alternation) would otherwise grow the
+            # chained block plan s^k-fold and stall Catalyst (measured:
+            # gas_cc_large analysis ran 15+ minutes with persist()-only
+            # intermediates).  The ~130 ms/round plan→RDD conversion is
+            # the price of a bounded analyzer input.
             agg = L.lazy_checkpoint(step(state, frontier, rounds))
             adv = advanced(agg)
             counts.append(
@@ -304,16 +312,25 @@ def bfs(
         # LAZY: the shuffle+sort fuses into the first round's action
         # instead of paying its own materialization barrier (e0 is
         # released by the fixpoint driver once that action has run).
+        # edge columns get loop-private names: fused blocks chain round
+        # plans WITHOUT checkpoint boundaries, so the same edge frame
+        # appears in several rounds of one plan — dataframe-bound column
+        # refs (e["src"]) would trip the ambiguous-self-join detector,
+        # while disjoint names resolve by string, unambiguously
         e = L.lazy_checkpoint(
-            e0.repartition(parts, "src").sortWithinPartitions("src")
+            e0.select(
+                F.col("src").alias("__esrc"), F.col("dst").alias("__edst")
+            )
+            .repartition(parts, "__esrc")
+            .sortWithinPartitions("__esrc")
         )
         owner = L.lazy_checkpoint(
             seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
         )
 
         def step(visited, frontier, depth):
-            nbrs = frontier.join(e, frontier["node"] == e["src"]).select(
-                F.col("dst").alias("node"),
+            nbrs = frontier.join(e, F.col("node") == F.col("__esrc")).select(
+                F.col("__edst").alias("node"),
                 F.lit(depth).alias("depth"),
                 F.lit(1).alias("new"),
             )
@@ -369,8 +386,18 @@ def sssp(
         return _values_df(edges.sparkSession, rows, "node", "dist")
     parts = max(4, _input_parts(edges))
     with L.loop_exec(edges.sparkSession, parts):
-        # lazy: shuffle+sort fuses into the first round's action
-        e = L.lazy_checkpoint(e0.repartition(parts, "src").sortWithinPartitions("src"))
+        # lazy: shuffle+sort fuses into the first round's action.
+        # Loop-private edge names — see bfs() on why fused blocks need
+        # string-resolvable (disjoint) columns instead of df-bound refs.
+        e = L.lazy_checkpoint(
+            e0.select(
+                F.col("src").alias("__esrc"),
+                F.col("dst").alias("__edst"),
+                F.col("weight").alias("__ew"),
+            )
+            .repartition(parts, "__esrc")
+            .sortWithinPartitions("__esrc")
+        )
         owner = L.lazy_checkpoint(
             seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
         )
@@ -382,9 +409,9 @@ def sssp(
         # filters over that one checkpointed aggregate, and the
         # convergence count rides the (fused) materialization action.
         def step(dist, frontier, _round):
-            relaxed = frontier.join(e, frontier["node"] == e["src"]).select(
-                F.col("dst").alias("node"),
-                (F.col("dist") + F.col("weight")).alias("d"),
+            relaxed = frontier.join(e, F.col("node") == F.col("__esrc")).select(
+                F.col("__edst").alias("node"),
+                (F.col("dist") + F.col("__ew")).alias("d"),
                 F.lit(1).alias("new"),
             )
             return (
@@ -499,10 +526,20 @@ def multi_sssp(
     key = ["node", "seed", *extra]
     parts = max(4, _input_parts(edges))
     with L.loop_exec(edges.sparkSession, parts):
-        # lazy: shuffle+sort fuses into the first round's action
+        # lazy: shuffle+sort fuses into the first round's action.
+        # Loop-private edge names — see bfs() on why fused blocks need
+        # string-resolvable (disjoint) columns instead of df-bound refs
+        # (the tag column exists on BOTH sides, so it must rename too).
+        ekeys = ["__esrc", *[f"__e{c}" for c in extra]]
         e = L.lazy_checkpoint(
-            e0.repartition(parts, "src", *extra)
-            .sortWithinPartitions("src", *extra)
+            e0.select(
+                F.col("src").alias("__esrc"),
+                F.col("dst").alias("__edst"),
+                F.col("weight").alias("__ew"),
+                *[F.col(c).alias(f"__e{c}") for c in extra],
+            )
+            .repartition(parts, *ekeys)
+            .sortWithinPartitions(*ekeys)
         )
         owner = L.lazy_checkpoint(
             seeds.select(
@@ -514,13 +551,13 @@ def multi_sssp(
         # single-shuffle round keyed on the composite (node, seed[, tag])
         # state key — see sssp() for the shape
         def step(dist, frontier, _round):
-            cond = frontier["node"] == e["src"]
+            cond = F.col("node") == F.col("__esrc")
             for c in extra:
-                cond = cond & (frontier[c] == e[c])
+                cond = cond & (F.col(c) == F.col(f"__e{c}"))
             relaxed = frontier.join(e, cond).select(
-                e["dst"].alias("node"), frontier["seed"].alias("seed"),
-                *[frontier[c].alias(c) for c in extra],
-                (frontier["dist"] + e["weight"]).alias("d"),
+                F.col("__edst").alias("node"), F.col("seed"),
+                *extra,
+                (F.col("dist") + F.col("__ew")).alias("d"),
                 F.lit(1).alias("new"),
             )
             return (

@@ -234,9 +234,19 @@ def loop_exec(spark, partitions: int | None = None):
                 "count": 0,
                 "aqe": conf.get("spark.sql.adaptive.enabled", "true"),
                 "parts": conf.get("spark.sql.shuffle.partitions"),
+                "bcast": conf.get("spark.sql.autoBroadcastJoinThreshold"),
             }
         st["count"] += 1
         conf.set("spark.sql.adaptive.enabled", "false")
+        # no AUTO broadcasts inside loops (explicit F.broadcast hints
+        # still work, e.g. k-means' centroid row): fused blocks chain
+        # rounds over cached intermediates whose small size statistics
+        # would otherwise flip every round's join to a broadcast — one
+        # driver-side broadcast-build job per round instead of the one
+        # static shuffle over the pre-partitioned edge relation the
+        # loop shape is built around (and a 4M-row frontier broadcast
+        # per round at the fusion gate's bound would be ruinous)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         if partitions:
             conf.set("spark.sql.shuffle.partitions", str(max(4, int(partitions))))
     try:
@@ -247,6 +257,9 @@ def loop_exec(spark, partitions: int | None = None):
             if st["count"] <= 0:
                 conf.set("spark.sql.adaptive.enabled", st["aqe"])
                 conf.set("spark.sql.shuffle.partitions", st["parts"])
+                conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", st["bcast"]
+                )
                 _LOOP_STATE.pop(key, None)
 
 
