@@ -20,13 +20,41 @@ skew is split by AQE.
 
 from __future__ import annotations
 
+import itertools
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import lifecycle as L
 from .iterate import fixpoint_rounds
+
+#: unique suffixes for the per-loop temp views `_loop_views` registers
+#: (concurrent loops in one session must not collide)
+_VIEW_SEQ = itertools.count()
+
+
+@contextmanager
+def _loop_views(spark, names: list[str]):
+    """Session temp-view names, unique per loop instance, dropped on
+    exit.  Round plans register their inputs under these names and
+    build each round as ONE ``spark.sql`` parse: the Column-API builds
+    were ~40 py4j round-trips per round (each Dataset method is a
+    gateway call plus an analyzer increment), which profiling put at
+    roughly half the per-round driver wall — the SQL text parses in
+    one call, with identical semantics (guide §1.2: per-round work,
+    driver-side)."""
+    vid = next(_VIEW_SEQ)
+    full = {n: f"__gas_{vid}_{n}" for n in names}
+    try:
+        yield full
+    finally:
+        for v in full.values():
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — view may never have been bound
+                pass
 
 
 #: below this edge count a traversal runs driver-locally (the iterative
@@ -305,7 +333,7 @@ def bfs(
         return _values_df(edges.sparkSession, rows, "node", "depth")
     spark = edges.sparkSession
     parts = max(4, _input_parts(edges))
-    with L.loop_exec(spark, parts):
+    with L.loop_exec(spark, parts), _loop_views(spark, ["e", "v", "f"]) as V:
         # partition + sort edges by the probe key ONCE: the per-round
         # sort-merge join then reuses this layout (LogicalRDD keeps the
         # partitioning/ordering), so rounds never re-shuffle the edges.
@@ -324,22 +352,25 @@ def bfs(
             .repartition(parts, "__esrc")
             .sortWithinPartitions("__esrc")
         )
+        e.createOrReplaceTempView(V["e"])
         owner = L.lazy_checkpoint(
             seeds.select(F.col("node"), F.lit(0).alias("depth")).dropDuplicates(["node"])
         )
 
+        # round plan as ONE SQL parse (see _loop_views); identical
+        # algebra to the tagged-union/groupBy-min Column build it
+        # replaces: visited rows tag 0 ∪ frontier-neighbor candidates
+        # tag 1, min(depth)/min(new) per node
         def step(visited, frontier, depth):
-            nbrs = frontier.join(e, F.col("node") == F.col("__esrc")).select(
-                F.col("__edst").alias("node"),
-                F.lit(depth).alias("depth"),
-                F.lit(1).alias("new"),
-            )
-            return (
-                visited.select("node", "depth")
-                .withColumn("new", F.lit(0))
-                .unionByName(nbrs)
-                .groupBy("node")
-                .agg(F.min("depth").alias("depth"), F.min("new").alias("new"))
+            visited.createOrReplaceTempView(V["v"])
+            frontier.createOrReplaceTempView(V["f"])
+            return spark.sql(
+                f"SELECT node, min(depth) AS depth, min(new) AS new FROM ("
+                f" SELECT node, depth, 0 AS new FROM {V['v']}"
+                f" UNION ALL"
+                f" SELECT e.__edst AS node, {int(depth)} AS depth, 1 AS new"
+                f" FROM {V['f']} f JOIN {V['e']} e ON f.node = e.__esrc"
+                f") GROUP BY node"
             )
 
         owner, visited, _ = _fused_fixpoint(
@@ -384,8 +415,9 @@ def sssp(
     if small is not None:
         rows = [(n, float(d)) for n, d in _local_sssp(*small)]
         return _values_df(edges.sparkSession, rows, "node", "dist")
+    spark = edges.sparkSession
     parts = max(4, _input_parts(edges))
-    with L.loop_exec(edges.sparkSession, parts):
+    with L.loop_exec(spark, parts), _loop_views(spark, ["e", "v", "f"]) as V:
         # lazy: shuffle+sort fuses into the first round's action.
         # Loop-private edge names — see bfs() on why fused blocks need
         # string-resolvable (disjoint) columns instead of df-bound refs.
@@ -398,30 +430,29 @@ def sssp(
             .repartition(parts, "__esrc")
             .sortWithinPartitions("__esrc")
         )
+        e.createOrReplaceTempView(V["e"])
         owner = L.lazy_checkpoint(
             seeds.select(F.col("node"), F.lit(0.0).alias("dist")).dropDuplicates(["node"])
         )
 
-        # Single-shuffle round (same shape as bfs): current distances
-        # tagged old ∪ this round's relaxations tagged new, ONE
-        # groupBy(node) computing min over the old rows and min over
-        # all — the new dist table and the improved-node frontier are
-        # filters over that one checkpointed aggregate, and the
-        # convergence count rides the (fused) materialization action.
+        # Single-shuffle round (same shape as bfs), built as ONE SQL
+        # parse (see _loop_views): current distances tagged old ∪ this
+        # round's relaxations tagged new, ONE groupBy(node) computing
+        # min over the old rows and min over all — the new dist table
+        # and the improved-node frontier are filters over that one
+        # checkpointed aggregate, and the convergence count rides the
+        # (fused) materialization action.
         def step(dist, frontier, _round):
-            relaxed = frontier.join(e, F.col("node") == F.col("__esrc")).select(
-                F.col("__edst").alias("node"),
-                (F.col("dist") + F.col("__ew")).alias("d"),
-                F.lit(1).alias("new"),
-            )
-            return (
-                dist.select("node", F.col("dist").alias("d"), F.lit(0).alias("new"))
-                .unionByName(relaxed)
-                .groupBy("node")
-                .agg(
-                    F.min(F.when(F.col("new") == 0, F.col("d"))).alias("old"),
-                    F.min("d").alias("dist"),
-                )
+            dist.createOrReplaceTempView(V["v"])
+            frontier.createOrReplaceTempView(V["f"])
+            return spark.sql(
+                f"SELECT node, min(CASE WHEN new = 0 THEN d END) AS old,"
+                f" min(d) AS dist FROM ("
+                f" SELECT node, dist AS d, 0 AS new FROM {V['v']}"
+                f" UNION ALL"
+                f" SELECT e.__edst AS node, f.dist + e.__ew AS d, 1 AS new"
+                f" FROM {V['f']} f JOIN {V['e']} e ON f.node = e.__esrc"
+                f") GROUP BY node"
             )
 
         improved = lambda agg: F.col("old").isNull() | (  # noqa: E731
@@ -524,8 +555,9 @@ def multi_sssp(
         )
         return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
     key = ["node", "seed", *extra]
+    spark = edges.sparkSession
     parts = max(4, _input_parts(edges))
-    with L.loop_exec(edges.sparkSession, parts):
+    with L.loop_exec(spark, parts), _loop_views(spark, ["e", "v", "f"]) as V:
         # lazy: shuffle+sort fuses into the first round's action.
         # Loop-private edge names — see bfs() on why fused blocks need
         # string-resolvable (disjoint) columns instead of df-bound refs
@@ -541,6 +573,7 @@ def multi_sssp(
             .repartition(parts, *ekeys)
             .sortWithinPartitions(*ekeys)
         )
+        e.createOrReplaceTempView(V["e"])
         owner = L.lazy_checkpoint(
             seeds.select(
                 F.col("node").cast("long"), F.col("seed").cast("long"), *extra,
@@ -549,25 +582,26 @@ def multi_sssp(
         )
 
         # single-shuffle round keyed on the composite (node, seed[, tag])
-        # state key — see sssp() for the shape
+        # state key, built as ONE SQL parse — see sssp() for the shape
+        keys_sql = ", ".join(key)
+        fkeys_sql = "e.__edst AS node, f.seed" + "".join(
+            f", f.{c}" for c in extra
+        )
+        on_sql = "f.node = e.__esrc" + "".join(
+            f" AND f.{c} = e.__e{c}" for c in extra
+        )
+
         def step(dist, frontier, _round):
-            cond = F.col("node") == F.col("__esrc")
-            for c in extra:
-                cond = cond & (F.col(c) == F.col(f"__e{c}"))
-            relaxed = frontier.join(e, cond).select(
-                F.col("__edst").alias("node"), F.col("seed"),
-                *extra,
-                (F.col("dist") + F.col("__ew")).alias("d"),
-                F.lit(1).alias("new"),
-            )
-            return (
-                dist.select(*key, F.col("dist").alias("d"), F.lit(0).alias("new"))
-                .unionByName(relaxed)
-                .groupBy(*key)
-                .agg(
-                    F.min(F.when(F.col("new") == 0, F.col("d"))).alias("old"),
-                    F.min("d").alias("dist"),
-                )
+            dist.createOrReplaceTempView(V["v"])
+            frontier.createOrReplaceTempView(V["f"])
+            return spark.sql(
+                f"SELECT {keys_sql}, min(CASE WHEN new = 0 THEN d END) AS old,"
+                f" min(d) AS dist FROM ("
+                f" SELECT {keys_sql}, dist AS d, 0 AS new FROM {V['v']}"
+                f" UNION ALL"
+                f" SELECT {fkeys_sql}, f.dist + e.__ew AS d, 1 AS new"
+                f" FROM {V['f']} f JOIN {V['e']} e ON {on_sql}"
+                f") GROUP BY {keys_sql}"
             )
 
         improved = lambda agg: F.col("old").isNull() | (  # noqa: E731
@@ -620,23 +654,26 @@ def connected_components(
     """
     if stats is not None:
         stats["rounds"] = 0
-    sym = L.checkpoint(
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .dropDuplicates()
-    )
+    # canonical undirected edge plan, LAZY (r13: the old shape paid an
+    # eager both-orientation `sym` checkpoint pass, an eager `nodes`
+    # checkpoint pass and a count job whose result nothing read — three
+    # driver barriers plus two plan→RDD conversions of pure setup).
+    # Self-loop rows are kept HERE so the node universe they carry
+    # survives into both paths; the contraction loop filters them out.
+    cE = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).dropDuplicates()
     # a round budget means "truncated contraction", which union-find
     # cannot emulate — take the distributed path then
     probe = (
         [None] * (SMALL_GRAPH_EDGES + 1)
         if max_rounds is not None
-        else sym.limit(SMALL_GRAPH_EDGES + 1).collect()
+        else cE.limit(SMALL_GRAPH_EDGES + 1).collect()
     )
     if len(probe) <= SMALL_GRAPH_EDGES:
         # driver-local union-find: min-label components are
         # deterministic integers, so the result is bit-identical to
-        # the distributed fixpoint
-        L.free(sym)
+        # the distributed fixpoint (self-loops just register the node)
         parent: dict = {}
 
         def find(x):
@@ -646,7 +683,7 @@ def connected_components(
             return x
 
         for r in probe:
-            a, b = r["src"], r["dst"]
+            a, b = r["u"], r["v"]
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -656,53 +693,44 @@ def connected_components(
         return _values_df(
             edges.sparkSession, rows, "node", "component", val_type="bigint"
         )
-    parts = max(4, sym.rdd.getNumPartitions())
-    with L.loop_exec(edges.sparkSession, parts):
-        nodes = L.checkpoint(sym.select(F.col("src").alias("node")).dropDuplicates())
-        E, n_edges = L.checkpoint_count(
-            sym.where(F.col("src") < F.col("dst")).select(
-                F.col("src").alias("u"), F.col("dst").alias("v")
-            )
-        )
-        L.free(sym)
+    spark = edges.sparkSession
+    parts = max(4, _input_parts(edges))
+    with L.loop_exec(spark, parts), _loop_views(spark, ["E"]) as V:
+        # LAZY initial edge state: its dedup shuffle materializes inside
+        # the first alternation's own action instead of paying a
+        # separate checkpoint pass (the count the old shape ran was
+        # never consumed)
+        E = L.lazy_checkpoint(cE.where(F.col("u") != F.col("v")))
 
-        def step(E, _frontier, _round):
-            # -- large-star: every node connects its LARGER neighbors to
-            # the minimum of its closed neighborhood
-            s = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            m = s.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-            large = (
-                s.where(F.col("v") > F.col("u"))
-                .join(m, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .where(F.col("u") != F.col("v"))
-                .dropDuplicates()
-            )
-            # -- small-star: orient (larger → smaller); every node connects
-            # its smaller neighbors (and itself) to the neighborhood min
-            o = large.select(
-                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-            )
-            m2 = o.groupBy("u").agg(F.min("v").alias("m"))
-            ne = (
-                o.join(m2, "u")
-                .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                .unionByName(m2.select("u", F.col("m").alias("v")))
-                .where(F.col("u") != F.col("v"))
-            )
-            # old ∪ new edge sets through ONE tagged groupBy: it both
-            # DEDUPLICATES ne (replacing its dropDuplicates shuffle) and
-            # computes the exact set-equality convergence test in the
-            # round's own action — the old shape needed a count match
-            # plus a separate anti-join probe job on the last round
-            return (
-                E.select("u", "v", F.lit(0).alias("t"))
-                .unionByName(ne.select("u", "v", F.lit(1).alias("t")))
-                .groupBy("u", "v")
-                .agg(
-                    F.max(F.when(F.col("t") == 0, 1).otherwise(0)).alias("in_old"),
-                    F.max(F.when(F.col("t") == 1, 1).otherwise(0)).alias("in_new"),
-                )
+        # one alternation = large-star then small-star contraction,
+        # built as ONE SQL parse per round (see _loop_views):
+        #  - large-star: every node connects its LARGER neighbors to the
+        #    minimum of its closed neighborhood;
+        #  - small-star: orient (larger → smaller); every node connects
+        #    its smaller neighbors (and itself) to the neighborhood min;
+        #  - old ∪ new edge sets through ONE tagged groupBy: it both
+        #    DEDUPLICATES ne (replacing a dropDuplicates shuffle) and
+        #    computes the exact set-equality convergence test in the
+        #    round's own action (convergence ⟺ no row in exactly one set)
+        def step(Edf, _frontier, _round):
+            Edf.createOrReplaceTempView(V["E"])
+            return spark.sql(
+                f"WITH s AS (SELECT u, v FROM {V['E']}"
+                f"           UNION ALL SELECT v AS u, u AS v FROM {V['E']}),"
+                f" m AS (SELECT u, least(min(v), first(u)) AS m FROM s GROUP BY u),"
+                f" large AS (SELECT DISTINCT s.v AS u, m.m AS v FROM s"
+                f"           JOIN m ON s.u = m.u WHERE s.v > s.u AND s.v <> m.m),"
+                f" o AS (SELECT greatest(u, v) AS u, least(u, v) AS v FROM large),"
+                f" m2 AS (SELECT u, min(v) AS m FROM o GROUP BY u),"
+                f" ne AS (SELECT * FROM ("
+                f"          SELECT o.v AS u, m2.m AS v FROM o JOIN m2 ON o.u = m2.u"
+                f"          UNION ALL SELECT u, m AS v FROM m2"
+                f"        ) WHERE u <> v),"
+                f" tagged AS (SELECT u, v, 0 AS t FROM {V['E']}"
+                f"            UNION ALL SELECT u, v, 1 AS t FROM ne)"
+                f" SELECT u, v, max(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS in_old,"
+                f"              max(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS in_new"
+                f" FROM tagged GROUP BY u, v"
             )
 
         owner, E, rounds = _fused_fixpoint(
@@ -719,13 +747,21 @@ def connected_components(
         )
         if stats is not None:
             stats["rounds"] = rounds
+        # node universe LAZILY from the caller's edge frame (still
+        # alive): the final labels checkpoint is the one action that
+        # computes it — no separate pre-loop nodes pass
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionByName(edges.select(F.col("dst").alias("node")))
+            .dropDuplicates()
+        )
         labels = nodes.join(
             E.select(F.col("u").alias("node"), F.col("v").alias("component")),
             "node",
             "left_outer",
         ).select("node", F.coalesce("component", "node").alias("component"))
         out = L.checkpoint(labels)
-        L.free(owner, nodes)
+        L.free(owner)
     return out
 
 
