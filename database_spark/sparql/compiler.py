@@ -33,6 +33,8 @@ from . import ast as A
 from .functions import (
     ExprCompiler,
     SparqlCompileError,
+    _is_simple,
+    _let,
     dt_rank,
     ebv,
     is_numeric,
@@ -115,6 +117,13 @@ class Compiler:
         #: can release them per query instead of leaking blocks until
         #: ``lifecycle.sweep`` (r12 advice #2).
         self._owned: list = []
+        #: names of variables bound to COMPUTED expressions (non-trivial
+        #: BINDs, SELECT-expression projections, GROUP BY expressions):
+        #: downstream expression compilers treat references to them as
+        #: non-simple so `_let` embeds them once instead of letting
+        #: Catalyst's pushdown/collapse substitution copy the defining
+        #: expression into every reference (see ExprCompiler.heavy)
+        self._heavy_vars: set = set()
         #: (sub_classes, sub_properties) IRI-closure maps for
         #: query-time backchained entailments (BackchainAccessPath):
         #: a bound class/predicate expands to the id-set of its
@@ -1295,7 +1304,7 @@ class Compiler:
                     return F.col(name)
                 raise KeyError(name)
 
-            ec = ExprCompiler(resolve)
+            ec = ExprCompiler(resolve, heavy=self._heavy_vars)
             conds = [F.coalesce(ec.bool(f), F.lit(False)) for f in filters]
             extra = conds[0]
             for c in conds[1:]:
@@ -1434,7 +1443,7 @@ class Compiler:
             inner = expr.args[0]
             return self._exists_join(sol, inner.group, graph, anti=not inner.negated)
         sol, repl = self._bind_exists_markers(sol, expr, graph)
-        ec = ExprCompiler(self.resolver(sol, visible), repl)
+        ec = ExprCompiler(self.resolver(sol, visible), repl, heavy=self._heavy_vars)
         cond = F.coalesce(ec.bool(expr), F.lit(False))
         return Sol(sol.df.where(cond), sol.vars, sol.maybe_unbound)
 
@@ -1493,7 +1502,7 @@ class Compiler:
             raise KeyError(name)
 
         for fx in corr:
-            ec = ExprCompiler(resolve)
+            ec = ExprCompiler(resolve, heavy=self._heavy_vars)
             c = F.coalesce(ec.bool(fx), F.lit(False))
             cond = c if cond is None else cond & c
         inner_cols = [v + "__id" for v in shared] + sorted(need_terms & inner.vars)
@@ -1710,8 +1719,10 @@ class Compiler:
         take the new value.
         """
         sol, repl = self._bind_exists_markers(sol, expr, graph)
-        ec = ExprCompiler(self.resolver(sol, visible), repl)
+        ec = ExprCompiler(self.resolver(sol, visible), repl, heavy=self._heavy_vars)
         t = ec.term(expr)
+        if not _is_simple(expr):
+            self._heavy_vars.add(name)
         if name in sol.vars:
             existing = F.col(name)
             new = F.coalesce(existing, t)
@@ -2330,11 +2341,11 @@ class Compiler:
                         return base(name)
                     except KeyError:
                         if name in proj_exprs:
-                            ec2 = ExprCompiler(base, agg_pairs=agg_repl)
+                            ec2 = ExprCompiler(base, agg_pairs=agg_repl, heavy=self._heavy_vars)
                             return ec2.term(proj_exprs[name])
                         raise
 
-                ec = ExprCompiler(resolve, agg_pairs=agg_repl)
+                ec = ExprCompiler(resolve, agg_pairs=agg_repl, heavy=self._heavy_vars)
                 sol = Sol(
                     sol.df.where(F.coalesce(ec.bool(h), F.lit(False))),
                     sol.vars,
@@ -2346,8 +2357,10 @@ class Compiler:
         # projection expressions (SELECT (expr AS v))
         for var, expr in q.projections:
             if expr is not None:
-                ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl)
+                ec = ExprCompiler(self.resolver(sol), agg_pairs=agg_repl, heavy=self._heavy_vars)
                 t = ec.term(expr)
+                if not _is_simple(expr):
+                    self._heavy_vars.add(var.name)
                 df = sol.df.withColumn(var.name, t).withColumn(
                     var.name + "__id",
                     F.when(F.col(var.name).isNotNull(), T.term_id(F.col(var.name))),
@@ -2356,10 +2369,23 @@ class Compiler:
 
         def _sort_cols(s: Sol):
             cols = []
-            sec = ExprCompiler(self.resolver(s), agg_pairs=agg_repl)
+            sec = ExprCompiler(self.resolver(s), agg_pairs=agg_repl, heavy=self._heavy_vars)
             for expr, asc in q.order_by:
                 t = sec.term(expr)
-                for k in T.sort_key(t):
+                if _is_simple(expr) and not (
+                    isinstance(expr, A.Var) and expr.name in self._heavy_vars
+                ):
+                    keys = T.sort_key(t)
+                else:
+                    # computed sort term: sort_key fans its input out
+                    # ~15x — bind it once per key through _let so the
+                    # expression tree stays linear (see ExprCompiler.heavy)
+                    keys = [
+                        _let([t], (lambda i: lambda x: T.sort_key(x)[i])(i),
+                             simple=[False])
+                        for i in range(T.SORT_KEY_WIDTH)
+                    ]
+                for k in keys:
                     cols.append(k.asc_nulls_first() if asc else k.desc_nulls_last())
             return cols
 
@@ -2438,12 +2464,14 @@ class Compiler:
         extra_key: implicit partition key (the enclosing-GRAPH context
         var) — grouping happens within each active graph."""
         df = sol.df
-        ec = ExprCompiler(self.resolver(sol))
+        ec = ExprCompiler(self.resolver(sol), heavy=self._heavy_vars)
         keys = [extra_key] if extra_key else []
         key_vars = {extra_key} if extra_key else set()
         for i, g in enumerate(q.group_by):
             if isinstance(g, tuple):
                 expr, var = g
+                if not _is_simple(expr):
+                    self._heavy_vars.add(var.name)
                 df = df.withColumn(var.name, ec.term(expr)).withColumn(
                     var.name + "__id",
                     F.when(F.col(var.name).isNotNull(), T.term_id(F.col(var.name))),
@@ -2473,7 +2501,7 @@ class Compiler:
                 return F.col(name)
             raise KeyError(name)
 
-        ec = ExprCompiler(resolve)
+        ec = ExprCompiler(resolve, heavy=self._heavy_vars)
         agg_cols = []
         repl = []
         for j, agg in enumerate(aggs):

@@ -396,7 +396,20 @@ class ExprCompiler:
     (EXISTS markers, aggregate result columns).
     """
 
-    def __init__(self, resolve, replacements: dict | None = None, agg_pairs: list | None = None):
+    def __init__(self, resolve, replacements: dict | None = None, agg_pairs: list | None = None, heavy=None):
+        #: variable names whose resolved column is EXPRESSION-BACKED
+        #: (computed BINDs): Catalyst's project-collapse/filter-pushdown
+        #: substitutes the defining expression into every downstream
+        #: reference, so a consumer that fans a heavy var out k times
+        #: (compare's category ladder, IN lists, builtin arg probes)
+        #: grows the physical plan k·|expr|-fold — the optimizer and
+        #: codegen then chew megabyte expression trees (measured:
+        #: sparql_bind's FILTER on a BIND-computed value produced a
+        #: 95 KB Filter condition).  Heavy vars are treated as
+        #: NON-simple so `_let` embeds them exactly once; plain scan
+        #: vars keep the zero-wrapping fast path and their plans are
+        #: bit-identical.
+        self.heavy = heavy or ()
         self.resolve = resolve
         self.replacements = replacements or {}
         self.agg_pairs = agg_pairs or []
@@ -406,6 +419,15 @@ class ExprCompiler:
             if node is e or node == e:
                 return col
         return None
+
+    def _simple(self, e) -> bool:
+        """Like module-level ``_is_simple`` but a reference to a HEAVY
+        (computed-BIND) variable counts as non-trivial — the attribute
+        is cheap NOW, but Catalyst will substitute the defining
+        expression into every copy of it (see ``heavy``)."""
+        if isinstance(e, A.Var):
+            return e.name not in self.heavy
+        return _is_simple(e)
 
     # ---- dispatch
     def term(self, e) -> Column:
@@ -452,22 +474,33 @@ class ExprCompiler:
             if e.op == "!":
                 return ~self.bool(e.args[0])
             if e.op in _CMP:
-                return compare(
-                    self.term(e.args[0]), self.term(e.args[1]), e.op,
-                    const_info(e.args[0]), const_info(e.args[1]),
+                # _let-bound: compare's category ladder references each
+                # operand several times — fine for plain column refs,
+                # plan-exploding for computed operands / heavy vars
+                ia, ib = const_info(e.args[0]), const_info(e.args[1])
+                return _let(
+                    [self.term(e.args[0]), self.term(e.args[1])],
+                    lambda a, b: compare(a, b, e.op, ia, ib),
+                    simple=[self._simple(x) for x in e.args],
                 )
         if isinstance(e, A.InExpr):
-            t = self.term(e.expr)
-            tests = [
-                compare(t, self.term(o), "=", const_info(e.expr), const_info(o))
-                for o in e.options
-            ]
-            if not tests:
-                return F.lit(not e.negated) & t.isNotNull()
-            acc = tests[0]
-            for x in tests[1:]:
-                acc = acc | x
-            return ~acc if e.negated else acc
+            iexp = const_info(e.expr)
+
+            def in_tests(t: Column) -> Column:
+                tests = [
+                    compare(t, self.term(o), "=", iexp, const_info(o))
+                    for o in e.options
+                ]
+                if not tests:
+                    return F.lit(not e.negated) & t.isNotNull()
+                acc = tests[0]
+                for x in tests[1:]:
+                    acc = acc | x
+                return ~acc if e.negated else acc
+
+            return _let(
+                [self.term(e.expr)], in_tests, simple=[self._simple(e.expr)]
+            )
         if isinstance(e, A.FuncCall) and e.name in ("ISIRI", "ISURI", "ISBLANK", "ISLITERAL", "ISNUMERIC", "BOUND", "SAMETERM", "LANGMATCHES", "REGEX", "CONTAINS", "STRSTARTS", "STRENDS"):
             return self._bool_func(e)
         # generic: EBV of the term value
@@ -490,7 +523,7 @@ class ExprCompiler:
                 lambda a: pack_numeric(
                     -T.numeric_value(a), rank_dt(dt_rank(a))
                 ),
-                simple=[_is_simple(e.args[0])],
+                simple=[self._simple(e.args[0])],
             )
 
         # compile-time narrowing: a numeric-constant operand skips its
@@ -529,7 +562,7 @@ class ExprCompiler:
         return _let(
             [self.term(e.args[0]), self.term(e.args[1])],
             body,
-            simple=[_is_simple(x) for x in e.args],
+            simple=[self._simple(x) for x in e.args],
         )
 
     # ---- boolean-only builtins
@@ -602,7 +635,7 @@ class ExprCompiler:
         return _let(
             args,
             lambda *xs: self._apply_func(n, e, list(xs)),
-            simple=[_is_simple(a) for a in e.args],
+            simple=[self._simple(a) for a in e.args],
         )
 
     def _apply_func(self, n: str, e: A.FuncCall, args: list) -> Column:

@@ -437,6 +437,12 @@ def boolean_value(term: Column) -> Column:
     )
 
 
+#: number of columns sort_key returns (class rank, numeric, datetime,
+#: datatype IRI, language, lexical) — pinned by a test so callers can
+#: build the keys positionally through a let-binding
+SORT_KEY_WIDTH = 6
+
+
 def sort_key(term: Column) -> list[Column]:
     """SPARQL total-order sort key (reference: ``IVComparator.java:68``,
     itself Sesame's ValueComparator over IVs).
