@@ -134,6 +134,16 @@ def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     lineage-truncated checkpoint."""
     sc = df.sparkSession.sparkContext
     d = reliable_dir(sc)
+    if d is None:
+        # pre-warm the plan→RDD conversion OUTSIDE the attribution
+        # lock: localCheckpoint reuses the Dataset's cached toRdd, so
+        # concurrent checkpoints from independent threads (e.g. the
+        # compat-join shared sides) overlap their Catalyst/planning
+        # work instead of serializing the expensive part under the lock
+        try:
+            df._jdf.queryExecution().toRdd()
+        except Exception:  # noqa: BLE001 — best-effort; checkpoint redoes it
+            pass
     with _CKPT_LOCK:
         if d is not None:
             before = _rdd_dirs(sc, d)

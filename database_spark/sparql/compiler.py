@@ -872,9 +872,17 @@ class Compiler:
         left_src = left.df
         if len(branches) > 1:
             # every branch re-executes both side plans; materialize the
-            # heavy ones once (see _materialize_shared)
-            left_src = self._materialize_shared(left.df)
-            rdf = self._materialize_shared(rdf)
+            # heavy ones once (see _materialize_shared).  The two sides
+            # are independent — submit both from a 2-thread pool so
+            # their planning passes and materialization jobs overlap
+            # (guide §2.6: actions are only sequential because the
+            # driver calls them sequentially)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fl = pool.submit(self._materialize_shared, left.df)
+                fr = pool.submit(self._materialize_shared, rdf)
+                left_src, rdf = fl.result(), fr.result()
         lbound = getattr(left_src, "_dbspark_rowbound", None)
         rbound = getattr(rdf, "_dbspark_rowbound", None)
         out = None
