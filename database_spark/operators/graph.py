@@ -812,20 +812,44 @@ def pagerank(
             edges.sparkSession, sorted(rank.items()), "node", "rank",
             val_type="double",
         )
+    spark = edges.sparkSession
     parts = max(4, _input_parts(edges))
-    with L.loop_exec(edges.sparkSession, parts):
-        # lazy: dedup + shuffle + sort materialize inside the (eager)
-        # nodes checkpoint's action instead of paying their own barriers
+    with L.loop_exec(spark, parts), _loop_views(
+        spark, ["e", "n", "o", "r"]
+    ) as V:
+        # ALL setup frames are lazy checkpoints (r13: nodes and outdeg
+        # were eager — two materialization passes and two driver
+        # barriers before any iteration ran); the first iteration
+        # block's count() materializes the whole chain in one job
         ep = L.lazy_checkpoint(
             e.repartition(parts, "src").sortWithinPartitions("src")
         )
-        nodes = L.checkpoint(
+        nodes = L.lazy_checkpoint(
             ep.select(F.col("src").alias("node"))
             .unionByName(ep.select(F.col("dst").alias("node")))
             .dropDuplicates()
         )
-        outdeg = L.checkpoint(ep.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
+        outdeg = L.lazy_checkpoint(
+            ep.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ep.createOrReplaceTempView(V["e"])
+        nodes.createOrReplaceTempView(V["n"])
+        outdeg.createOrReplaceTempView(V["o"])
         ranks = nodes.withColumn("rank", F.lit(1.0))
+        # one SQL parse per iteration (see _loop_views) — algebra
+        # identical to the Column build it replaces: inflow = sum of
+        # rank/deg over out-edges, rank' = (1-d) + d * inflow
+        step_sql = (
+            f"WITH contribs AS ("
+            f" SELECT e.dst AS node, sum(r.rank / o.deg) AS inflow"
+            f" FROM {V['r']} r JOIN {V['o']} o ON r.node = o.src"
+            f" JOIN {V['e']} e ON o.src = e.src"
+            f" GROUP BY e.dst)"
+            f" SELECT n.node, CAST({1.0 - damping!r} AS DOUBLE)"
+            f" + CAST({damping!r} AS DOUBLE)"
+            f" * coalesce(c.inflow, CAST(0.0 AS DOUBLE)) AS rank"
+            f" FROM {V['n']} n LEFT JOIN contribs c ON n.node = c.node"
+        )
         # Lazy checkpoints chained across iterations, with one explicit
         # materializing action every few rounds: the count() finalizes
         # the whole pending chain's blocks in one job, after which the
@@ -834,19 +858,8 @@ def pagerank(
         # would make it uncomputable — hence the pending list.
         pend: list = []
         for i in range(iters):
-            contribs = (
-                ranks.join(outdeg, ranks["node"] == outdeg["src"], "inner")
-                .join(ep, "src")
-                .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("inflow"))
-            )
-            new_ranks = L.lazy_checkpoint(
-                nodes.join(contribs, "node", "left_outer").select(
-                    "node",
-                    (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
-                )
-            )
+            ranks.createOrReplaceTempView(V["r"])
+            new_ranks = L.lazy_checkpoint(spark.sql(step_sql))
             pend.append(ranks)  # first (un-checkpointed) ranks: free no-ops
             ranks = new_ranks
             if len(pend) >= 4 or i == iters - 1:
